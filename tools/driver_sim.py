@@ -1,0 +1,126 @@
+"""Local simulation of the driver's correctness gate.
+
+For each entry in __spark_entry__.queries(): run the Spark query at
+sf0.01, run the matching oracle_sql() in DuckDB (fixture tables
+pre-registered as views), and compare row count + column names + an
+order-insensitive value hash. Use this as the fast feedback loop before
+every commit; the real driver writes CORRECTNESS_r{N}.json the same way.
+
+Usage:
+    python tools/driver_sim.py [--sf /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # bit-exact float canonicalization
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(
+        "|".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(canon_rows).encode()).hexdigest()[:16]
+    return h, canon_rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from write_optimized_vector_database_spark.session import get_spark
+
+    spark = get_spark("driver_sim")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"weak  {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        sh, scanon = frame_fingerprint(scols, srows)
+        oh, ocanon = frame_fingerprint(ocols, orows)
+        if sh != oh:
+            problems.append(f"hash {sh} vs {oh}")
+            if args.verbose:
+                sset, oset = set(scanon), set(ocanon)
+                for r in list(sset - oset)[:5]:
+                    print(f"    spark-only: {r}")
+                for r in list(oset - sset)[:5]:
+                    print(f"    oracle-only: {r}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"ok    {name}: {len(srows)} rows, hash {sh}, {spark_s:.1f}s")
+    spark.stop()
+    print(f"{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,188 @@
+"""Query registry — the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 registers here as
+(name → spark callable, optional DuckDB oracle SQL). `__spark_entry__.py`
+re-exports this registry as `queries()` / `oracle_sql()`.
+
+Conventions that keep the driver's hash-compare green:
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates go through exact DECIMAL arithmetic then CAST AS
+  DOUBLE (summation-order independent → bit-identical across engines);
+- vector scores use folds proven bit-identical to DuckDB's
+  list_inner_product/list_distance (see functions/distance.py);
+- top-k ties break on ascending id (deterministic membership).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.sources.tables import load_table
+
+
+@dataclass
+class EngineQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    survey_ref: str = ""  # SURVEY.md §2 operator ids this query evidences
+    tags: list[str] = field(default_factory=list)
+
+
+REGISTRY: dict[str, EngineQuery] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, survey_ref: str = "", tags: list[str] | None = None
+):
+    def deco(fn):
+        REGISTRY[name] = EngineQuery(name, fn, oracle, survey_ref, tags or [])
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Vector search — exact top-k (SURVEY §2.2 Q1/Q2/Q12/Q14)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {score_expr} AS score
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+_SCORE_EXPRS = {
+    "ip": "list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[])",
+    "l2": "-list_distance(q.query_vec::DOUBLE[], e.embedding::DOUBLE[])",
+    "cosine": (
+        "CASE WHEN list_inner_product(q.query_vec::DOUBLE[], q.query_vec::DOUBLE[]) = 0"
+        " OR list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 THEN 0.0"
+        " ELSE list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[])"
+        " / (sqrt(list_inner_product(q.query_vec::DOUBLE[], q.query_vec::DOUBLE[]))"
+        "    * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) END"
+    ),
+}
+
+
+def _fixture_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic query batch: the first 8 embedding rows act as the
+    QueryRequest batch (reference types.h:67-75; batch ≤100 config.h:180)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _make_topk_query(metric: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from write_optimized_vector_database_spark.operators.topk import exact_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = exact_topk(emb, _fixture_queries(spark, sf_dir), k=10, metric=metric)
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    return fn
+
+
+for _metric in ("ip", "l2", "cosine"):
+    register(
+        f"vec_topk_{_metric}_exact",
+        oracle=_TOPK_ORACLE.format(score_expr=_SCORE_EXPRS[_metric]),
+        survey_ref="Q1,Q2,Q12,Q14",
+        tags=["vector", "topk"],
+    )(_make_topk_query(_metric))
+
+
+@register(
+    "vec_point_lookup",
+    oracle="""
+SELECT vec_id, label, len(embedding)::BIGINT AS dim
+FROM embeddings WHERE vec_id IN (7, 42, 123, 499)
+ORDER BY vec_id
+""",
+    survey_ref="Q13",
+    tags=["vector", "lookup"],
+)
+def vec_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by id (reference latest-by-id.h:170-200 getLatest/exists).
+    Catalyst pushes the IN-filter to the parquet scan (zone-map pruning —
+    the Spark analog of the reference's min/max id_hash segment stats,
+    types.h:98-99)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id").isin(7, 42, 123, 499))
+        .select("vec_id", "label", F.size("embedding").cast("long").alias("dim"))
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational checklist (SURVEY §2.4) — aggregation grammar
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    survey_ref="§2.4 aggregations",
+    tags=["relational", "agg"],
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. DECIMAL accumulation makes the sums
+    exact (summation-order independent), then a final CAST to DOUBLE —
+    bit-identical to the DuckDB oracle regardless of partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def registry() -> dict[str, EngineQuery]:
+    # Import side-effect modules that register additional queries.
+    import write_optimized_vector_database_spark.queries_ext  # noqa: F401
+
+    return REGISTRY
