@@ -1,0 +1,104 @@
+"""VectorCollection lifecycle: ingest → RYW read → compact → filtered topk.
+
+Covers the reference write path (SURVEY §3.1) and the buffer-scan union
+read-your-writes guarantee (msg-buf.h:220-260)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.collection import VectorCollection
+from write_optimized_vector_database_spark.operators.changelog import synthetic_changelog
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    return VectorCollection(spark, str(tmp_path / "coll"), metric="ip")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long",
+    )
+
+
+def test_ingest_compact_lookup_roundtrip(spark, coll):
+    b1 = _batch(
+        spark,
+        [
+            ("INSERT", 1, "t0", "ns0", [1.0, 0.0], [1], 1),
+            ("INSERT", 2, "t0", "ns0", [0.0, 1.0], [2], 2),
+            ("INSERT", 3, "t1", "ns1", [1.0, 1.0], [3], 3),
+        ],
+    )
+    assert coll.ingest(b1) == 3
+    # read-your-writes before any compaction
+    assert coll.current().count() == 3
+
+    b2 = _batch(
+        spark,
+        [
+            ("UPSERT", 1, "t0", "ns0", [0.5, 0.5], [9], 10),
+            ("DELETE", 2, "t0", "ns0", None, None, 11),
+        ],
+    )
+    coll.ingest(b2)
+    cur = {r.id: r for r in coll.current().collect()}
+    assert set(cur) == {1, 3}
+    assert cur[1].tags == [9] and cur[1].epoch == 10
+
+    coll.compact()
+    cur2 = {r.id: r for r in coll.current().collect()}
+    assert set(cur2) == {1, 3}
+    assert cur2[1].tags == [9]
+
+    # post-compaction writes still visible (snapshot ∪ tail union)
+    b3 = _batch(spark, [("INSERT", 4, "t0", "ns1", [2.0, 0.0], [4], 20)])
+    coll.ingest(b3)
+    assert set(r.id for r in coll.current().collect()) == {1, 3, 4}
+    assert set(r.id for r in coll.lookup([1, 2, 4]).collect()) == {1, 4}
+
+
+def test_within_batch_dedup(spark, coll):
+    b = _batch(
+        spark,
+        [
+            ("INSERT", 1, "t0", "ns0", [1.0, 0.0], [1], 1),
+            ("UPSERT", 1, "t0", "ns0", [0.9, 0.1], [2], 5),
+            ("UPSERT", 1, "t0", "ns0", [0.8, 0.2], [3], 3),
+        ],
+    )
+    n = coll.ingest(b)  # dedup keeps only epoch 5
+    assert n == 1
+    cur = coll.current().collect()
+    assert len(cur) == 1 and cur[0].epoch == 5 and cur[0].tags == [2]
+
+
+def test_topk_with_filters(spark, coll, sf_dir):
+    coll.ingest(synthetic_changelog(spark, sf_dir))
+    coll.compact()
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = coll.topk(queries, k=5, tenant="t0").collect()
+    assert len(out) == 10
+    # tenant t0 = even ids only; deleted ids absent
+    assert all(r.vec_id % 2 == 0 and r.vec_id % 10 != 3 for r in out)
+
+    # tag 4 → ids ≡ 4 (mod 50): even, never deleted (deletes are id%10==3)
+    out2 = coll.topk(queries, k=5, tags_any=[4]).collect()
+    assert len(out2) > 0
+    assert all(r.vec_id % 50 == 4 for r in out2)
+
+
+def test_cosine_collection_normalizes_at_ingest(spark, tmp_path):
+    coll = VectorCollection(spark, str(tmp_path / "c2"), metric="cosine")
+    b = _batch(spark, [("INSERT", 1, "t0", "ns0", [3.0, 4.0], [1], 1)])
+    coll.ingest(b)
+    v = coll.current().collect()[0].vector
+    assert abs(v[0] - 0.6) < 1e-6 and abs(v[1] - 0.8) < 1e-6

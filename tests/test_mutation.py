@@ -1,0 +1,94 @@
+"""Mutation semantics vs a dict model of the reference's LatestByIdMap
+(/root/reference/src/cpp/storage/latest-by-id.h:110-200) — SURVEY §5.3."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.operators.changelog import synthetic_changelog
+from write_optimized_vector_database_spark.operators.compaction import (
+    latest_by_id,
+    segment_stats,
+    upsert_dedup,
+    visible,
+)
+
+
+def dict_model(ops: list[tuple[str, int, int]]) -> dict[int, tuple[int, str]]:
+    """~20-line oracle: upsert replaces on higher epoch, delete tombstones;
+    exists = present ∧ ¬tombstone."""
+    state: dict[int, tuple[int, str]] = {}
+    for op, id_, epoch in ops:
+        cur = state.get(id_)
+        if cur is None or epoch > cur[0] or (epoch == cur[0] and op > cur[1]):
+            state[id_] = (epoch, op)
+    return {i: v for i, v in state.items() if v[1] != "DELETE"}
+
+
+def random_ops(seed: int, n_ids: int = 40, n_ops: int = 300):
+    rng = random.Random(seed)
+    ops = []
+    epochs = list(range(n_ops))
+    rng.shuffle(epochs)  # shuffled arrival order, monotone epochs per op
+    for epoch in epochs:
+        op = rng.choices(["INSERT", "UPSERT", "DELETE"], weights=[0.5, 0.3, 0.2])[0]
+        ops.append((op, rng.randrange(n_ids), epoch))
+    return ops
+
+
+def test_visible_matches_dict_model_random_sequences(spark):
+    for seed in (1, 7, 42):
+        ops = random_ops(seed)
+        df = spark.createDataFrame(
+            [(op, id_, epoch) for op, id_, epoch in ops], "op string, id long, epoch long"
+        )
+        got = {r.id: (r.epoch, r.op) for r in visible(df).collect()}
+        want = dict_model(ops)
+        assert got == want, f"seed {seed}"
+
+
+def test_upsert_dedup_keeps_one_row_per_id(spark):
+    ops = random_ops(9, n_ids=10, n_ops=100)
+    df = spark.createDataFrame(ops, "op string, id long, epoch long")
+    out = upsert_dedup(df)
+    pdf = out.toPandas()
+    assert pdf["id"].is_unique
+    # every kept row is the max-epoch row for its id
+    want_max = {id_: max(e for o, i, e in ops if i == id_) for _, id_, _ in ops}
+    for _, row in pdf.iterrows():
+        assert row["epoch"] == want_max[row["id"]]
+
+
+def test_synthetic_changelog_visibility(spark, sf_dir):
+    log = synthetic_changelog(spark, sf_dir)
+    vis = visible(log).collect()
+    by_id = {r.id: r for r in vis}
+    # deleted ids (id % 10 == 3) invisible
+    assert all(r.id % 10 != 3 for r in vis)
+    # upserted ids (id % 5 == 0) show the UPSERT version
+    assert by_id[0].op == "UPSERT" and by_id[0].epoch == 100_000
+    # plain ids show the INSERT
+    assert by_id[1].op == "INSERT" and by_id[1].epoch == 1
+    # count: 500 - deletes(50)
+    assert len(vis) == 450
+
+
+def test_latest_by_id_keeps_tombstones_visible_drops_them(spark, sf_dir):
+    log = synthetic_changelog(spark, sf_dir)
+    latest = latest_by_id(log)
+    assert latest.filter(F.col("op") == "DELETE").count() == 50
+    assert visible(log).filter(F.col("op") == "DELETE").count() == 0
+
+
+def test_segment_stats_tombstone_ratio(spark):
+    rows = [("INSERT", i, i, "seg1") for i in range(8)] + [
+        ("DELETE", i, 100 + i, "seg2") for i in range(4)
+    ] + [("INSERT", 50 + i, 200 + i, "seg2") for i in range(4)]
+    df = spark.createDataFrame(rows, "op string, id long, epoch long, segment string")
+    stats = {r.segment: r for r in segment_stats(df, "segment").collect()}
+    assert stats["seg1"].tombstone_ratio == 0.0
+    assert stats["seg2"].tombstone_ratio == 0.5
+    assert stats["seg1"].n_rows == 8
+    assert stats["seg1"].min_epoch == 0 and stats["seg1"].max_epoch == 7

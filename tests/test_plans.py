@@ -1,0 +1,76 @@
+"""Plan-quality gates: pushdown, pruning, broadcast, bounded shuffles.
+
+These are the 100 TB-scale invariants (SURVEY §4): they hold regardless
+of data size, so pinning them at sf0.001 pins them for the cluster."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.plans.explain import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+from write_optimized_vector_database_spark.operators.topk import exact_topk
+from write_optimized_vector_database_spark.sources.tables import load_table
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    """Other test modules cache the fixture scans; a cache hit turns the
+    scan into InMemoryTableScan and hides PushedFilters/ReadSchema."""
+    spark.catalog.clearCache()
+    yield
+
+
+def test_point_lookup_filter_pushdown(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(7, 42)).select("vec_id", "label")
+    pf = pushed_filters(q)
+    assert any("vec_id" in p and p != "[]" for p in pf), f"no pushdown: {pf}"
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id")
+    rs = read_schemas(q)
+    assert rs and all("text" not in s for s in rs), f"text not pruned: {rs}"
+
+
+def test_exact_topk_broadcasts_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = exact_topk(emb, queries, k=5, metric="ip")
+    assert has_broadcast_join(out), "query side must broadcast, never shuffle vectors"
+
+
+def test_exact_topk_shuffles_are_bounded(spark, sf_dir):
+    """The scored scan must not shuffle; only the tiny partial-top-k
+    output may. A growing Exchange count here = a 100 TB regression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = exact_topk(emb, queries, k=5, metric="ip")
+    # window rank needs one hash exchange of (query_id, vec_id, score);
+    # queries-side broadcast must keep it to ≤2 total
+    assert count_exchanges(out) <= 2, count_exchanges(out)
+
+
+def test_tenant_filter_pushdown_on_collection(spark, tmp_path, sf_dir):
+    """Collection snapshot scans must push tenant/namespace equality into
+    Parquet (Q7 semantics at scan level)."""
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.changelog import synthetic_changelog
+
+    coll = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    coll.ingest(synthetic_changelog(spark, sf_dir))
+    coll.compact()
+    q = coll.current().filter(F.col("tenant") == "t0")
+    pf = pushed_filters(q)
+    assert any("tenant" in p for p in pf), f"tenant filter not pushed: {pf}"

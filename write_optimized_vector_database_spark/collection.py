@@ -1,0 +1,172 @@
+"""VectorCollection — the user-facing API of the engine.
+
+A collection is three materializations (SURVEY §1.3):
+- **changelog/**: append-only op log (the WAL analog,
+  /root/reference/schemas/wal-record.fbs), parquet, partitioned by
+  epoch-batch so appends never rewrite;
+- **current/**: compacted snapshot (latest-by-id minus tombstones,
+  /root/reference/src/cpp/storage/latest-by-id.h semantics);
+- a read view = current snapshot ∪ changelog tail since the snapshot —
+  **read-your-writes** exactly like the reference's buffer-scan union
+  (msg-buf.h:220-260, config.h:133 buffer_scan_enabled).
+
+Writes are cheap (blind parquet append + within-batch dedup); reads pay
+one window over the un-compacted tail only. `compact()` folds the tail
+into a new snapshot — the delta→stable merge (config.h:54-61). At 100 TB
+the snapshot is the big, scan-optimized side (sorted by id_hash for zone
+maps) and the tail stays small because compaction is scheduled, which is
+precisely the reference's write-optimization story re-told in Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.functions.distance import l2_normalize
+from write_optimized_vector_database_spark.functions.hashing import id_hash
+from write_optimized_vector_database_spark.operators import compaction as C
+from write_optimized_vector_database_spark.operators.filters import apply_query_filters
+from write_optimized_vector_database_spark.operators.topk import exact_topk
+
+CHANGELOG_SCHEMA_COLS = ["op", "id", "tenant", "namespace", "vector", "tags", "epoch"]
+
+
+class VectorCollection:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        metric: str = "ip",
+        normalize: bool | None = None,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.metric = metric
+        # cosine ≡ inner product after L2-normalize at ingest (types.h:40)
+        self.normalize = normalize if normalize is not None else metric == "cosine"
+        self._meta_path = os.path.join(self.path, "_collection.json")
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- write path ---------------------------------------------------------
+
+    def ingest(self, batch: DataFrame, dedup: bool = True) -> int:
+        """Append a batch of ops to the changelog.
+
+        Within-batch upsert dedup first (msg-buf.h:134-147) — the
+        write-amplification lever; epochs must already be assigned
+        monotone by the caller (streaming assigns batch_id × stride).
+        """
+        cols = [c for c in CHANGELOG_SCHEMA_COLS if c in batch.columns]
+        missing = set(("op", "id", "epoch")) - set(cols)
+        if missing:
+            raise ValueError(f"changelog batch missing columns: {sorted(missing)}")
+        out = batch.select(*cols)
+        if self.normalize and "vector" in cols:
+            out = out.withColumn(
+                "vector",
+                F.when(F.col("vector").isNull(), F.col("vector")).otherwise(
+                    l2_normalize("vector").cast("array<float>")
+                ),
+            )
+        if dedup:
+            out = C.upsert_dedup(out)
+        out = out.withColumn("id_hash", id_hash("id"))
+        n = out.count()
+        out.write.mode("append").parquet(f"{self.path}/changelog")
+        return n
+
+    # -- materializations ---------------------------------------------------
+
+    def changelog(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/changelog")
+
+    def _snapshot_epoch(self) -> int:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f).get("snapshot_epoch", -1)
+        return -1
+
+    def current(self) -> DataFrame:
+        """Read-your-writes visible view: compacted snapshot ∪ changelog
+        tail (reference buffer-scan union, msg-buf.h:220-260).
+
+        The snapshot already holds one visible row per id, so it is NOT
+        re-windowed: tail ids are anti-joined out of it and the (small)
+        tail is compacted on its own. This keeps caller filters (tenant/
+        namespace/tags) pushable into the snapshot's Parquet scan — a
+        window over the snapshot would block pushdown and cost a full
+        shuffle of the table at every read. Tail epochs are strictly
+        greater than snapshot epochs, so tail-latest always wins."""
+        snap_epoch = self._snapshot_epoch()
+        tail = self.changelog()
+        if snap_epoch < 0:
+            return C.visible(tail)
+        snapshot = self.spark.read.parquet(f"{self.path}/current")
+        tail = tail.filter(F.col("epoch") > snap_epoch)
+        tail_latest = C.latest_by_id(tail)
+        survivors = snapshot.join(
+            F.broadcast(tail_latest.select("id")), "id", "left_anti"
+        )
+        return survivors.unionByName(
+            tail_latest.filter(F.col("op") != "DELETE"),
+            allowMissingColumns=True,
+        ).select(*snapshot.columns)
+
+    def compact(self) -> None:
+        """Fold the changelog into a fresh `current/` snapshot, sorted by
+        id_hash inside files so Parquet zone maps prune point lookups
+        (the min/max id_hash SegmentDescriptor stats, types.h:98-99)."""
+        log = self.changelog()
+        max_epoch = log.agg(F.max("epoch")).collect()[0][0]
+        base = self.current()  # snapshot anti-join tail merge (no snapshot re-window)
+        tmp = f"{self.path}/current_tmp_{int(time.time() * 1000)}"
+        base.sortWithinPartitions("id_hash").write.mode("overwrite").parquet(tmp)
+        final = f"{self.path}/current"
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(self._meta_path, "w") as f:
+            json.dump({"snapshot_epoch": int(max_epoch)}, f)
+
+    def stats(self) -> DataFrame:
+        """Changelog file-level stats (M1/M2 maintenance surface)."""
+        return C.segment_stats(
+            self.changelog().withColumn("segment", F.input_file_name()), "segment"
+        )
+
+    # -- read path ----------------------------------------------------------
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        tenant: str | None = None,
+        namespace: str | None = None,
+        tags_any: list[int] | None = None,
+        sample_p: float | None = None,
+    ) -> DataFrame:
+        """Filtered exact top-k over the visible view (QueryRequest
+        semantics, types.h:67-82). Filters are applied before scoring so
+        Catalyst pushes them into the snapshot scan."""
+        base = apply_query_filters(
+            self.current(), tenant, namespace, tags_any, sample_p
+        )
+        return exact_topk(
+            base,
+            queries,
+            k=k,
+            metric=self.metric,
+            vec_id_col="id",
+            vec_col="vector",
+        )
+
+    def lookup(self, ids: list) -> DataFrame:
+        """Point lookup (`getLatest`/`exists`, latest-by-id.h:170-200)."""
+        return self.current().filter(F.col("id").isin(ids))

@@ -1,0 +1,86 @@
+"""Visibility & compaction — last-writer-wins over the changelog.
+
+Reference semantics (/root/reference/src/cpp/storage/latest-by-id.h):
+- `upsert` replaces an id's latest location/epoch (latest-by-id.h:110-157)
+- `markDeleted` writes a tombstone (latest-by-id.h:159-168)
+- `exists` = has-latest ∧ ¬tombstone (latest-by-id.h:192-200)
+
+The Spark engine never *keeps* that map as mutable state — it derives it:
+`row_number() OVER (PARTITION BY id ORDER BY epoch DESC) = 1`, then a
+tombstone filter. Derivation scales (it is one shuffle on id, AQE-coalesced)
+and is restart-free: recovery is re-running the view (SURVEY §3.3).
+
+Compaction (reference delta→stable merge, config.h:54-61) = materializing
+the visible view into a fresh snapshot when the tombstone ratio passes a
+threshold; segment stats come from `groupBy(segment)` aggregation exactly
+like the reference's SegmentDescriptor bookkeeping (types.h:94-106).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_TOMBSTONE_RATIO = 0.2  # reference config.h:57
+
+
+def latest_by_id(
+    changelog: DataFrame, id_col: str = "id", epoch_col: str = "epoch"
+) -> DataFrame:
+    """Newest version of every id (tombstones still present).
+
+    Ties on epoch break toward DELETE then by op name so replays of an
+    identical changelog are deterministic.
+    """
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(epoch_col).desc(), F.col("op").desc()
+    )
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def visible(changelog: DataFrame, id_col: str = "id", epoch_col: str = "epoch") -> DataFrame:
+    """The compacted, queryable view: latest version per id, minus
+    tombstones (`exists` semantics, latest-by-id.h:192-200)."""
+    return latest_by_id(changelog, id_col, epoch_col).filter(F.col("op") != "DELETE")
+
+
+def upsert_dedup(batch: DataFrame, id_col: str = "id", epoch_col: str = "epoch") -> DataFrame:
+    """Within-batch upsert dedup — keep only the newest message per id
+    before it ever hits storage (reference message-buffer dedup,
+    msg-buf.h:134-147; the write-amplification lever, types.h:144).
+
+    Same window as latest_by_id but applied pre-append: at 100 TB this
+    runs map-heavy inside a micro-batch whose id-space is small, so the
+    shuffle is the micro-batch, never the table.
+    """
+    return latest_by_id(batch, id_col, epoch_col)
+
+
+def segment_stats(
+    changelog: DataFrame,
+    segment_col: str,
+    id_col: str = "id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Per-segment descriptor stats: row count, id-hash/epoch zone maps and
+    tombstone ratio (reference SegmentDescriptor, types.h:94-106) — the
+    inputs to the compaction trigger (tombstone_ratio > 0.2, config.h:57)."""
+    return changelog.groupBy(segment_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.xxhash64(F.col(id_col).cast("string"))).alias("min_id_hash"),
+        F.max(F.xxhash64(F.col(id_col).cast("string"))).alias("max_id_hash"),
+        F.min(epoch_col).alias("min_epoch"),
+        F.max(epoch_col).alias("max_epoch"),
+        F.avg((F.col("op") == "DELETE").cast("double")).alias("tombstone_ratio"),
+    )
+
+
+def needs_compaction(
+    stats: DataFrame, threshold: float = DEFAULT_TOMBSTONE_RATIO
+) -> DataFrame:
+    """Segments whose tombstone ratio exceeds the merge threshold."""
+    return stats.filter(F.col("tombstone_ratio") > threshold)

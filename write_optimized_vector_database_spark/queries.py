@@ -144,7 +144,7 @@ def vec_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -169,9 +169,14 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("sum_base_price"),
+            # product re-cast to scale 4 (exact: money inputs are 2-dp) so
+            # the summed unscaled value stays < 2^53 — DuckDB's
+            # decimal→double path double-rounds past that (int128→double÷10^s)
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                (
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ).cast("decimal(28,4)")
             )
             .cast("double")
             .alias("sum_disc_price"),
@@ -183,6 +188,10 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def registry() -> dict[str, EngineQuery]:
     # Import side-effect modules that register additional queries.
+    import write_optimized_vector_database_spark.queries_dedup  # noqa: F401
     import write_optimized_vector_database_spark.queries_ext  # noqa: F401
+    import write_optimized_vector_database_spark.queries_mm  # noqa: F401
+    import write_optimized_vector_database_spark.queries_rel  # noqa: F401
+    import write_optimized_vector_database_spark.queries_text  # noqa: F401
 
     return REGISTRY

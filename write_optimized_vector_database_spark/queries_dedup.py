@@ -1,0 +1,334 @@
+"""Dedup + text-analysis query registrations `[EXT]` with DuckDB twins.
+
+Every pipeline is RNG-free (md5-derived portable hashes, fixed MinHash
+permutation constants), so the full MinHash-LSH / SimHash / Jaccard /
+cosine near-dup pipelines are hash-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.operators import dedup as D
+from write_optimized_vector_database_spark.operators import textops as TX
+from write_optimized_vector_database_spark.queries import register
+from write_optimized_vector_database_spark.sources.tables import load_table
+
+_NUM_HASHES, _BANDS, _SHINGLE_N = 16, 4, 5
+
+# Shared DuckDB CTE: doc shingle hashes (distinct char-5-grams → 32-bit
+# portable hash). `range` is non-lateral in DuckDB 1.0, so cross-join a
+# fixed index range and filter (docs are ≤ ~4k chars in the fixtures).
+_SHINGLE_CTE = rf"""
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i::INT, {_SHINGLE_N}) AS shingle
+  FROM norm, range(1, 100001) r(i)
+  WHERE i <= greatest(length(t) - {_SHINGLE_N - 1}, 1)
+),
+shh AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS s FROM sh
+)
+"""
+
+_SIG_SELECT = ", ".join(
+    f"min((s*{a}+{b})%{D.MINHASH_P}) AS h{i}"
+    for i, (a, b) in enumerate(D.minhash_params(_NUM_HASHES))
+)
+
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+_BAND_CASE = " ".join(
+    f"WHEN {b} THEN " + "||'_'||".join(
+        f"h{b * _ROWS_PER_BAND + r}::VARCHAR" for r in range(_ROWS_PER_BAND)
+    )
+    for b in range(_BANDS)
+)
+
+_LSH_CTE = f"""
+sig AS (SELECT doc_id, {_SIG_SELECT} FROM shh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.b::INT AS band, CASE b.b {_BAND_CASE} END AS key
+  FROM sig, range({_BANDS}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (on a corpus with synthesized duplicates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_exact_dedup",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+),
+fps AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT fp, min(doc_id) AS representative, count(*) AS group_size
+FROM fps GROUP BY fp
+""",
+    survey_ref="[EXT] dedup-exact",
+    tags=["dedup", "text"],
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ a shifted copy of every 3rd doc —
+    verifies fingerprint grouping picks the original as representative."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return D.exact_dedup(docs.unionByName(dupes))
+
+
+@register(
+    "doc_dedup_keep_first",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+),
+fps AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+  FROM fps
+) WHERE rn = 1
+""",
+    survey_ref="[EXT] dedup-exact",
+    tags=["dedup", "text"],
+)
+def doc_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated-corpus view: only original doc_ids survive."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return D.dedup_keep_first(docs.unionByName(dupes)).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures / LSH candidates / Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_minhash_lsh_near_dup",
+    oracle=f"""
+WITH {_SHINGLE_CTE.strip()},
+{_LSH_CTE.strip()},
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_NUM_HASHES))})::DOUBLE
+           / {_NUM_HASHES} AS jaccard_est
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard_est, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY jaccard_est DESC, doc_a ASC, doc_b ASC) AS rank
+  FROM est
+) WHERE rank <= 50
+""",
+    survey_ref="[EXT] dedup-minhash-lsh",
+    tags=["dedup", "text", "lsh"],
+)
+def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→estimate pipeline: top-50 candidate pairs by
+    estimated Jaccard. All-pairs never materializes — candidates only
+    form inside LSH band buckets."""
+    docs = _docs(spark, sf_dir)
+    sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N)
+    pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
+    est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("jaccard_est").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+@register(
+    "doc_ngram_jaccard_verify",
+    oracle=f"""
+WITH {_SHINGLE_CTE.strip()},
+{_LSH_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shh a ON a.doc_id = c.doc_a
+  JOIN shh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         COALESCE(i.n_inter, 0)::DOUBLE
+           / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rank
+  FROM jac
+) WHERE rank <= 50
+""",
+    survey_ref="[EXT] dedup-ngram-jaccard",
+    tags=["dedup", "text"],
+)
+def doc_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase near-dedup: exact n-gram Jaccard verification of the LSH
+    candidates (the verify stage after LSH narrows the search space)."""
+    docs = _docs(spark, sf_dir)
+    sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N)
+    pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
+    jac = D.ngram_jaccard(docs, pairs, _SHINGLE_N)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+    return (
+        jac.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(D.SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "doc_simhash_fingerprints",
+    oracle=rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 8))::BIGINT AS th FROM tok
+),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM th GROUP BY doc_id)
+SELECT doc_id, ({_SIMHASH_FP})::BIGINT AS simhash FROM sums
+""",
+    survey_ref="[EXT] dedup-simhash",
+    tags=["dedup", "text"],
+)
+def doc_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    return D.simhash(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_simhash_near_pairs",
+    oracle=rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 8))::BIGINT AS th FROM tok
+),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, ({_SIMHASH_FP})::BIGINT AS simhash FROM sums),
+pre AS (SELECT doc_id, simhash, simhash >> {D.SIMHASH_BITS - 8} AS bucket FROM fp),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+  FROM pre a JOIN pre b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY hamming ASC, doc_a ASC, doc_b ASC) AS rank
+  FROM pairs
+) WHERE rank <= 20
+""",
+    survey_ref="[EXT] dedup-simhash",
+    tags=["dedup", "text"],
+)
+def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest SimHash pairs among prefix-bucket candidates (top-20 by
+    Hamming distance) — the near-dup join, prefix-bucketed for scale."""
+    sim = D.simhash(_docs(spark, sf_dir))
+    pairs = D.simhash_near_pairs(sim, max_hamming=D.SIMHASH_BITS, prefix_bits=8)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+    return (
+        pairs.withColumn("hamming", F.col("hamming").cast("int"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_near_dup_cosine",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, id_a ASC, id_b ASC) AS rank
+  FROM pairs
+) WHERE rank <= 20
+""",
+    survey_ref="[EXT] dedup-embedding",
+    tags=["dedup", "vector"],
+)
+def emb_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs (all-pairs cosine at oracle
+    scale; the production path buckets by IVF centroid first — see
+    dedup.embedding_near_dup_pairs(bucket_by=...))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(emb, threshold=-2.0)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

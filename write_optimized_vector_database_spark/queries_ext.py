@@ -5,3 +5,391 @@ this module registers everything via side effect.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.functions.hashing import (
+    deterministic_sample,
+    deterministic_sample_sql,
+)
+from write_optimized_vector_database_spark.operators.changelog import (
+    SYNTHETIC_CHANGELOG_SQL,
+    synthetic_changelog,
+)
+from write_optimized_vector_database_spark.operators.compaction import visible
+from write_optimized_vector_database_spark.operators.filters import apply_query_filters
+from write_optimized_vector_database_spark.operators.topk import exact_topk, topk_per_group
+from write_optimized_vector_database_spark.queries import register
+from write_optimized_vector_database_spark.sources.tables import load_table
+
+# The visible-set CTE shared by mutation oracles: latest epoch per id,
+# tombstones dropped (latest-by-id.h:110-200 semantics in SQL).
+_VISIBLE_CTE = f"""
+WITH {SYNTHETIC_CHANGELOG_SQL.strip()},
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY epoch DESC, op DESC) AS __rn
+  FROM changelog
+),
+visible AS (
+  SELECT op, id, tenant, namespace, tags, epoch FROM latest
+  WHERE __rn = 1 AND op <> 'DELETE'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutation semantics — latest-by-id, tombstones, upsert (SURVEY §2 S4/S5/Q9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mut_visible_state",
+    oracle=_VISIBLE_CTE + "SELECT op, id, tenant, namespace, tags, epoch FROM visible",
+    survey_ref="S4,S5,Q9",
+    tags=["mutation"],
+)
+def mut_visible_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full compacted state of the synthetic changelog: every id's latest
+    non-tombstone version (latest-by-id.h:110-200)."""
+    log = synthetic_changelog(spark, sf_dir)
+    return visible(log).select("op", "id", "tenant", "namespace", "tags", "epoch")
+
+
+@register(
+    "mut_count_by_tenant_ns",
+    oracle=_VISIBLE_CTE
+    + """
+SELECT tenant, namespace, COUNT(*) AS n_visible,
+       COUNT(*) FILTER (WHERE op = 'UPSERT') AS n_upserted
+FROM visible GROUP BY tenant, namespace ORDER BY tenant, namespace
+""",
+    survey_ref="S5,M1,Q7",
+    tags=["mutation", "agg"],
+)
+def mut_count_by_tenant_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visibility counts per tenant/namespace — the M1 stats surface
+    (msg-buf.h:262-275) over the compacted view."""
+    log = synthetic_changelog(spark, sf_dir)
+    return (
+        visible(log)
+        .groupBy("tenant", "namespace")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible"),
+            F.count(F.when(F.col("op") == "UPSERT", 1)).alias("n_upserted"),
+        )
+        .orderBy("tenant", "namespace")
+    )
+
+
+@register(
+    "mut_exists_lookup",
+    oracle=_VISIBLE_CTE
+    + "SELECT id, epoch, op FROM visible WHERE id IN (0,3,5,10,13,23,42,43) ORDER BY id",
+    survey_ref="Q13,Q9",
+    tags=["mutation", "lookup"],
+)
+def mut_exists_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`exists`/`getLatest` semantics (latest-by-id.h:170-200): deleted ids
+    (3, 13, 23, 43 — id%10==3) are absent from the result."""
+    log = synthetic_changelog(spark, sf_dir)
+    return (
+        visible(log)
+        .filter(F.col("id").isin(0, 3, 5, 10, 13, 23, 42, 43))
+        .select("id", "epoch", "op")
+        .orderBy("id")
+    )
+
+
+@register(
+    "mut_filtered_topk",
+    oracle=_VISIBLE_CTE
+    + """
+, q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 4
+),
+cand AS (
+  SELECT v.id, e.embedding
+  FROM visible v JOIN embeddings e ON v.id = e.vec_id
+  WHERE v.tenant = 't0' AND len(list_intersect(v.tags, [3,7,13,21,34])) > 0
+),
+scored AS (
+  SELECT q.query_id, c.id,
+         list_inner_product(q.query_vec::DOUBLE[], c.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN cand c
+)
+SELECT query_id, id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    survey_ref="Q2,Q7,Q8,Q9,Q12,Q14",
+    tags=["mutation", "vector", "topk", "filter"],
+)
+def mut_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship read path: compacted view → tenant + tag-ANY filters →
+    exact top-k (the QueryRequest pipeline, types.h:67-82, with filters
+    from msg-buf.h:236-255)."""
+    log = synthetic_changelog(spark, sf_dir)
+    base = apply_query_filters(
+        visible(log), tenant="t0", tags_any=[3, 7, 13, 21, 34]
+    )
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = exact_topk(
+        base, queries, k=5, metric="ip", vec_id_col="id", vec_col="vector"
+    )
+    return out.select(
+        "query_id", F.col("vec_id").alias("id"), "score", F.col("rank").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantization (SURVEY §2.2 Q3) — deterministic, oracle-checked
+# variant (stride centroids); the KMeans production path is gated by the
+# recall pytest (tests/test_ivf.py) and benched in bench.py.
+# ---------------------------------------------------------------------------
+
+_IVF_STRIDE = 31
+_IVF_NPROBE = 4
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT (vec_id // {_IVF_STRIDE})::INT AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(q.query_vec::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         list_inner_product(q.query_vec::DOUBLE[], a.embedding::DOUBLE[]) AS score
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "vec_ivf_topk_deterministic",
+    oracle=_IVF_ORACLE,
+    survey_ref="Q3,Q12",
+    tags=["vector", "ivf", "topk"],
+)
+def vec_ivf_topk_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF pipeline (assign → probe → pruned scan → top-k) with
+    deterministic stride centroids so every stage is hash-checkable.
+    The KMeans path shares all code except centroid training."""
+    from write_optimized_vector_database_spark.operators.ivf import (
+        assign_centroids_exact,
+        centroids_from_stride,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, _IVF_STRIDE)
+    index = assign_centroids_exact(emb, cents)
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = ivf_topk(index, queries, cents, k=10, nprobe=_IVF_NPROBE, metric="ip")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# PQ + two-phase search (SURVEY §2.2 Q4/Q5) — deterministic, oracle-checked
+# variant (stride codebooks, m=8 subspaces, IP ADC, rerank 4×).
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_DSUB, _PQ_STRIDE, _PQ_RERANK = 8, 8, 31, 4
+
+_PQ_TERM_COLS = ",\n    ".join(
+    f"SUM(CASE WHEN l.subspace = {s} THEN l.term END) AS t{s}" for s in range(_PQ_M)
+)
+_PQ_SCORE_SUM = " + ".join(f"t{s}" for s in range(_PQ_M))
+
+_PQ_ORACLE = f"""
+WITH cb AS (
+  SELECT s.s::INT AS subspace, (vec_id // {_PQ_STRIDE})::INT AS code,
+         (embedding::DOUBLE[])[s.s*{_PQ_DSUB}+1 : s.s*{_PQ_DSUB}+{_PQ_DSUB}] AS cvec
+  FROM embeddings, range({_PQ_M}) s(s) WHERE vec_id % {_PQ_STRIDE} = 0
+),
+subvec AS (
+  SELECT vec_id, s.s::INT AS subspace,
+         (embedding::DOUBLE[])[s.s*{_PQ_DSUB}+1 : s.s*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
+  FROM embeddings, range({_PQ_M}) s(s)
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT v.vec_id, v.subspace, c.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.subspace
+                              ORDER BY list_distance(v.sv, c.cvec) ASC, c.code ASC) AS rn
+    FROM subvec v JOIN cb c ON c.subspace = v.subspace
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+qsub AS (
+  SELECT query_id, s.s::INT AS subspace,
+         (embedding::DOUBLE[])[s.s*{_PQ_DSUB}+1 : s.s*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
+  FROM q, range({_PQ_M}) s(s)
+),
+lut AS (
+  SELECT qs.query_id, qs.subspace, c.code, list_inner_product(qs.sv, c.cvec) AS term
+  FROM qsub qs JOIN cb c ON c.subspace = qs.subspace
+),
+adc AS (
+  SELECT l.query_id, e.vec_id,
+    {_PQ_TERM_COLS}
+  FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
+  GROUP BY l.query_id, e.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ({_PQ_SCORE_SUM}) DESC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {10 * _PQ_RERANK}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "vec_pq_two_phase_deterministic",
+    oracle=_PQ_ORACLE,
+    survey_ref="Q4,Q5,Q12",
+    tags=["vector", "pq", "topk"],
+)
+def vec_pq_two_phase_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase PQ search (ADC candidates → exact rerank, reference
+    config.h:84-94,132) with stride codebooks so every float op is
+    hash-checkable. KMeans-codebook production path shares the operators
+    and is recall-gated in tests/test_pq.py."""
+    from write_optimized_vector_database_spark.operators.pq import (
+        codebooks_from_stride,
+        pq_two_phase_exact_fold,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebooks_from_stride(emb, dim=64, m=_PQ_M, stride=_PQ_STRIDE)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_two_phase_exact_fold(
+        emb, queries, cb, dim=64, m=_PQ_M, k=10, rerank_factor=_PQ_RERANK
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "mmdoc_hybrid_search",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 4
+),
+cand AS (
+  SELECT d.doc_id, d.lang, d.source, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en' AND d.n_chars >= 100
+),
+scored AS (
+  SELECT q.query_id, c.doc_id, c.lang, c.source,
+         list_inner_product(q.query_vec::DOUBLE[], c.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN cand c
+)
+SELECT query_id, doc_id, lang, source, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    survey_ref="[EXT] multimodal join + Q2",
+    tags=["vector", "text", "multimodal", "topk"],
+)
+def mmdoc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search over the multimodal row shape (text metadata +
+    embedding in one row via documents ⋈ embeddings on doc_id=vec_id):
+    scalar predicates prune candidates BEFORE any vector math — the
+    filtered-ANN pattern (reference Q7/Q8 filters fused with Q2 scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select("doc_id", "lang", "source", "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = exact_topk(
+        cand, queries, k=10, metric="ip", vec_id_col="doc_id", vec_col="embedding"
+    )
+    meta = cand.select("doc_id", "lang", "source")
+    return (
+        out.withColumnRenamed("vec_id", "doc_id")
+        .join(F.broadcast(meta), "doc_id")
+        .select("query_id", "doc_id", "lang", "source", "score", F.col("rank").cast("long"))
+    )
+
+
+@register(
+    "vec_sample_scan",
+    oracle=f"""
+SELECT label, COUNT(*) AS n
+FROM embeddings
+WHERE {deterministic_sample_sql('vec_id', 0.25)}
+GROUP BY label ORDER BY label
+""",
+    survey_ref="Q11",
+    tags=["vector", "sample"],
+)
+def vec_sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sampling (`sample_p` probe sampling, types.h:74) —
+    reproducible across engines/retries, unlike rand()."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(deterministic_sample("vec_id", 0.25))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )

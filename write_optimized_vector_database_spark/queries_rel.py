@@ -1,0 +1,433 @@
+"""Relational-checklist + event-window query registrations (SURVEY §2.4).
+
+The reference has no relational grammar of its own (vector store), but
+the engine exposes Spark's full surface; these queries put every
+checklist row (joins, aggregation, windows, set ops, pivot, rollup,
+sessionization) under the DuckDB oracle gate on the TPC-H-ish fixtures.
+
+Float discipline: every double aggregate goes through DECIMAL (exact,
+order-independent) then CAST AS DOUBLE — see queries.py conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.queries import register
+from write_optimized_vector_database_spark.sources.tables import load_table
+
+
+def _dec(col, scale=2, prec=18):
+    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
+
+
+# revenue product re-cast to scale 4 (exact for 2-dp money) so summed
+# unscaled values stay < 2^53 — past that DuckDB's decimal→double cast
+# double-rounds (int128→double then ÷10^scale) and diverges from Spark's
+# correctly-rounded BigDecimal.doubleValue
+_REVENUE_DEC = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+    " AS DECIMAL(28,4))"
+)
+
+
+@register(
+    "rel_top_customers_by_revenue",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 25
+""",
+    survey_ref="§2.4 joins,agg,topk",
+    tags=["relational", "join"],
+)
+def rel_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregate + top-N (TPC-H Q3/Q18 family). customer is
+    broadcast-sized relative to lineitem; Catalyst/AQE picks broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(28,4)")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "rel_regional_revenue",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+""",
+    survey_ref="§2.4 joins (5-way)",
+    tags=["relational", "join"],
+)
+def rel_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way star join: dims broadcast, fact shuffles once."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(28,4)")
+    return (
+        F.broadcast(r)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "rel_semi_anti_join",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 100000)) AS n_big_spenders,
+  (SELECT COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_no_orders
+""",
+    survey_ref="§2.4 joins (semi/anti)",
+    tags=["relational", "join"],
+)
+def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left_semi / left_anti joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100_000)
+    n_semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").count()
+    n_anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(n_semi, n_anti)], "n_big_spenders bigint, n_no_orders bigint"
+    )
+
+
+@register(
+    "rel_window_order_ranks",
+    oracle="""
+SELECT o_custkey, o_orderkey, rn, CAST(running AS DOUBLE) AS running_total
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS rn,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+) WHERE rn <= 3 AND o_custkey % 10 = 0
+""",
+    survey_ref="§2.4 window functions",
+    tags=["relational", "window"],
+)
+def rel_window_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order sequence: row_number + running decimal sum
+    (the same window machinery that powers latest-by-id and top-k)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "running_total",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"),
+        )
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") % 10 == 0))
+        .select("o_custkey", "o_orderkey", "rn", "running_total")
+        .withColumn("rn", F.col("rn").cast("long"))
+    )
+
+
+@register(
+    "rel_set_ops",
+    oracle="""
+WITH returned AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+     highval  AS (SELECT DISTINCT o_orderkey AS l_orderkey FROM orders
+                  WHERE o_totalprice > 200000)
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+  SELECT * FROM returned INTERSECT SELECT * FROM highval)
+UNION ALL
+SELECT 'except', COUNT(*) FROM (
+  SELECT * FROM returned EXCEPT SELECT * FROM highval)
+UNION ALL
+SELECT 'union', COUNT(*) FROM (
+  SELECT * FROM returned UNION SELECT * FROM highval)
+ORDER BY op
+""",
+    survey_ref="§2.4 set ops",
+    tags=["relational", "setops"],
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except / union(distinct) over order-key sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    highval = (
+        o.filter(F.col("o_totalprice") > 200_000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+    )
+    rows = [
+        ("intersect", returned.intersect(highval).count()),
+        ("except", returned.exceptAll(highval).distinct().count()),
+        ("union", returned.union(highval).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n bigint").orderBy("op")
+
+
+@register(
+    "rel_pivot_status_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    survey_ref="§2.4 pivot",
+    tags=["relational", "pivot"],
+)
+def rel_pivot_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (conditional-agg twin in the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+    )
+    return (
+        out.select(
+            "l_returnflag",
+            F.col("O").cast("double").alias("qty_O"),
+            F.col("F").cast("double").alias("qty_F"),
+        ).orderBy("l_returnflag")
+    )
+
+
+@register(
+    "rel_rollup_revenue",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+""",
+    survey_ref="§2.4 rollup/cube",
+    tags=["relational", "agg"],
+)
+def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(28,4)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "revenue",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows over `events` [EXT]
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    survey_ref="[EXT] event tumbling window",
+    tags=["events", "window"],
+)
+def evt_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    `window(ts, '1 hour')` aggregation; same grouping keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "evt_sessionization",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts::TIMESTAMP AS ts,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - epoch_us(lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+HAVING COUNT(*) >= 3
+ORDER BY user_id, session_id
+""",
+    survey_ref="[EXT] sessionization",
+    tags=["events", "window"],
+)
+def evt_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via lag + cumulative-sum —
+    the batch twin of streaming `session_window(ts, '30 minutes')`."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sessions = (
+        ev.withColumn(
+            "new_session",
+            F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                Window.partitionBy("user_id")
+                .orderBy(F.col("ts").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .filter(F.col("n_events") >= 3)
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "evt_user_topk_by_value",
+    oracle="""
+SELECT user_id, n_events, CAST(total AS DOUBLE) AS total_value, rank
+FROM (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS total,
+         row_number() OVER (ORDER BY SUM(CAST(value AS DECIMAL(18,6))) DESC,
+                            user_id ASC) AS rank
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+) WHERE rank <= 20
+""",
+    survey_ref="§2.4 agg+topk",
+    tags=["events", "topk"],
+)
+def evt_user_topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 purchasers by exact decimal value."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        )
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("user_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total").cast("double").alias("total_value"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+@register(
+    "evt_json_props_extract",
+    oracle="""
+SELECT event_type,
+       SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       COUNT(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS n_distinct_k,
+       COUNT(*) FILTER (WHERE json_extract_string(props, '$.k')::BIGINT >= 50) AS n_high_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    survey_ref="§2.4 scalar funcs (JSON)",
+    tags=["events", "json"],
+)
+def evt_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column (JSON `{"k": int}`): path extraction +
+    integer aggregates (get_json_object stays JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+            F.count(F.when(k >= 50, 1)).alias("n_high_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,143 @@
+"""Text-analysis query registrations `[EXT]`: language-ID, quality
+scoring, token counting, fingerprinting (SURVEY §2 [EXT] text analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.operators import textops as TX
+from write_optimized_vector_database_spark.queries import register
+from write_optimized_vector_database_spark.sources.tables import load_table
+
+_TOKENS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({_TOKENS_SQL}, t -> list_contains([{words}], t)))"
+    )
+
+
+_LANGS = sorted(TX.LANG_STOPWORDS)  # de, en, es, fr, zh
+_HITS_COLS = ", ".join(f"{_hits_sql(lang)} AS hit_{lang}" for lang in _LANGS)
+
+
+def _guess_case() -> str:
+    """First language (alphabetical) achieving the max hit count; 'und'
+    when nothing matches — mirrors textops.lang_guess exactly."""
+    clauses = []
+    for i, lang in enumerate(_LANGS):
+        others = [f"hit_{lang} >= hit_{o}" for o in _LANGS[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    greatest = ", ".join(f"hit_{la}" for la in _LANGS)
+    return (
+        f"CASE WHEN greatest({greatest}) = 0 THEN 'und' "
+        + " ".join(clauses[:-1])
+        + f" ELSE '{_LANGS[-1]}' END"
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id, lang, {_HITS_COLS} FROM documents
+)
+SELECT doc_id, lang, {_guess_case()} AS lang_guess FROM hits
+""",
+    survey_ref="[EXT] text-lang-id",
+    tags=["text"],
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic): per-doc guess next
+    to the fixture's labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_guess("text").alias("lang_guess"))
+
+
+@register(
+    "doc_quality_scores",
+    oracle=r"""
+WITH feats AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens_bpe,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+      / greatest(length(text), 1) AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1) AS digit_ratio,
+    length(regexp_replace(text, '[^ ]', '', 'g')) / greatest(length(text), 1) AS space_ratio,
+    list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                            t -> length(t)))::DOUBLE
+      / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS mean_token_len,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text), 1) AS upper_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_tokens_bpe, punct_ratio, digit_ratio,
+       space_ratio, mean_token_len, upper_ratio,
+       1.0 - least(1.0, punct_ratio * 4) * 0.25
+           - least(1.0, digit_ratio * 4) * 0.25
+           - (CASE WHEN n_tokens < 5 OR n_tokens > 10000 THEN 0.25 ELSE 0.0 END)
+           - (CASE WHEN mean_token_len < 2 OR mean_token_len > 12 THEN 0.25 ELSE 0.0 END)
+         AS quality
+FROM feats
+""",
+    survey_ref="[EXT] text-quality",
+    tags=["text"],
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality features + composite score per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.quality_score(docs).drop("text")
+
+
+@register(
+    "doc_token_stats_by_source",
+    oracle=r"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split_regex(trim(lower(text)), '\s+')))::BIGINT AS total_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS total_tokens_bpe,
+       sum(length(text))::BIGINT AS total_chars,
+       min(length(text))::BIGINT AS min_chars,
+       max(length(text))::BIGINT AS max_chars
+FROM documents GROUP BY source ORDER BY source
+""",
+    survey_ref="[EXT] text-token-count",
+    tags=["text", "agg"],
+)
+def doc_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — integer-exact aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count_ws("text")).cast("long").alias("total_tokens"),
+            F.sum(TX.token_count_bpe_ish("text")).cast("long").alias("total_tokens_bpe"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min(F.length("text")).cast("long").alias("min_chars"),
+            F.max(F.length("text")).cast("long").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents WHERE doc_id < 100
+""",
+    survey_ref="[EXT] text-fingerprint",
+    tags=["text"],
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 over normalized text)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))

@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it unless
+        # read as raw long nanos (sources/tables.py converts to timestamp)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Bloom-filter joins stand in for the reference's per-segment bloom
         # filters (/root/reference/src/cpp/core/config.h:120-121).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -1,0 +1,107 @@
+"""Structured Streaming ingest — the reference's write path re-expressed.
+
+Reference (SURVEY §3.1): client batches → WAL (group commit 8 ms,
+fences/epochs) → sharded message buffer with upsert dedup → Bε-tree
+flush → delta segments; crash recovery replays the WAL tail
+(/root/reference/src/cpp/core/config.h:34-52, schemas/wal-record.fbs).
+
+Spark mapping — all of that is micro-batch machinery Spark already has:
+- group commit ≙ trigger interval; fences/epochs ≙ batch ids;
+- WAL durability + replay ≙ the streaming checkpoint;
+- buffer dedup ≙ within-batch upsert_dedup before the append;
+- backpressure ≙ maxFilesPerTrigger / maxOffsetsPerTrigger;
+- crash recovery ≙ restart from checkpoint + idempotent batch sink.
+
+Exactly-once: each micro-batch writes to its own `batch=<id>` directory
+with overwrite — a replayed batch overwrites itself instead of
+double-appending (the CRC-framed WAL + fsync dance of the reference,
+wal-record.fbs + config.h:44-48, collapses into this idempotence).
+
+Epoch assignment is deterministic: epoch = batch_id × 1e6 + rank of the
+record in the batch (ordered by id, then arrival epoch column if any) —
+replays regenerate identical epochs, keeping last-writer-wins stable
+across crashes (types.h:21 monotone-epoch semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.functions.hashing import id_hash
+from write_optimized_vector_database_spark.operators.compaction import upsert_dedup
+
+EPOCH_STRIDE = 1_000_000
+
+
+def assign_stream_epochs(batch: DataFrame, batch_id: int) -> DataFrame:
+    """Deterministic monotone epochs within a micro-batch."""
+    order = [F.col("id").asc()]
+    if "epoch" in batch.columns:
+        order.append(F.col("epoch").asc())
+    w = Window.orderBy(*order)
+    return batch.withColumn(
+        "epoch", F.lit(batch_id * EPOCH_STRIDE) + F.row_number().over(w)
+    )
+
+
+def changelog_batch_writer(collection_path: str, dedup: bool = True):
+    """foreachBatch sink: dedup → epoch-stamp → idempotent partition write."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        out = assign_stream_epochs(batch, batch_id)
+        if dedup:
+            out = upsert_dedup(out)
+        out = out.withColumn("id_hash", id_hash("id"))
+        (
+            out.write.mode("overwrite").parquet(
+                f"{collection_path.rstrip('/')}/changelog/batch={batch_id}"
+            )
+        )
+
+    return write
+
+
+def start_changelog_ingest(
+    source: DataFrame,
+    collection_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: float | None = None,
+):
+    """Start the ingest stream: source (readStream DF of changelog-shaped
+    rows: op/id/tenant/namespace/vector/tags [+epoch hint]) → exactly-once
+    changelog appends. Returns the StreamingQuery."""
+    writer = (
+        source.writeStream.foreachBatch(changelog_batch_writer(collection_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_changelog(spark: SparkSession, collection_path: str) -> DataFrame:
+    """Read everything ingested so far (batch view over the stream sink)."""
+    return spark.read.parquet(f"{collection_path.rstrip('/')}/changelog")
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation with a watermark for late
+    data ([EXT] event windowing; works on both stream and batch DFs)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(F.col(ts_col), window), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
