@@ -51,6 +51,32 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    # Ingest-throughput bench (BASELINE.md: changelog append throughput):
+    # synthesize the WAL-shaped changelog from the embeddings fixture and
+    # ingest it (dedup + normalize + hash + parquet append) into a scratch
+    # collection, then compact. Wall seconds reported like any query.
+    import shutil
+    import tempfile
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.changelog import synthetic_changelog
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        t0 = time.time()
+        coll = VectorCollection(spark, tmp, metric="ip")
+        n = coll.ingest(synthetic_changelog(spark, SF_DIR))
+        timings["ingest_changelog"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        coll.compact()
+        timings["compact_snapshot"] = round(time.time() - t0, 3)
+        print(f"ingested {n} ops", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in ingest: {e}", file=sys.stderr)
+        timings["ingest_changelog"] = -1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if v >= 0]
     print(

