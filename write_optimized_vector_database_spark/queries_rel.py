@@ -406,6 +406,125 @@ def evt_user_topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_asof_join",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+u AS (
+  SELECT user_id, ts, 0 AS side,
+         event_id AS asof_event_id, value AS asof_value,
+         NULL::BIGINT AS r_event_id, NULL::DOUBLE AS r_value
+  FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, NULL, event_id, value
+  FROM ev WHERE event_type = 'purchase'
+),
+filled AS (
+  SELECT user_id, side, r_event_id, r_value,
+         last_value(asof_event_id IGNORE NULLS) OVER w AS asof_event_id,
+         last_value(asof_value IGNORE NULLS) OVER w AS asof_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC, side DESC, asof_event_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT r_event_id AS event_id, user_id, r_value AS value,
+       asof_event_id, asof_value
+FROM filled WHERE side = 1
+""",
+    survey_ref="§2.4 as-of join (composed)",
+    tags=["events", "asof", "join"],
+)
+def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase event picks up the user's most recent
+    strictly-earlier click (operators/asof.py — union + window carry,
+    one shuffle, no per-key Python)."""
+    from write_optimized_vector_database_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["event_id", "value"],
+        strict=True,
+        tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "value", "asof_event_id", "asof_value")
+
+
+@register(
+    "rel_exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_discount, 0.25) AS p25_discount
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    survey_ref="§2.4 agg (exact percentile)",
+    tags=["relational", "agg"],
+)
+def rel_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont` — both linear interpolation on the sorted values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+            F.percentile("l_discount", F.lit(0.25)).alias("p25_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "rel_scalar_function_battery",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate::TIMESTAMP) AS order_year,
+       month(o_orderdate::TIMESTAMP) AS order_month,
+       upper(o_orderpriority) AS prio_upper,
+       substring(o_orderstatus, 1, 1) AS status_c,
+       length(o_orderpriority)::BIGINT AS prio_len,
+       abs(o_totalprice - 100000.0) AS dist_from_100k,
+       floor(o_totalprice / 1000)::BIGINT AS price_bucket,
+       concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_mapped
+FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+""",
+    survey_ref="§2.4 scalar functions",
+    tags=["relational", "scalar"],
+)
+def rel_scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: dates, strings, math, conditionals —
+    all JVM expressions inside whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist_from_100k"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_bucket"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_mapped"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "evt_json_props_extract",
     oracle="""
 SELECT event_type,
