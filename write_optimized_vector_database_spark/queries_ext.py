@@ -225,6 +225,77 @@ def vec_ivf_topk_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SRP-LSH ANN (second ANN method beyond IVF) — deterministic planes,
+# fully oracle-checked including bucket assignment and multi-probe.
+# ---------------------------------------------------------------------------
+
+_SRP_STRIDE, _SRP_PLANES = 37, 8
+
+_SRP_ORACLE = f"""
+WITH planes AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS b,
+         embedding::DOUBLE[] AS plane
+  FROM embeddings WHERE vec_id % {_SRP_STRIDE} = 0
+  ORDER BY vec_id LIMIT {_SRP_PLANES}
+),
+vb AS (
+  SELECT e.vec_id, e.embedding,
+         sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.plane) > 0
+                  THEN (1 << p.b) ELSE 0 END)::INT AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+),
+q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8),
+qb AS (
+  SELECT q.query_id, q.query_vec,
+         sum(CASE WHEN list_inner_product(q.query_vec::DOUBLE[], p.plane) > 0
+                  THEN (1 << p.b) ELSE 0 END)::INT AS bucket
+  FROM q CROSS JOIN planes p
+  GROUP BY q.query_id, q.query_vec
+),
+probes AS (
+  SELECT query_id, query_vec,
+         CASE WHEN i.i = {_SRP_PLANES} THEN bucket
+              ELSE xor(bucket, (1 << i.i)::INT)::INT END AS bucket
+  FROM qb, range({_SRP_PLANES + 1}) i(i)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, v.vec_id,
+         list_inner_product(p.query_vec::DOUBLE[], v.embedding::DOUBLE[]) AS score
+  FROM probes p JOIN vb v ON v.bucket = p.bucket
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM cand
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "vec_srp_lsh_topk",
+    oracle=_SRP_ORACLE,
+    survey_ref="Q3-analog (LSH ANN) [EXT] similarity-search",
+    tags=["vector", "lsh", "topk"],
+)
+def vec_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH ANN (operators/srp_lsh.py): deterministic
+    hyperplane buckets, Hamming≤1 probing, exact rerank."""
+    from write_optimized_vector_database_spark.operators.srp_lsh import (
+        planes_from_stride,
+        srp_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = planes_from_stride(emb, _SRP_STRIDE, _SRP_PLANES)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = srp_ann_topk(emb, queries, planes, k=10, metric="ip")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # PQ + two-phase search (SURVEY §2.2 Q4/Q5) — deterministic, oracle-checked
 # variant (stride codebooks, m=8 subspaces, IP ADC, rerank 4×).
 # ---------------------------------------------------------------------------
