@@ -224,6 +224,51 @@ def vec_ivf_topk_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "vec_cosine_as_ip_reduction",
+    oracle="""
+WITH normed AS (
+  SELECT vec_id,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+              THEN embedding::DOUBLE[]
+              ELSE list_transform(embedding::DOUBLE[],
+                     x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+         END AS nv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, nv AS qv FROM normed WHERE vec_id < 6),
+scored AS (
+  SELECT q.query_id, n.vec_id, list_inner_product(q.qv, n.nv) AS score
+  FROM q CROSS JOIN normed n
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    survey_ref="Q1 (cosine→IP at ingest, types.h:40)",
+    tags=["vector", "topk"],
+)
+def vec_cosine_as_ip_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cosine strategy verified end-to-end: L2-normalize
+    at ingest (woved-default.yaml:14, types.h:40), then inner-product
+    search IS cosine search. Normalization uses the same fold as the
+    oracle, so even the normalized doubles are bit-identical."""
+    from write_optimized_vector_database_spark.functions.distance import l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", l2_normalize("embedding").alias("nv")
+    )
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("query_vec")
+    )
+    out = exact_topk(
+        emb, queries, k=10, metric="ip", vec_id_col="vec_id", vec_col="nv"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH ANN (second ANN method beyond IVF) — deterministic planes,
 # fully oracle-checked including bucket assignment and multi-probe.

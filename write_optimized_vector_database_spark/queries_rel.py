@@ -274,6 +274,43 @@ def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_cube_avg_price",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+""",
+    survey_ref="§2.4 cube",
+    tags=["relational", "agg"],
+)
+def rel_cube_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both dims; avg = exact-decimal sum cast to double then one
+    double division — deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "avg_price",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows over `events` [EXT]
 # ---------------------------------------------------------------------------

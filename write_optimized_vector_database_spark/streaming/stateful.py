@@ -1,0 +1,89 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's ingest path keeps per-id mutable state (LatestByIdMap,
+/root/reference/src/cpp/storage/latest-by-id.h) updated message by
+message. The batch engine derives that state (operators/compaction.py);
+this module is the *streaming* form for operators whose state must live
+across micro-batches:
+
+- `running_user_stats`: per-user running aggregate (count / sum / last
+  seen) maintained in GroupState — the shape of any online feature
+  aggregation at ingest time;
+- `streaming_latest_by_id`: per-id latest (epoch, op) map — the literal
+  LatestByIdMap as streaming state, emitting the current visible version
+  per id on every update.
+
+State is per-group (Spark partitions groups across executors), so a
+1000-executor cluster shards state horizontally — the distributed
+version of the reference's 16-shard in-memory map (msg-buf.h:63-74).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _running_user_stats_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+
+def running_user_stats(events_stream):
+    """Per-user running (count, sum) across all micro-batches seen so far.
+    Output mode: update — each batch emits rows for touched users only."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _running_user_stats_fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _latest_by_id_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (id_,) = key
+    if state.exists:
+        epoch, op = state.get
+    else:
+        epoch, op = -1, ""
+    for pdf in pdfs:
+        for _, row in pdf.sort_values("epoch").iterrows():
+            if row["epoch"] > epoch:
+                epoch, op = int(row["epoch"]), str(row["op"])
+    state.update((epoch, op))
+    yield pd.DataFrame(
+        {
+            "id": [id_],
+            "epoch": [epoch],
+            "op": [op],
+            "visible": [op != "DELETE"],
+        }
+    )
+
+
+def streaming_latest_by_id(changelog_stream):
+    """LatestByIdMap as streaming state (latest-by-id.h:110-200): emits
+    each touched id's current latest version per micro-batch."""
+    return changelog_stream.groupBy("id").applyInPandasWithState(
+        _latest_by_id_fn,
+        outputStructType="id long, epoch long, op string, visible boolean",
+        stateStructType="epoch long, op string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
