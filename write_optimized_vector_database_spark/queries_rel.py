@@ -197,21 +197,35 @@ ORDER BY op
     tags=["relational", "setops"],
 )
 def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """intersect / except / union(distinct) over order-key sets."""
+    """intersect / except / union(distinct) over order-key sets — computed
+    in ONE plan via a full outer join with membership flags (three
+    separate count() actions would scan the fact table three times)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+        .withColumn("in_r", F.lit(1))
+    )
     highval = (
         o.filter(F.col("o_totalprice") > 200_000)
         .select(F.col("o_orderkey").alias("l_orderkey"))
         .distinct()
+        .withColumn("in_h", F.lit(1))
     )
-    rows = [
-        ("intersect", returned.intersect(highval).count()),
-        ("except", returned.exceptAll(highval).distinct().count()),
-        ("union", returned.union(highval).distinct().count()),
-    ]
-    return spark.createDataFrame(rows, "op string, n bigint").orderBy("op")
+    flags = returned.join(highval, "l_orderkey", "full_outer").agg(
+        F.count(F.when(F.col("in_r").isNotNull() & F.col("in_h").isNotNull(), 1)).alias(
+            "n_intersect"
+        ),
+        F.count(F.when(F.col("in_r").isNotNull() & F.col("in_h").isNull(), 1)).alias(
+            "n_except"
+        ),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return flags.selectExpr(
+        "stack(3, 'except', n_except, 'intersect', n_intersect, 'union', n_union) AS (op, n)"
+    ).orderBy("op")
 
 
 @register(
