@@ -1,0 +1,73 @@
+"""Delta/stable two-generation read path on VectorCollection (the full
+reference query lifecycle, SURVEY §3.2): stable = IVF+PQ index, delta =
+post-index tail, merged + exactly reranked with stale-id suppression."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.collection import VectorCollection
+from write_optimized_vector_database_spark.operators.changelog import synthetic_changelog
+from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+
+
+@pytest.fixture(scope="module")
+def coll(spark, tmp_path_factory, sf_dir):
+    c = VectorCollection(
+        spark, str(tmp_path_factory.mktemp("twophase") / "c"), metric="ip"
+    )
+    c.ingest(synthetic_changelog(spark, sf_dir))
+    c.compact()
+    c.build_indexes(nlist=16, m=8, nbits=8)
+    return c
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(1, 2, 4, 5))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+
+def test_two_phase_recall_vs_exact(coll, queries):
+    exact = coll.topk(queries, k=10)
+    approx = coll.topk_two_phase(queries, k=10, nprobe=12, rerank_factor=4)
+    rec = recall_at_k(approx, exact, 10).agg(F.avg("recall")).collect()[0][0]
+    assert rec >= 0.9, f"two-phase collection recall {rec}"
+
+
+def test_delta_rows_are_searchable_before_reindex(spark, coll, queries):
+    """Vectors ingested AFTER the index build must be findable (delta
+    generation / buffer scan, msg-buf.h:220-260): insert a near-copy of
+    query 2's vector with a huge norm — it must take rank 1 without any
+    index rebuild."""
+    qv = [float(x) * 10.0 for x in queries.filter(F.col("query_id") == 2).first().query_vec]
+    b = spark.createDataFrame(
+        [("INSERT", 777_777, "t0", "ns0", qv, [1], 900_000_000)],
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long",
+    )
+    coll.ingest(b)
+    out = coll.topk_two_phase(queries, k=5, nprobe=8, rerank_factor=4)
+    r1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+    assert r1[2] == 777_777
+
+
+def test_deleted_ids_never_served_from_stale_index(spark, coll, queries):
+    """Delete an id that is still in the stable index — the rerank join
+    against current() must suppress it (latest-epoch dedup,
+    latest-by-id.h:181-190)."""
+    exact_before = coll.topk(queries.filter(F.col("query_id") == 1), k=1)
+    victim = exact_before.first().vec_id  # query 1's own vector (id 1)
+    b = spark.createDataFrame(
+        [("DELETE", int(victim), "t1", "ns0", None, None, 900_000_001)],
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long",
+    )
+    coll.ingest(b)
+    out = coll.topk_two_phase(queries, k=10, nprobe=12, rerank_factor=4)
+    served = {r.vec_id for r in out.collect()}
+    assert victim not in served

@@ -207,6 +207,140 @@ class VectorCollection:
         write_ivf_index(assigned, f"{self.path}/index_ivf")
         cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids")
 
+    def build_indexes(
+        self,
+        nlist: int = 64,
+        m: int = 8,
+        nbits: int = 8,
+        sample_fraction: float | None = None,
+        seed: int = 42,
+    ) -> None:
+        """Build the *stable generation*: IVF-partitioned index with PQ
+        codes over the current snapshot (reference delta/stable split,
+        config.h:74-94 — stable segments are IVF-PQ). Everything ingested
+        after this call lives in the *delta generation* (the tail) until
+        the next build. Records the index epoch so reads know the split."""
+        from write_optimized_vector_database_spark.operators.ivf import (
+            assign_centroids,
+            train_centroids_kmeans,
+        )
+        from write_optimized_vector_database_spark.operators.pq import (
+            pq_encode,
+            train_pq_codebooks_kmeans,
+        )
+
+        cur = self.current().filter(F.col("vector").isNotNull())
+        dim = len(cur.select("vector").first()[0])
+        cents = train_centroids_kmeans(
+            cur, nlist=nlist, vec_col="vector", id_col="id",
+            sample_fraction=sample_fraction, seed=seed,
+        )
+        codebooks = train_pq_codebooks_kmeans(
+            cur, dim=dim, m=m, nbits=nbits, vec_col="vector", id_col="id",
+            sample_fraction=sample_fraction, seed=seed,
+        )
+        assigned = assign_centroids(cur, cents, vec_col="vector")
+        encoded = pq_encode(assigned, codebooks, vec_col="vector")
+        (
+            encoded.select("id", "centroid_id", "codes")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/index_stable")
+        )
+        cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids")
+        codebooks.write.mode("overwrite").parquet(f"{self.path}/index_codebooks")
+        max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
+            self._has_changelog_files()
+        ) else self._snapshot_epoch()
+        meta = {}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+        meta["index_epoch"] = int(max_epoch)
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
+    def _index_epoch(self) -> int:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f).get("index_epoch", -1)
+        return -1
+
+    def topk_two_phase(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        rerank_factor: int = 4,
+    ) -> DataFrame:
+        """The reference's full read path (SURVEY §3.2) over both
+        generations:
+
+        - **stable**: IVF probe (partition pruning) → PQ-ADC scan of the
+          probed posting lists → rerank_factor×k candidate ids;
+        - **delta**: everything ingested after the index build, scanned
+          exactly (it is small by construction — the buffer/delta scan,
+          msg-buf.h:220-260);
+        - **merge + rerank**: candidate ids fetch *current* full vectors
+          (so tombstoned/superseded ids drop out — the latest-epoch dedup
+          of latest-by-id.h:181-190), exact re-score, global top-k.
+        """
+        from write_optimized_vector_database_spark.operators.ivf import probe_centroids
+        from write_optimized_vector_database_spark.operators.pq import pq_adc_topk
+        from write_optimized_vector_database_spark.operators.topk import (
+            exact_topk,
+            score_column,
+            topk_per_group,
+        )
+
+        spark = self.spark
+        index = spark.read.parquet(f"{self.path}/index_stable")
+        cents = spark.read.parquet(f"{self.path}/index_centroids")
+        codebooks = spark.read.parquet(f"{self.path}/index_codebooks")
+        idx_epoch = self._index_epoch()
+
+        # stable candidates: probe → ADC over pruned posting lists.
+        # cosine collections are L2-normalized at ingest, so ADC runs IP
+        # (the cosine→IP reduction, types.h:40)
+        adc_metric = "ip" if self.metric == "cosine" else self.metric
+        probes = probe_centroids(queries, cents, nprobe)
+        pruned = index.join(F.broadcast(probes.select("centroid_id").distinct()), "centroid_id")
+        stable_cand = pq_adc_topk(
+            pruned, queries, codebooks, k=k * rerank_factor,
+            metric=adc_metric, vec_id_col="id",
+        ).select("query_id", F.col("vec_id").alias("id"))
+
+        # delta candidates: exact over the post-index tail (small)
+        delta_cand = None
+        if self._has_changelog_files():
+            tail = self.changelog().filter(F.col("epoch") > idx_epoch)
+            from write_optimized_vector_database_spark.operators import compaction as C_
+
+            tail_vis = C_.visible(tail).filter(F.col("vector").isNotNull())
+            delta_cand = exact_topk(
+                tail_vis, queries, k=k * rerank_factor, metric=self.metric,
+                vec_id_col="id", vec_col="vector",
+            ).select("query_id", F.col("vec_id").alias("id"))
+
+        cand = stable_cand if delta_cand is None else stable_cand.unionByName(delta_cand)
+        cand = cand.dropDuplicates(["query_id", "id"])
+
+        # rerank on CURRENT vectors — stale ids (deleted/superseded after
+        # the index build) vanish here because they are not in current()
+        full = self.current().select("id", F.col("vector").alias("__vec"))
+        rescored = (
+            cand.join(full, "id")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                F.col("id").alias("vec_id"),
+                score_column(self.metric, "query_vec", "__vec").alias("score"),
+            )
+        )
+        return topk_per_group(
+            rescored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k
+        ).select("query_id", "vec_id", "score", "rank")
+
     def topk_ivf(
         self,
         queries: DataFrame,
