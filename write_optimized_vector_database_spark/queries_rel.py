@@ -289,6 +289,73 @@ def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_window_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank,
+       ntile(4) OVER w AS quartile,
+       (o_orderdate = first_value(o_orderdate) OVER w) AS is_first_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+QUALIFY o_custkey % 25 = 0
+ORDER BY o_custkey, o_orderkey
+""",
+    survey_ref="§2.4 window functions (analytic battery)",
+    tags=["relational", "window"],
+)
+def rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / dense_rank / ntile / first_value — the analytic window
+    surface beyond row_number (integer outputs: no float risk)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.dense_rank().over(wp).cast("long").alias("prio_rank"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            (F.col("o_orderdate") == F.first("o_orderdate").over(w)).alias(
+                "is_first_order"
+            ),
+        )
+        .filter(F.col("o_custkey") % 25 == 0)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "rel_outer_join_coverage",
+    oracle="""
+SELECT n.n_name,
+       COUNT(c.c_custkey) AS n_customers,
+       COUNT(*) AS n_rows
+FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+    survey_ref="§2.4 joins (outer)",
+    tags=["relational", "join"],
+)
+def rel_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-preserving counts (nations with zero
+    customers still appear with n_customers = 0, n_rows = 1)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("n_name")
+    )
+
+
+@register(
     "rel_cube_avg_price",
     oracle="""
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
