@@ -62,6 +62,26 @@ def test_exact_topk_shuffles_are_bounded(spark, sf_dir):
     assert count_exchanges(out) <= 2, count_exchanges(out)
 
 
+def test_ivf_index_scan_partition_pruned(spark, tmp_path, sf_dir):
+    """The probed IVF scan must show PartitionFilters on centroid_id —
+    guaranteed static pruning of un-probed posting lists."""
+    from write_optimized_vector_database_spark.operators.ivf import (
+        assign_centroids,
+        centroids_from_stride,
+        write_ivf_index,
+    )
+    from write_optimized_vector_database_spark.plans.explain import explain_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, stride=100)
+    write_ivf_index(assign_centroids(emb, cents), str(tmp_path / "idx"))
+    index = spark.read.parquet(str(tmp_path / "idx"))
+    probed = index.filter(F.col("centroid_id").isin(0, 2))
+    plan = explain_str(probed)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    assert probed.select("centroid_id").distinct().count() <= 2
+
+
 def test_tenant_filter_pushdown_on_collection(spark, tmp_path, sf_dir):
     """Collection snapshot scans must push tenant/namespace equality into
     Parquet (Q7 semantics at scan level)."""

@@ -185,14 +185,19 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-probed approximate top-k.
 
-    The probe table (≤ queries × nprobe rows) is broadcast-joined to the
-    index on centroid_id; with a partitioned index this is dynamic
-    partition pruning — only probed posting lists are scanned. Scoring +
-    per-query top-k then run on the pruned candidate set only.
+    The probe set is bounded (≤ queries × nprobe ids ≤ 1600 at reference
+    caps), so it is collected and applied as a **literal isin filter**
+    before the probe join — on a centroid_id-partitioned index that is
+    guaranteed *static* partition pruning (PartitionFilters in the scan),
+    not best-effort dynamic pruning. Only probed posting lists are read;
+    scoring + per-query top-k run on the pruned candidate set only.
     """
     probes = probe_centroids(queries, centroids, nprobe)
-    cand = index.join(F.broadcast(probes), "centroid_id").join(
-        F.broadcast(queries), "query_id"
+    probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
+    cand = (
+        index.filter(F.col("centroid_id").isin(probe_ids))
+        .join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(queries), "query_id")
     )
     from write_optimized_vector_database_spark.operators.topk import score_column, topk_per_group
 
