@@ -24,6 +24,7 @@ _RAW_EVENTS_SCHEMA = (
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (ns→µs conversion inline)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(_RAW_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")

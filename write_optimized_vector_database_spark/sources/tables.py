@@ -32,6 +32,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # defensive: the conf must be set before planning the scan — the
+        # harness may hand us a session built without it (get_spark sets
+        # it, but entry/queries run under the caller's session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         # ts arrives as TIMESTAMP(NANOS) → read as long nanos
