@@ -43,6 +43,19 @@ def test_salted_agg_matches_plain(skewed):
         assert abs(plain[k][0] - salted[k][0]) < 1e-6
 
 
+def test_salted_avg_decomposition(skewed):
+    plain = {
+        r.k: r.a for r in skewed.groupBy("k").agg(F.avg("v").alias("a")).collect()
+    }
+    salted = {
+        r.k: r.a
+        for r in salted_agg(skewed, ["k"], {"a": ("v", "avg")}, n_salts=16).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-9
+
+
 def test_salted_join_matches_plain(spark, skewed):
     dim = spark.createDataFrame(
         [("hot", "HOT"), ("k1", "K1"), ("k2", "K2")], "k string, label string"

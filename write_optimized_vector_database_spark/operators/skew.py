@@ -33,9 +33,17 @@ def salted_agg(
     """
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    # avg decomposes into (sum, count) partials merged as sum(sum)/sum(count)
+    avg_names = [name for name, (_c, fn) in aggs.items() if fn == "avg"]
     for name, (_c, fn) in aggs.items():
-        if fn not in merge_fn:
+        if fn not in merge_fn and fn != "avg":
             raise ValueError(f"{name}: non-algebraic fn {fn!r}")
+    expanded = dict(aggs)
+    for name in avg_names:
+        c, _ = expanded.pop(name)
+        expanded[f"__avg_s_{name}"] = (c, "sum")
+        expanded[f"__avg_n_{name}"] = (c, "count")
+    aggs = expanded
     if salt_source is None:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     else:
@@ -51,12 +59,17 @@ def salted_agg(
             ]
         )
     )
-    return partial.groupBy(*key_cols).agg(
+    out = partial.groupBy(*key_cols).agg(
         *[
             merge_fn[fn](F.col(f"__p_{name}")).alias(name)
             for name, (c, fn) in aggs.items()
         ]
     )
+    for name in avg_names:
+        out = out.withColumn(
+            name, F.col(f"__avg_s_{name}") / F.col(f"__avg_n_{name}")
+        ).drop(f"__avg_s_{name}", f"__avg_n_{name}")
+    return out
 
 
 def salted_join(

@@ -356,6 +356,49 @@ def rel_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_scalar_subquery",
+    oracle="""
+WITH gavg AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_above_avg,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_above
+FROM orders, gavg
+WHERE o_totalprice > gavg.v
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    survey_ref="§2.4 scalar subquery",
+    tags=["relational", "subquery"],
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — the scalar-subquery
+    pattern (computed once, broadcast into the predicate; the average is
+    an exact decimal→double so the comparison boundary is identical in
+    both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    gavg = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    return (
+        o.crossJoin(F.broadcast(gavg))
+        .filter(F.col("o_totalprice") > F.col("v"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_above"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "rel_cube_avg_price",
     oracle="""
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
