@@ -32,6 +32,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Queries assume UTC timestamp semantics (oracle comparisons are
+    # against DuckDB's UTC-naive timestamps); pin it even under a
+    # caller-provided session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # defensive: the conf must be set before planning the scan — the
         # harness may hand us a session built without it (get_spark sets
