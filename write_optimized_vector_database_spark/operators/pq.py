@@ -237,6 +237,155 @@ def pq_two_phase_exact_fold(
     ).select("query_id", "vec_id", "score", "rank")
 
 
+# ---------------------------------------------------------------------------
+# OPQ — optimized product quantization (Ge et al., CVPR 2013)
+# ---------------------------------------------------------------------------
+
+
+def _pq_fit_np(
+    x: np.ndarray, m: int, k: int, centers: list[np.ndarray] | None, rng
+) -> tuple[np.ndarray, list[np.ndarray], np.ndarray]:
+    """Per-subspace Lloyd step (warm-startable). Returns (codes (n,m),
+    centers per subspace, reconstruction (n,dim))."""
+    n, dim = x.shape
+    d_sub = dim // m
+    new_centers: list[np.ndarray] = []
+    codes = np.empty((n, m), dtype=np.int32)
+    recon = np.empty_like(x)
+    for s in range(m):
+        sub = x[:, s * d_sub : (s + 1) * d_sub]
+        c = centers[s] if centers is not None else _kmeans_np(sub, k, rng)
+        for _ in range(3):  # refine assignments against current data
+            d = (c * c).sum(-1)[None, :] - 2.0 * (sub @ c.T)
+            assign = d.argmin(1)
+            for j in range(len(c)):
+                mask = assign == j
+                if mask.any():
+                    c[j] = sub[mask].mean(0)
+        d = (c * c).sum(-1)[None, :] - 2.0 * (sub @ c.T)
+        assign = d.argmin(1)
+        codes[:, s] = assign
+        recon[:, s * d_sub : (s + 1) * d_sub] = c[assign]
+        new_centers.append(c)
+    return codes, new_centers, recon
+
+
+def train_opq(
+    vectors: DataFrame,
+    dim: int,
+    m: int,
+    nbits: int = 8,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[np.ndarray, DataFrame]:
+    """Learn an orthogonal rotation R + codebooks minimizing quantization
+    error (reference config.h:90 `use_opq = true`; OPQ-NP of Ge et al.,
+    CVPR 2013 — a public paper).
+
+    Alternates (a) PQ fit on the rotated sample with warm-started
+    centroids and (b) the orthogonal-procrustes update
+    R = UVᵀ from SVD(XᵀX̂) — each step non-increasing in ‖XR − X̂‖².
+    Training is driver-side on a hash-sample (same budget as
+    `train_pq_codebooks_kmeans`); only the tiny R (dim×dim) and the
+    codebooks ship to executors.
+
+    Returns (R, codebooks) where codebooks live in the ROTATED space —
+    encode/search must rotate inputs with `rotate_vectors` first.
+    """
+    d_sub = subspace_dims(dim, m)
+    k = 2**nbits
+    train = vectors
+    if sample_fraction is not None and sample_fraction < 1.0:
+        train = train.filter(deterministic_sample(id_col, sample_fraction, salt="opq"))
+    x = np.asarray([r[0] for r in train.select(vec_col).collect()], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    r_mat = np.eye(dim)
+    centers: list[np.ndarray] | None = None
+    for _ in range(iters):
+        xr = x @ r_mat
+        _, centers, recon = _pq_fit_np(xr, m, k, centers, rng)
+        u, _, vt = np.linalg.svd(x.T @ recon)
+        r_mat = u @ vt
+    xr = x @ r_mat
+    _, centers, _ = _pq_fit_np(xr, m, k, centers, rng)
+    rows = []
+    for s, c in enumerate(centers):
+        rows.extend((s, int(j), [float(v) for v in c[j]]) for j in range(len(c)))
+    cb = vectors.sparkSession.createDataFrame(
+        rows, "subspace int, code int, cvec array<double>"
+    )
+    return r_mat, cb
+
+
+def rotate_vectors(
+    df: DataFrame, r_mat: np.ndarray, vec_col: str
+) -> DataFrame:
+    """Replace `vec_col` with its rotation x·R (array<double>), one Arrow
+    batch matmul per partition; R ships in the task closure (dim² doubles,
+    ~32 KiB at dim=64 — far under broadcast thresholds)."""
+    from pyspark.sql import types as T
+
+    r64 = np.asarray(r_mat, dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            pdf = pdf.assign(**{vec_col: list(v @ r64)})
+            yield pdf
+
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, T.ArrayType(T.DoubleType()), f.nullable)
+            if f.name == vec_col
+            else f
+            for f in df.schema.fields
+        ]
+    )
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def opq_two_phase_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    r_mat: np.ndarray,
+    codebooks: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 4,
+    metric: str = "ip",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ two-phase search: ADC runs in the rotated space (rotation
+    preserves both IP and L2, so the LUT semantics are unchanged); the
+    exact rerank re-scores ORIGINAL vectors fetched by id, so the final
+    top-k is exact over the candidate set."""
+    enc = pq_encode(rotate_vectors(vectors, r_mat, vec_col), codebooks, vec_col=vec_col)
+    rq = rotate_vectors(queries, r_mat, "query_vec")
+    cand = pq_adc_topk(
+        enc, rq, codebooks, k=k * rerank_factor, metric=metric, vec_id_col=vec_id_col
+    ).select("query_id", "vec_id")
+    full = vectors.select(
+        F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    )
+    rescored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            score_column(metric, "query_vec", "__vec").alias("score"),
+        )
+    )
+    return topk_per_group(
+        rescored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k
+    ).select("query_id", "vec_id", "score", "rank")
+
+
 def _codebooks_np(codebooks: DataFrame) -> tuple[np.ndarray, int, int]:
     rows = codebooks.orderBy("subspace", "code").collect()
     m = max(r.subspace for r in rows) + 1

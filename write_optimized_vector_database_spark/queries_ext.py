@@ -438,6 +438,33 @@ def vec_pq_two_phase_deterministic(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "vec_opq_two_phase",
+    oracle=None,  # learned rotation + KMeans codebooks — rows-only check;
+    # correctness is the recall/orthogonality gates in tests/test_opq.py
+    survey_ref="Q4,Q5",
+    tags=["vector", "pq", "opq"],
+)
+def vec_opq_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ two-phase search (reference config.h:90 `use_opq`): learned
+    orthogonal rotation → PQ ADC candidates in rotated space → exact
+    rerank on original vectors. Deterministic given the data (seeded
+    NumPy) but not SQL-expressible."""
+    from write_optimized_vector_database_spark.operators.pq import (
+        opq_two_phase_topk,
+        train_opq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r_mat, cb = train_opq(emb, dim=64, m=16, nbits=5, iters=6)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return opq_two_phase_topk(
+        emb, queries, r_mat, cb, k=10, rerank_factor=4, metric="ip"
+    )
+
+
+@register(
     "mmdoc_hybrid_search",
     oracle="""
 WITH q AS (
