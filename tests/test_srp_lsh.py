@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 from write_optimized_vector_database_spark.operators.ivf import recall_at_k
 from write_optimized_vector_database_spark.operators.srp_lsh import (
     bucket_column,
+    multitable_planes_from_stride,
     planes_from_stride,
     srp_ann_topk,
+    srp_multitable_topk,
 )
 from write_optimized_vector_database_spark.operators.topk import exact_topk
 from write_optimized_vector_database_spark.sources.tables import load_table
@@ -59,3 +61,29 @@ def test_srp_recall_beats_bucket_baseline(spark, emb, planes):
     # probing 9 of 256 buckets ≈ 3.5% of the space; random candidates of
     # that size ⇒ recall ≈ 0.035. Require ≥3× lift (measured ≈0.195 ≈ 5.5×).
     assert rec > 0.105, f"SRP recall {rec} below 3x random-candidate lift"
+
+
+def test_multitable_recall_beats_single_table(spark, emb):
+    """r=3 independent 6-bit tables must recall strictly more than one
+    6-bit table with the same per-table probe budget — the whole point
+    of multi-table LSH ((1-p^n)^r miss curve)."""
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = exact_topk(emb, queries, k=10, metric="ip")
+    tables = multitable_planes_from_stride(emb, stride=23, n_planes=6, n_tables=3)
+    multi = srp_multitable_topk(emb, queries, tables, k=10, metric="ip")
+    single = srp_multitable_topk(emb, queries, tables[:1], k=10, metric="ip")
+    rec_multi = recall_at_k(multi, exact, 10).agg(F.avg("recall")).collect()[0][0]
+    rec_single = recall_at_k(single, exact, 10).agg(F.avg("recall")).collect()[0][0]
+    assert rec_multi > rec_single, (rec_multi, rec_single)
+
+
+def test_multitable_self_match(emb):
+    tables = multitable_planes_from_stride(emb, stride=23, n_planes=6, n_tables=3)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = srp_multitable_topk(emb, queries, tables, k=3, metric="ip").collect()
+    rank1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+    assert rank1 == {i: i for i in rank1} and len(rank1) == 10

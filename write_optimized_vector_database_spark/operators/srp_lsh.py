@@ -67,6 +67,101 @@ def probe_buckets(bucket: Column, n_planes: int) -> Column:
     )
 
 
+def multitable_planes_from_stride(
+    vectors: DataFrame, stride: int, n_planes: int, n_tables: int,
+    vec_id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """n_tables independent plane sets from one stride scan — table t
+    gets planes [t·n_planes, (t+1)·n_planes)."""
+    flat = planes_from_stride(
+        vectors, stride, n_planes * n_tables, vec_id_col, vec_col
+    )
+    if len(flat) < n_planes * n_tables:
+        raise ValueError(
+            f"stride {stride} yields {len(flat)} planes < {n_planes}×{n_tables}"
+        )
+    return [flat[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+
+
+def srp_index(
+    vectors: DataFrame,
+    tables: list[list[list[float]]],
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket) — one bucket per vector per table, from a
+    single scan. The index rows are three ints: at 100 TB the index is
+    ~r·16 bytes/vector, a side table you partition by (table, bucket);
+    full vectors are only fetched for the final rerank, by id."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                bucket_column(vec_col, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    return vectors.select(
+        F.col(vec_id_col), F.explode(entries).alias("e")
+    ).select(vec_id_col, "e.table", "e.bucket")
+
+
+def srp_multitable_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 10,
+    metric: str = "ip",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table multi-probe SRP ANN: r independent plane tables; a
+    query's candidates are the union over tables of its Hamming≤1 probe
+    buckets. r tables drive miss probability down exponentially
+    ((1-p^n)^r) where one table needs many probes for the same recall.
+
+    Shuffle shape: the (table, bucket) equi-join is the only wide op
+    before rerank; probes are broadcast (r·(n_planes+1) rows/query)."""
+    n_planes = len(tables[0])
+    idx = srp_index(vectors, tables, vec_id_col, vec_col)
+    probe_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                probe_buckets(
+                    bucket_column("query_vec", planes), n_planes
+                ).alias("buckets"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    probes = (
+        queries.select("query_id", F.explode(probe_entries).alias("e"))
+        .select("query_id", "e.table", F.explode("e.buckets").alias("bucket"))
+    )
+    cand_ids = (
+        idx.join(F.broadcast(probes), ["table", "bucket"])
+        .select("query_id", F.col(vec_id_col).alias("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    full = vectors.select(
+        F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    )
+    rescored = (
+        cand_ids.join(full, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            score_column(metric, "query_vec", "__vec").alias("score"),
+        )
+    )
+    return topk_per_group(
+        rescored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k
+    ).select("query_id", "vec_id", "score", "rank")
+
+
 def srp_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

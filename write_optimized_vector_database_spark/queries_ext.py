@@ -340,6 +340,81 @@ def vec_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_SRPMT_STRIDE, _SRPMT_PLANES, _SRPMT_TABLES = 23, 6, 3
+
+_SRPMT_ORACLE = f"""
+WITH planes AS (
+  SELECT ((row_number() OVER (ORDER BY vec_id) - 1) // {_SRPMT_PLANES})::INT AS t,
+         ((row_number() OVER (ORDER BY vec_id) - 1) % {_SRPMT_PLANES})::INT AS b,
+         embedding::DOUBLE[] AS plane
+  FROM embeddings WHERE vec_id % {_SRPMT_STRIDE} = 0
+  ORDER BY vec_id LIMIT {_SRPMT_PLANES * _SRPMT_TABLES}
+),
+vb AS (
+  SELECT e.vec_id, p.t,
+         sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.plane) > 0
+                  THEN (1 << p.b) ELSE 0 END)::INT AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+),
+q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8),
+qb AS (
+  SELECT q.query_id, p.t,
+         sum(CASE WHEN list_inner_product(q.query_vec::DOUBLE[], p.plane) > 0
+                  THEN (1 << p.b) ELSE 0 END)::INT AS bucket
+  FROM q CROSS JOIN planes p
+  GROUP BY q.query_id, p.t
+),
+probes AS (
+  SELECT query_id, t,
+         CASE WHEN i.i = {_SRPMT_PLANES} THEN bucket
+              ELSE xor(bucket, (1 << i.i)::INT)::INT END AS bucket
+  FROM qb, range({_SRPMT_PLANES + 1}) i(i)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, v.vec_id
+  FROM probes p JOIN vb v ON v.t = p.t AND v.bucket = p.bucket
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM cand c JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "vec_srp_multitable_topk",
+    oracle=_SRPMT_ORACLE,
+    survey_ref="Q3-analog (multi-table LSH) [EXT] similarity-search",
+    tags=["vector", "lsh", "topk"],
+)
+def vec_srp_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH ANN: 3 independent 6-bit plane tables,
+    Hamming≤1 probing per table, union of candidates, exact rerank —
+    every step (bucket ids included) hash-checked against DuckDB."""
+    from write_optimized_vector_database_spark.operators.srp_lsh import (
+        multitable_planes_from_stride,
+        srp_multitable_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tables = multitable_planes_from_stride(
+        emb, _SRPMT_STRIDE, _SRPMT_PLANES, _SRPMT_TABLES
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = srp_multitable_topk(emb, queries, tables, k=10, metric="ip")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # PQ + two-phase search (SURVEY §2.2 Q4/Q5) — deterministic, oracle-checked
 # variant (stride codebooks, m=8 subspaces, IP ADC, rerank 4×).
