@@ -71,3 +71,22 @@ def test_deleted_ids_never_served_from_stale_index(spark, coll, queries):
     out = coll.topk_two_phase(queries, k=10, nprobe=12, rerank_factor=4)
     served = {r.vec_id for r in out.collect()}
     assert victim not in served
+
+
+def test_delta_survives_compact_and_vacuum(spark, coll, queries):
+    """Regression: compact()+vacuum() after an index build must not lose
+    the delta generation. compact() used to clobber index_epoch in the
+    meta file, and the delta scan read the (now vacuumed) changelog tail
+    — post-index rows silently vanished from two-phase reads."""
+    qv = [float(x) * 25.0 for x in queries.filter(F.col("query_id") == 4).first().query_vec]
+    b = spark.createDataFrame(
+        [("INSERT", 888_888, "t0", "ns0", qv, [1], 900_000_100)],
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long",
+    )
+    coll.ingest(b)
+    coll.compact()
+    assert coll.vacuum() > 0  # the tail files really are gone
+    out = coll.topk_two_phase(queries, k=5, nprobe=8, rerank_factor=4)
+    r1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+    assert r1[4] == 888_888

@@ -145,8 +145,16 @@ class VectorCollection:
 
             shutil.rmtree(final)
         os.rename(tmp, final)
+        # merge-write: the meta file also carries index_epoch — clobbering
+        # it would silently turn the post-index delta generation invisible
+        # to topk_two_phase after a compact+vacuum cycle
+        meta = {}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+        meta["snapshot_epoch"] = int(max_epoch)
         with open(self._meta_path, "w") as f:
-            json.dump({"snapshot_epoch": int(max_epoch)}, f)
+            json.dump(meta, f)
 
     def vacuum(self) -> int:
         """Retention: delete changelog files fully covered by the current
@@ -310,24 +318,26 @@ class VectorCollection:
             metric=adc_metric, vec_id_col="id",
         ).select("query_id", F.col("vec_id").alias("id"))
 
-        # delta candidates: exact over the post-index tail (small)
-        delta_cand = None
-        if self._has_changelog_files():
-            tail = self.changelog().filter(F.col("epoch") > idx_epoch)
-            from write_optimized_vector_database_spark.operators import compaction as C_
+        # delta candidates: exact over everything visible that changed
+        # after the index build. Sourced from current() (not the raw
+        # changelog tail) so rows survive compact()+vacuum() — the
+        # snapshot keeps per-row epochs, and the epoch filter keeps the
+        # delta scan small by construction.
+        full_current = self.current()
+        delta_vis = full_current.filter(
+            (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
+        )
+        delta_cand = exact_topk(
+            delta_vis, queries, k=k * rerank_factor, metric=self.metric,
+            vec_id_col="id", vec_col="vector",
+        ).select("query_id", F.col("vec_id").alias("id"))
 
-            tail_vis = C_.visible(tail).filter(F.col("vector").isNotNull())
-            delta_cand = exact_topk(
-                tail_vis, queries, k=k * rerank_factor, metric=self.metric,
-                vec_id_col="id", vec_col="vector",
-            ).select("query_id", F.col("vec_id").alias("id"))
-
-        cand = stable_cand if delta_cand is None else stable_cand.unionByName(delta_cand)
+        cand = stable_cand.unionByName(delta_cand)
         cand = cand.dropDuplicates(["query_id", "id"])
 
         # rerank on CURRENT vectors — stale ids (deleted/superseded after
         # the index build) vanish here because they are not in current()
-        full = self.current().select("id", F.col("vector").alias("__vec"))
+        full = full_current.select("id", F.col("vector").alias("__vec"))
         rescored = (
             cand.join(full, "id")
             .join(F.broadcast(queries), "query_id")
