@@ -103,8 +103,11 @@ def main() -> None:
         t0 = time.time()
         coll.compact()
         timings["compact_snapshot"] = round(time.time() - t0, 3)
+        wa = coll.write_amplification()
         print(
-            f"ingested {n_ops} ops in {dt:.2f}s = {n_ops / dt:,.0f} ops/s",
+            f"ingested {n_ops} ops in {dt:.2f}s = {n_ops / dt:,.0f} ops/s; "
+            f"write amplification {wa['wa_now']} "
+            f"(baseline p50<=2.3/p95<=2.6, types.h:144-145)",
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001

@@ -54,6 +54,32 @@ class VectorCollection:
 
     # -- write path ---------------------------------------------------------
 
+    def _dir_bytes(self, subdir: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(self.path, subdir)):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    def _meta_update(self, **kv) -> dict:
+        meta = {}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+        meta.update(kv)
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+        return meta
+
+    def _meta(self) -> dict:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        return {}
+
     def ingest(self, batch: DataFrame, dedup: bool = True) -> int:
         """Append a batch of ops to the changelog.
 
@@ -77,7 +103,14 @@ class VectorCollection:
             out = C.upsert_dedup(out)
         out = out.withColumn("id_hash", id_hash("id"))
         n = out.count()
+        before = self._dir_bytes("changelog")
         out.write.mode("append").parquet(f"{self.path}/changelog")
+        written = self._dir_bytes("changelog") - before
+        meta = self._meta()
+        self._meta_update(
+            bytes_logical=meta.get("bytes_logical", 0) + written,
+            bytes_physical=meta.get("bytes_physical", 0) + written,
+        )
         return n
 
     # -- materializations ---------------------------------------------------
@@ -93,10 +126,7 @@ class VectorCollection:
         return self.spark.read.parquet(f"{self.path}/changelog")
 
     def _snapshot_epoch(self) -> int:
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                return json.load(f).get("snapshot_epoch", -1)
-        return -1
+        return self._meta().get("snapshot_epoch", -1)
 
     def current(self) -> DataFrame:
         """Read-your-writes visible view: compacted snapshot ∪ changelog
@@ -145,16 +175,21 @@ class VectorCollection:
 
             shutil.rmtree(final)
         os.rename(tmp, final)
-        # merge-write: the meta file also carries index_epoch — clobbering
-        # it would silently turn the post-index delta generation invisible
-        # to topk_two_phase after a compact+vacuum cycle
-        meta = {}
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                meta = json.load(f)
-        meta["snapshot_epoch"] = int(max_epoch)
-        with open(self._meta_path, "w") as f:
-            json.dump(meta, f)
+        # merge-write: the meta file also carries index_epoch and the
+        # write-amplification counters — clobbering it would silently turn
+        # the post-index delta generation invisible to topk_two_phase
+        # after a compact+vacuum cycle
+        meta = self._meta()
+        physical = meta.get("bytes_physical", 0) + self._dir_bytes("current")
+        logical = meta.get("bytes_logical", 0)
+        history = meta.get("wa_history", [])
+        if logical > 0:
+            history = history + [round(physical / logical, 4)]
+        self._meta_update(
+            snapshot_epoch=int(max_epoch),
+            bytes_physical=physical,
+            wa_history=history,
+        )
 
     def vacuum(self) -> int:
         """Retention: delete changelog files fully covered by the current
@@ -260,19 +295,34 @@ class VectorCollection:
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
             self._has_changelog_files()
         ) else self._snapshot_epoch()
-        meta = {}
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                meta = json.load(f)
-        meta["index_epoch"] = int(max_epoch)
-        with open(self._meta_path, "w") as f:
-            json.dump(meta, f)
+        self._meta_update(index_epoch=int(max_epoch))
 
     def _index_epoch(self) -> int:
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                return json.load(f).get("index_epoch", -1)
-        return -1
+        return self._meta().get("index_epoch", -1)
+
+    def write_amplification(self) -> dict:
+        """Write-amplification telemetry (reference targets: p50 ≤ 2.3,
+        p95 ≤ 2.6, types.h:144-145). Logical bytes = changelog appends
+        (one durable write of user data, dedup already applied); physical
+        bytes add every snapshot rewrite by compact(). One WA sample is
+        recorded per compaction; p50/p95 summarize the history."""
+        meta = self._meta()
+        logical = meta.get("bytes_logical", 0)
+        physical = meta.get("bytes_physical", 0)
+        history = meta.get("wa_history", [])
+
+        def pctl(xs, q):
+            ys = sorted(xs)
+            return ys[min(len(ys) - 1, max(0, round(q * (len(ys) - 1))))]
+
+        return {
+            "bytes_logical": logical,
+            "bytes_physical": physical,
+            "wa_now": round(physical / logical, 4) if logical else None,
+            "wa_p50": pctl(history, 0.5) if history else None,
+            "wa_p95": pctl(history, 0.95) if history else None,
+            "n_compactions": len(history),
+        }
 
     def topk_two_phase(
         self,
