@@ -125,3 +125,16 @@ def test_write_amplification_tracking(spark, coll, sf_dir):
     # a changelog-append store rewriting one snapshot per cycle stays in
     # the reference's envelope at realistic batch sizes
     assert wa2["wa_now"] < 5.0
+
+
+def test_delta_fraction(spark, coll, sf_dir):
+    """Unmerged-fraction telemetry (reference target <=5%, types.h:143):
+    1.0 before any compaction, 0.0 right after, small after a trickle."""
+    coll.ingest(synthetic_changelog(spark, sf_dir))
+    assert coll.delta_fraction() == 1.0
+    coll.compact()
+    assert coll.delta_fraction() == 0.0
+    b = _batch(spark, [("INSERT", 123_456, "t0", "ns0", [1.0] * 64, [1], 10_000_001)])
+    coll.ingest(b)
+    frac = coll.delta_fraction()
+    assert 0.0 < frac < 0.05

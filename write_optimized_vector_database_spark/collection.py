@@ -420,6 +420,24 @@ class VectorCollection:
             vec_id_col="id", vec_col="vector",
         )
 
+    def delta_fraction(self) -> float:
+        """Fraction of the visible view served from the un-compacted tail
+        (reference target: unmerged delta ≤ 5%, types.h:143). The number
+        that tells a scheduler compact() is due — counting is footer-stat
+        cheap (count(*) over parquet reads no data pages)."""
+        snap_epoch = self._snapshot_epoch()
+        tail_n = 0
+        if self._has_changelog_files():
+            tail = self.changelog()
+            if snap_epoch >= 0:
+                tail = tail.filter(F.col("epoch") > snap_epoch)
+            tail_n = tail.count()
+        snap_n = 0
+        if snap_epoch >= 0:
+            snap_n = self.spark.read.parquet(f"{self.path}/current").count()
+        total = tail_n + snap_n
+        return tail_n / total if total else 0.0
+
     def stats(self) -> DataFrame:
         """Changelog file-level stats (M1/M2 maintenance surface)."""
         return C.segment_stats(
