@@ -81,3 +81,19 @@ def test_opq_two_phase_recall_gate(emb, trained):
     rec = recall_at_k(approx, exact, k=10)
     mean_recall = rec.agg(F.avg("recall")).collect()[0][0]
     assert mean_recall >= 0.95, f"OPQ two-phase mean recall@10 {mean_recall}"
+
+
+def test_fused_opq_encode_matches_rotate_then_encode(emb, trained):
+    """opq_encode (one Arrow pass) must produce the same codes as the
+    two-pass rotate_vectors → pq_encode composition."""
+    from write_optimized_vector_database_spark.operators.pq import opq_encode, pq_encode
+
+    r_mat, cb = trained
+    fused = {r.vec_id: list(r.codes) for r in opq_encode(emb, r_mat, cb).select("vec_id", "codes").collect()}
+    twopass = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(rotate_vectors(emb, r_mat, "embedding"), cb)
+        .select("vec_id", "codes")
+        .collect()
+    }
+    assert fused == twopass

@@ -349,6 +349,45 @@ def rotate_vectors(
     return df.mapInPandas(fn, schema=out_schema)
 
 
+def opq_encode(
+    vectors: DataFrame,
+    r_mat: np.ndarray,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rotate + PQ-encode fused into ONE Arrow pass — the rotated vectors
+    are never materialized. At 100 TB a second full-table Python pass is
+    the dominant cost; this keeps OPQ encode at exactly plain-PQ cost.
+    The output keeps the ORIGINAL (unrotated) vector column: ADC needs
+    only `codes`, and the rerank wants originals anyway."""
+    cb, m, _k = _codebooks_np(codebooks)
+    d_sub = cb.shape[2]
+    cb_sq = (cb * cb).sum(-1)
+    r64 = np.asarray(r_mat, dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            ) @ r64
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                sub = v[:, s * d_sub : (s + 1) * d_sub]
+                d = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
+                codes[:, s] = d.argmin(1)
+            yield pdf.assign(codes=list(codes))
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(vectors.schema.fields)
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+    return vectors.mapInPandas(fn, schema=out_schema)
+
+
 def opq_two_phase_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -363,9 +402,23 @@ def opq_two_phase_topk(
     """OPQ two-phase search: ADC runs in the rotated space (rotation
     preserves both IP and L2, so the LUT semantics are unchanged); the
     exact rerank re-scores ORIGINAL vectors fetched by id, so the final
-    top-k is exact over the candidate set."""
-    enc = pq_encode(rotate_vectors(vectors, r_mat, vec_col), codebooks, vec_col=vec_col)
-    rq = rotate_vectors(queries, r_mat, "query_vec")
+    top-k is exact over the candidate set.
+
+    Queries rotate driver-side (batch contract caps them at 100 rows,
+    config.h:180) — no Spark job for a 100-row matmul."""
+    enc = opq_encode(vectors, r_mat, codebooks, vec_col=vec_col)
+    r64 = np.asarray(r_mat, dtype=np.float64)
+    qrows = queries.select("query_id", "query_vec").collect()
+    rq = queries.sparkSession.createDataFrame(
+        [
+            (
+                r.query_id,
+                [float(x) for x in np.asarray(r.query_vec, dtype=np.float64) @ r64],
+            )
+            for r in qrows
+        ],
+        "query_id long, query_vec array<double>",
+    )
     cand = pq_adc_topk(
         enc, rq, codebooks, k=k * rerank_factor, metric=metric, vec_id_col=vec_id_col
     ).select("query_id", "vec_id")
