@@ -45,15 +45,27 @@ visible AS (
 
 @register(
     "mut_visible_state",
-    oracle=_VISIBLE_CTE + "SELECT op, id, tenant, namespace, tags, epoch FROM visible",
+    oracle=_VISIBLE_CTE
+    + "SELECT op, id, tenant, namespace, to_json(tags)::VARCHAR AS tags_json, epoch FROM visible",
     survey_ref="S4,S5,Q9",
     tags=["mutation"],
 )
 def mut_visible_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full compacted state of the synthetic changelog: every id's latest
-    non-tombstone version (latest-by-id.h:110-200)."""
+    non-tombstone version (latest-by-id.h:110-200).
+
+    ``tags`` is serialized to JSON in both twins: the driver's pandas
+    canonicalizer cannot hash raw list cells.
+    """
     log = synthetic_changelog(spark, sf_dir)
-    return visible(log).select("op", "id", "tenant", "namespace", "tags", "epoch")
+    return visible(log).select(
+        "op",
+        "id",
+        "tenant",
+        "namespace",
+        F.to_json("tags").alias("tags_json"),
+        "epoch",
+    )
 
 
 @register(

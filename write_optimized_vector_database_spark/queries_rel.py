@@ -472,7 +472,7 @@ def evt_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_sessionization",
     oracle="""
 WITH gaps AS (
-  SELECT user_id, ts::TIMESTAMP AS ts,
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
          CASE WHEN epoch_us(ts::TIMESTAMP)
                    - epoch_us(lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -481,7 +481,7 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM gaps
 )
@@ -508,8 +508,10 @@ def evt_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "session_id",
             F.sum("new_session").over(
+                # event_id tiebreak: with duplicate timestamps per user the
+                # running sum's row order is engine-dependent otherwise.
                 Window.partitionBy("user_id")
-                .orderBy(F.col("ts").asc())
+                .orderBy(F.col("ts").asc(), F.col("event_id").asc())
                 .rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
@@ -689,7 +691,7 @@ def rel_scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_json_props_extract",
     oracle="""
 SELECT event_type,
-       SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        COUNT(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS n_distinct_k,
        COUNT(*) FILTER (WHERE json_extract_string(props, '$.k')::BIGINT >= 50) AS n_high_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -705,7 +707,7 @@ def evt_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.sum(k).alias("sum_k"),
+            F.sum(k).cast("long").alias("sum_k"),
             F.countDistinct(k).alias("n_distinct_k"),
             F.count(F.when(k >= 50, 1)).alias("n_high_k"),
         )
