@@ -7,6 +7,7 @@ import duckdb
 from pyspark.sql import functions as F
 
 from write_optimized_vector_database_spark.functions.hashing import (
+    bounded_training_sample,
     deterministic_sample,
     id_hash,
     portable_hash,
@@ -46,6 +47,34 @@ def test_deterministic_sample_fraction_and_stability(spark):
     assert 0.22 < kept1 / 10_000 < 0.28  # ~fraction
     salted = df.filter(deterministic_sample("id", 0.25, salt="x")).count()
     assert salted != kept1  # salt changes the sample
+
+
+def test_bounded_training_sample_caps_and_is_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(10_000)], "id long")
+    # under the cap: passthrough, no rows dropped
+    assert bounded_training_sample(df, "id", 20_000).count() == 10_000
+    # over the cap: ~cap rows kept, deterministically
+    kept1 = bounded_training_sample(df, "id", 1_000).count()
+    kept2 = bounded_training_sample(df, "id", 1_000).count()
+    assert kept1 == kept2
+    assert 700 < kept1 < 1_300  # ~cap, hash-sample variance
+
+
+def test_training_entrypoints_never_collect_unbounded(spark):
+    """The registry/build_indexes call sites pass sample_fraction=None —
+    that must mean 'bounded default sample', never 'the whole table'."""
+    import numpy as np
+
+    from write_optimized_vector_database_spark.operators.pq import (
+        train_pq_codebooks_kmeans,
+    )
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(3_000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cap of 256·2^2 = 1024 < 3000 rows: must succeed and train on a sample
+    cb = train_pq_codebooks_kmeans(df, dim=8, m=2, nbits=2, max_train_rows=500)
+    assert cb.count() == 2 * 4  # m × 2^nbits codebook rows
 
 
 def test_uuid7_time_ordered_unique(spark):

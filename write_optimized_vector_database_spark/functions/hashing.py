@@ -56,6 +56,23 @@ def deterministic_sample_sql(expr: str, fraction: float, salt: str = "") -> str:
     return f"({portable_hash_sql(e)} % 10000) < {int(fraction * 10_000)}"
 
 
+def bounded_training_sample(df, id_col: str, cap: int, salt: str = "train"):
+    """Deterministic hash-sample bounded to ~``cap`` rows.
+
+    Index training (KMeans codebooks, OPQ rotation) is driver-side NumPy:
+    an unbounded `collect()` of the table is a driver OOM at 100 TB. One
+    `count()` sizes the keep-fraction; the hash-sample itself is
+    reproducible across retries and partitions (unlike `rand()`), so
+    training is deterministic for a given table + cap.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    n = df.count()
+    if n <= cap:
+        return df
+    return df.filter(deterministic_sample(id_col, cap / n, salt=salt))
+
+
 def uuid7(ts_col: Column | str | None = None) -> Column:
     """Time-ordered unique id string (UUIDv7-shaped: ms timestamp prefix +
     random tail; reference uuid-v7.cpp:15-71). Spark's `uuid()` supplies

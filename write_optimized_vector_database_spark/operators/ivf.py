@@ -34,7 +34,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from write_optimized_vector_database_spark.functions.hashing import deterministic_sample
+from write_optimized_vector_database_spark.functions.hashing import (
+    bounded_training_sample,
+    deterministic_sample,
+)
 from write_optimized_vector_database_spark.operators.topk import exact_topk
 
 
@@ -57,19 +60,23 @@ def train_centroids_kmeans(
     id_col: str = "vec_id",
     seed: int = 42,
     max_iter: int = 20,
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """MLlib KMeans centroids trained on a deterministic hash-sample.
 
-    At 100 TB you never KMeans the full table: sample to O(nlist × 1k)
-    rows (reference trains global centroids once and reuses them,
-    config.h:79-81 rebuild_interval 24h). Returns (centroid_id, centroid).
+    At 100 TB you never KMeans the full table: the training set is ALWAYS
+    bounded — `max_train_rows` defaults to 256 × nlist (reference trains
+    global centroids once and reuses them, config.h:79-81
+    rebuild_interval 24h). Returns (centroid_id, centroid).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    cap = max_train_rows if max_train_rows is not None else 256 * nlist
     train = vectors
     if sample_fraction is not None and sample_fraction < 1.0:
         train = train.filter(deterministic_sample(id_col, sample_fraction, salt="kmeans"))
+    train = bounded_training_sample(train, id_col, cap, salt="kmeans-cap")
     train = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
     spark = vectors.sparkSession

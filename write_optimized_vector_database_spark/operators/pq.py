@@ -33,7 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from write_optimized_vector_database_spark.functions.hashing import deterministic_sample
+from write_optimized_vector_database_spark.functions.hashing import (
+    bounded_training_sample,
+    deterministic_sample,
+)
 from write_optimized_vector_database_spark.operators.topk import score_column, topk_per_group
 
 
@@ -52,18 +55,23 @@ def train_pq_codebooks_kmeans(
     id_col: str = "vec_id",
     sample_fraction: float | None = None,
     seed: int = 42,
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """Per-subspace KMeans codebooks → (subspace, code, cvec).
 
     Trains on a deterministic hash-sample collected to the driver (PQ
     training needs O(2^nbits × 1k) rows per subspace — never the full
-    table; reference trains codebooks offline the same way).
+    table; reference trains codebooks offline the same way). The sample
+    is ALWAYS bounded: `max_train_rows` defaults to 256 × 2^nbits, so an
+    unset `sample_fraction` can never collect a 100 TB table.
     """
     d_sub = subspace_dims(dim, m)
     k = 2**nbits
+    cap = max_train_rows if max_train_rows is not None else 256 * k
     train = vectors
     if sample_fraction is not None and sample_fraction < 1.0:
         train = train.filter(deterministic_sample(id_col, sample_fraction, salt="pq"))
+    train = bounded_training_sample(train, id_col, cap, salt="pq-cap")
     sample = np.asarray(
         [r[0] for r in train.select(vec_col).collect()], dtype=np.float64
     )
@@ -280,6 +288,7 @@ def train_opq(
     id_col: str = "vec_id",
     sample_fraction: float | None = None,
     seed: int = 42,
+    max_train_rows: int | None = None,
 ) -> tuple[np.ndarray, DataFrame]:
     """Learn an orthogonal rotation R + codebooks minimizing quantization
     error (reference config.h:90 `use_opq = true`; OPQ-NP of Ge et al.,
@@ -297,9 +306,11 @@ def train_opq(
     """
     d_sub = subspace_dims(dim, m)
     k = 2**nbits
+    cap = max_train_rows if max_train_rows is not None else 256 * k
     train = vectors
     if sample_fraction is not None and sample_fraction < 1.0:
         train = train.filter(deterministic_sample(id_col, sample_fraction, salt="opq"))
+    train = bounded_training_sample(train, id_col, cap, salt="opq-cap")
     x = np.asarray([r[0] for r in train.select(vec_col).collect()], dtype=np.float64)
     rng = np.random.RandomState(seed)
     r_mat = np.eye(dim)
