@@ -63,6 +63,20 @@ def test_batch_with_filters(coll, qvecs):
     assert all(r.id % 2 == 0 for r in out)  # tenant t0 = even ids
 
 
+def test_indexed_batch_respects_filters(coll, qvecs):
+    """use_index=True must intersect QueryRequest filters with the
+    candidate set (reference probe-path intersection, msg-buf.h:236-255)
+    — filtered requests previously fell through to unfiltered results."""
+    coll.build_ivf_index(nlist=8)
+    reqs = [
+        QueryRequest(query=v, top_k=5, tenant="t0", query_id=qid)
+        for qid, v in qvecs.items()
+    ]
+    out = run_batch(coll, reqs, use_index=True).collect()
+    assert out, "indexed filtered batch returned nothing"
+    assert all(r.id % 2 == 0 for r in out)  # tenant t0 = even ids
+
+
 def test_mixed_filter_batch(coll, qvecs):
     v = list(qvecs.values())[0]
     reqs = [

@@ -89,7 +89,13 @@ def run_batch(
         )
         if use_index:
             part = collection.topk_ivf(
-                qdf, k=top_k, nprobe=nprobe or config.ivf.nprobe_delta
+                qdf,
+                k=top_k,
+                nprobe=nprobe or config.ivf.nprobe_delta,
+                tenant=tenant or None,
+                namespace=namespace or None,
+                tags_any=list(tags_any) or None,
+                sample_p=sample_p,
             )
         else:
             part = collection.topk(

@@ -406,18 +406,30 @@ class VectorCollection:
         queries: DataFrame,
         k: int = 10,
         nprobe: int = 8,
+        tenant: str | None = None,
+        namespace: str | None = None,
+        tags_any: list[int] | None = None,
+        sample_p: float | None = None,
     ) -> DataFrame:
         """ANN read path over the materialized IVF index (probe join →
         partition pruning → score → top-k). Requires build_ivf_index().
         Note: serves the indexed snapshot — run build_ivf_index after
-        compaction for freshness (delta-vs-stable generation semantics)."""
+        compaction for freshness (delta-vs-stable generation semantics).
+
+        QueryRequest filters intersect the candidate set before top-k
+        (reference probe-path intersection, msg-buf.h:236-255)."""
         from write_optimized_vector_database_spark.operators.ivf import ivf_topk
 
         index = self.spark.read.parquet(f"{self.path}/index_ivf")
         cents = self.spark.read.parquet(f"{self.path}/index_centroids")
+        allowed = None
+        if any(x is not None for x in (tenant, namespace, tags_any, sample_p)):
+            allowed = apply_query_filters(
+                self.current(), tenant, namespace, tags_any, sample_p
+            ).select("id")
         return ivf_topk(
             index, queries, cents, k=k, nprobe=nprobe, metric=self.metric,
-            vec_id_col="id", vec_col="vector",
+            vec_id_col="id", vec_col="vector", allowed_ids=allowed,
         )
 
     def delta_fraction(self) -> float:

@@ -29,8 +29,11 @@ def latest_by_id(
 ) -> DataFrame:
     """Newest version of every id (tombstones still present).
 
-    Ties on epoch break toward DELETE then by op name so replays of an
-    identical changelog are deterministic.
+    Ties on epoch break by op name descending, so an UPSERT wins over a
+    same-epoch DELETE ('U' > 'D'). Epochs are strictly monotonic per id in
+    the write path, so a tie only occurs on replay of an identical
+    changelog — where this rule makes the outcome deterministic. The
+    tests' dict model encodes the same upsert-wins rule.
     """
     w = Window.partitionBy(id_col).orderBy(
         F.col(epoch_col).desc(), F.col("op").desc()

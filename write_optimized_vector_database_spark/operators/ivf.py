@@ -189,6 +189,7 @@ def ivf_topk(
     metric: str = "ip",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probed approximate top-k.
 
@@ -198,13 +199,21 @@ def ivf_topk(
     guaranteed *static* partition pruning (PartitionFilters in the scan),
     not best-effort dynamic pruning. Only probed posting lists are read;
     scoring + per-query top-k run on the pruned candidate set only.
+
+    `allowed_ids` (single column named `vec_id_col`) intersects the
+    candidate set BEFORE the per-query top-k — the probe-path filter
+    intersection of msg-buf.h:236-255. The semi-join runs on the pruned
+    posting lists only, so the filter side's predicates stay pushed into
+    its own scan and the join cost scales with nprobe/nlist, not with
+    the table.
     """
     probes = probe_centroids(queries, centroids, nprobe)
     probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
-    cand = (
-        index.filter(F.col("centroid_id").isin(probe_ids))
-        .join(F.broadcast(probes), "centroid_id")
-        .join(F.broadcast(queries), "query_id")
+    cand = index.filter(F.col("centroid_id").isin(probe_ids))
+    if allowed_ids is not None:
+        cand = cand.join(allowed_ids.select(vec_id_col), vec_id_col, "semi")
+    cand = cand.join(F.broadcast(probes), "centroid_id").join(
+        F.broadcast(queries), "query_id"
     )
     from write_optimized_vector_database_spark.operators.topk import score_column, topk_per_group
 

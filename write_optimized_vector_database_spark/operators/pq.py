@@ -417,9 +417,18 @@ def opq_two_phase_topk(
 
     Queries rotate driver-side (batch contract caps them at 100 rows,
     config.h:180) — no Spark job for a 100-row matmul."""
+    from pyspark.sql import types as T
+
     enc = opq_encode(vectors, r_mat, codebooks, vec_col=vec_col)
     r64 = np.asarray(r_mat, dtype=np.float64)
     qrows = queries.select("query_id", "query_vec").collect()
+    # Keep the caller's query_id type (string/UUID ids must round-trip).
+    rq_schema = T.StructType(
+        [
+            queries.schema["query_id"],
+            T.StructField("query_vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
     rq = queries.sparkSession.createDataFrame(
         [
             (
@@ -428,7 +437,7 @@ def opq_two_phase_topk(
             )
             for r in qrows
         ],
-        "query_id long, query_vec array<double>",
+        rq_schema,
     )
     cand = pq_adc_topk(
         enc, rq, codebooks, k=k * rerank_factor, metric=metric, vec_id_col=vec_id_col
@@ -522,7 +531,10 @@ def pq_adc_topk(
         lut = np.einsum("qsd,skd->qsk", qv.reshape(len(qv), m, d_sub), cb)
     elif metric == "l2":
         diff = qv.reshape(len(qv), m, 1, d_sub) - cb[None, :, :, :]
-        lut = -np.sqrt(((diff**2).sum(-1)))  # negated: higher-better
+        # Squared sub-distances: the gather-sum then yields Σ_s‖q_s−c_s‖²,
+        # the standard ADC decomposition whose ordering matches true L2.
+        # (Summing sqrt'd sub-distances would be an L1-of-L2 proxy.)
+        lut = -((diff**2).sum(-1))  # negated: higher-better
     else:
         raise ValueError(f"ADC unsupported for metric {metric!r}")
 
@@ -544,8 +556,18 @@ def pq_adc_topk(
             )
             yield out
 
+    from pyspark.sql import types as T
+
+    # id column types follow the inputs — uuidv7 string ids must survive.
+    scored_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema["query_id"].dataType),
+            T.StructField("vec_id", encoded.schema[vec_id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
     scored = encoded.select(F.col(vec_id_col), "codes").mapInPandas(
-        fn, schema="query_id long, vec_id long, score double"
+        fn, schema=scored_schema
     )
     return topk_per_group(
         scored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k

@@ -18,9 +18,12 @@ double-appending (the CRC-framed WAL + fsync dance of the reference,
 wal-record.fbs + config.h:44-48, collapses into this idempotence).
 
 Epoch assignment is deterministic: epoch = batch_id × 1e6 + rank of the
-record in the batch (ordered by id, then arrival epoch column if any) —
-replays regenerate identical epochs, keeping last-writer-wins stable
-across crashes (types.h:21 monotone-epoch semantics).
+record *within its id group* (ordered by the arrival epoch column if
+any) — replays regenerate identical epochs, keeping last-writer-wins
+stable across crashes (types.h:21 monotone-epoch semantics). Epochs are
+only ever compared per id, so cross-id uniqueness is not needed — which
+is what lets the rank run per-id (a parallel window keyed like the
+dedup shuffle) instead of as a single-partition global sort.
 """
 
 from __future__ import annotations
@@ -35,11 +38,18 @@ EPOCH_STRIDE = 1_000_000
 
 
 def assign_stream_epochs(batch: DataFrame, batch_id: int) -> DataFrame:
-    """Deterministic monotone epochs within a micro-batch."""
-    order = [F.col("id").asc()]
-    if "epoch" in batch.columns:
-        order.append(F.col("epoch").asc())
-    w = Window.orderBy(*order)
+    """Deterministic monotone epochs within a micro-batch.
+
+    Partitioned by id: a global `Window.orderBy` would funnel every row
+    of the micro-batch through one task, serializing the 50k ops/s write
+    path. Last-writer-wins only compares epochs *within* an id, so a
+    per-id rank (tiny groups, parallel shuffle on the same key the dedup
+    window uses) is both sufficient and replay-deterministic.
+    """
+    order = (
+        [F.col("epoch").asc()] if "epoch" in batch.columns else [F.lit(1).asc()]
+    )
+    w = Window.partitionBy("id").orderBy(*order)
     return batch.withColumn(
         "epoch", F.lit(batch_id * EPOCH_STRIDE) + F.row_number().over(w)
     )
