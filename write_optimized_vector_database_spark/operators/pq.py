@@ -190,6 +190,25 @@ def pq_encode_exact(
     )
 
 
+def householder_rotate(
+    df: DataFrame, v: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Apply the orthogonal Householder reflection R = I − 2vvᵀ to
+    `vec_col`, entirely JVM-side: x′ = x − 2·(v·x)·v.
+
+    A fixed unit vector `v` makes the rotation deterministic and
+    SQL-expressible — the oracle twin of the learned OPQ rotation
+    (train_opq). Same fold/zip_with discipline as functions/distance so
+    components are bit-identical to the DuckDB formulation."""
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    varr = F.array(*[F.lit(float(x)) for x in v])
+    xd = F.col(vec_col).cast("array<double>")
+    df = df.withColumn("__hdot", dot_product(xd, varr))
+    rx = F.zip_with(xd, varr, lambda x, vj: x - F.lit(2.0) * F.col("__hdot") * vj)
+    return df.withColumn(vec_col, rx).drop("__hdot")
+
+
 def pq_two_phase_exact_fold(
     vectors: DataFrame,
     queries: DataFrame,
@@ -200,12 +219,20 @@ def pq_two_phase_exact_fold(
     rerank_factor: int = 4,
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank_vectors: DataFrame | None = None,
+    rerank_queries: DataFrame | None = None,
 ) -> DataFrame:
     """Oracle-checkable two-phase PQ (inner-product ADC): every float op is
     a JVM fold or an explicitly-ordered sum, matching the DuckDB twin in
     queries_ext bit for bit. Candidate ADC scores sum the m subspace
     terms in subspace order via a pivot (deterministic — a groupBy sum
-    over doubles would be partition-order dependent)."""
+    over doubles would be partition-order dependent).
+
+    `rerank_vectors`/`rerank_queries` override the frames used for the
+    exact phase-2 re-score (default: the ADC inputs). The OPQ variant
+    passes ROTATED vectors/queries for encode+ADC but reranks on the
+    ORIGINALS — rotation preserves inner products, and the final scores
+    must match the un-rotated exact scan."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -233,10 +260,12 @@ def pq_two_phase_exact_fold(
         .filter(F.col("__rn") <= k * rerank_factor)
         .select("query_id", "vec_id")
     )
-    full = vectors.select(F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
+    rv = rerank_vectors if rerank_vectors is not None else vectors
+    rq = rerank_queries if rerank_queries is not None else queries
+    full = rv.select(F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
     rescored = (
         cand.join(full, "vec_id")
-        .join(F.broadcast(queries), "query_id")
+        .join(F.broadcast(rq), "query_id")
         .select("query_id", "vec_id", dot_product("query_vec", "__vec").alias("score"))
     )
     return topk_per_group(

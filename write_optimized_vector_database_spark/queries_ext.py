@@ -524,31 +524,114 @@ def vec_pq_two_phase_deterministic(spark: SparkSession, sf_dir: str) -> DataFram
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# Deterministic OPQ twin: fixed Householder reflection R = I − 2vvᵀ with
+# v = normalize([1, 2, …, 64]) — orthogonal, so it exercises the exact
+# rotate→encode→ADC→rerank pipeline of learned OPQ (which stays
+# recall/orthogonality-gated in tests/test_opq.py) while every float op
+# is SQL-expressible. v's components are emitted as repr() literals so
+# both engines parse the *identical* doubles.
+_OPQ_DIM, _OPQ_M, _OPQ_DSUB, _OPQ_STRIDE, _OPQ_RERANK = 64, 8, 8, 29, 4
+_HH_NORM = sum((j + 1) ** 2 for j in range(_OPQ_DIM)) ** 0.5
+_HH_V = [(j + 1) / _HH_NORM for j in range(_OPQ_DIM)]
+_HH_V_SQL = "[" + ", ".join(repr(x) for x in _HH_V) + "]::DOUBLE[]"
+
+_OPQ_TERM_COLS = ",\n    ".join(
+    f"SUM(CASE WHEN l.subspace = {s} THEN l.term END) AS t{s}" for s in range(_OPQ_M)
+)
+_OPQ_SCORE_SUM = " + ".join(f"t{s}" for s in range(_OPQ_M))
+
+_OPQ_ORACLE = f"""
+WITH dots AS (
+  SELECT vec_id, list_inner_product(embedding::DOUBLE[], {_HH_V_SQL}) AS dot
+  FROM embeddings
+),
+rotl AS (
+  SELECT e.vec_id, j.j::INT AS j,
+         (e.embedding::DOUBLE[])[j.j+1] - 2.0 * d.dot * ({_HH_V_SQL})[j.j+1] AS x
+  FROM embeddings e JOIN dots d USING (vec_id), range({_OPQ_DIM}) j(j)
+),
+rsub AS (
+  SELECT vec_id, (j // {_OPQ_DSUB})::INT AS subspace, list(x ORDER BY j) AS sv
+  FROM rotl GROUP BY vec_id, (j // {_OPQ_DSUB})
+),
+cb AS (
+  SELECT subspace, (vec_id // {_OPQ_STRIDE})::INT AS code, sv AS cvec
+  FROM rsub WHERE vec_id % {_OPQ_STRIDE} = 0
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT v.vec_id, v.subspace, c.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.subspace
+                              ORDER BY list_distance(v.sv, c.cvec) ASC, c.code ASC) AS rn
+    FROM rsub v JOIN cb c ON c.subspace = v.subspace
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.subspace, c.code,
+         list_inner_product(qs.sv, c.cvec) AS term
+  FROM rsub qs JOIN cb c ON c.subspace = qs.subspace
+  WHERE qs.vec_id < 8
+),
+adc AS (
+  SELECT l.query_id, e.vec_id,
+    {_OPQ_TERM_COLS}
+  FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
+  GROUP BY l.query_id, e.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ({_OPQ_SCORE_SUM}) DESC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {10 * _OPQ_RERANK}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= 10
+"""
+
+
 @register(
     "vec_opq_two_phase",
-    oracle=None,  # learned rotation + KMeans codebooks — rows-only check;
-    # correctness is the recall/orthogonality gates in tests/test_opq.py
+    oracle=_OPQ_ORACLE,
     survey_ref="Q4,Q5",
     tags=["vector", "pq", "opq"],
 )
 def vec_opq_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ two-phase search (reference config.h:90 `use_opq`): learned
-    orthogonal rotation → PQ ADC candidates in rotated space → exact
-    rerank on original vectors. Deterministic given the data (seeded
-    NumPy) but not SQL-expressible."""
+    """OPQ two-phase search (reference config.h:90 `use_opq`): orthogonal
+    rotation → PQ ADC candidates in ROTATED space → exact rerank on
+    ORIGINAL vectors. This registry twin uses a fixed Householder
+    rotation + stride codebooks so the full pipeline hash-checks against
+    DuckDB; the learned rotation (train_opq, Procrustes) shares the same
+    operators and is recall/orthogonality-gated in tests/test_opq.py."""
     from write_optimized_vector_database_spark.operators.pq import (
-        opq_two_phase_topk,
-        train_opq,
+        codebooks_from_stride,
+        householder_rotate,
+        pq_two_phase_exact_fold,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    r_mat, cb = train_opq(emb, dim=64, m=16, nbits=5, iters=6)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return opq_two_phase_topk(
-        emb, queries, r_mat, cb, k=10, rerank_factor=4, metric="ip"
+    rot = householder_rotate(emb, _HH_V, vec_col="embedding")
+    rot_q = householder_rotate(queries, _HH_V, vec_col="query_vec")
+    cb = codebooks_from_stride(rot, dim=_OPQ_DIM, m=_OPQ_M, stride=_OPQ_STRIDE)
+    out = pq_two_phase_exact_fold(
+        rot, rot_q, cb, dim=_OPQ_DIM, m=_OPQ_M, k=10, rerank_factor=_OPQ_RERANK,
+        rerank_vectors=emb, rerank_queries=queries,
     )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(

@@ -43,7 +43,24 @@ def mm_blob_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decoded_meta_histogram",
-    oracle=None,  # Arrow-batched Python decode stub — rows-only check
+    # fake_decode_meta is md5-derived (multimodal.py:94-105), so the
+    # Arrow-batched decode is fully expressible in SQL: n_channels =
+    # 1 + byte3(md5) % 3; mime = magic sniff (only the ASCII magics —
+    # GIF8/RIFF/ID3 — are reachable from UTF-8 text blobs).
+    oracle="""
+WITH meta AS (
+  SELECT CASE WHEN length(text) = 0 OR text IS NULL THEN 'application/octet-stream'
+              WHEN starts_with(text, 'GIF8') THEN 'image/gif'
+              WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
+              WHEN starts_with(text, 'ID3') THEN 'audio/mp3'
+              ELSE 'application/octet-stream' END AS mime,
+         CASE WHEN length(text) = 0 OR text IS NULL THEN 0
+              ELSE 1 + ('0x' || substring(md5(text), 5, 2))::INT % 3 END AS n_channels
+  FROM documents
+)
+SELECT mime, n_channels, COUNT(*) AS n
+FROM meta GROUP BY mime, n_channels ORDER BY mime, n_channels
+""",
     survey_ref="[EXT] multimodal-decode",
     tags=["multimodal"],
 )
@@ -61,7 +78,22 @@ def mm_decoded_meta_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample_counts",
-    oracle=None,  # iterator UDF — rows-only check
+    # frame_sample is pure arithmetic on the blob length: stride =
+    # max(L // 4, 1); frame f covers bytes [f·stride, f·stride+256), so
+    # its length is clamp(L − f·stride, 0, 256).
+    oracle="""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS len,
+         greatest(octet_length(encode(text)) // 4, 1) AS stride
+  FROM documents
+)
+SELECT doc_id, 4::BIGINT AS n_frames,
+       ( least(greatest(len - 0*stride, 0), 256)
+       + least(greatest(len - 1*stride, 0), 256)
+       + least(greatest(len - 2*stride, 0), 256)
+       + least(greatest(len - 3*stride, 0), 256))::BIGINT AS bytes
+FROM b ORDER BY doc_id
+""",
     survey_ref="[EXT] multimodal-frames",
     tags=["multimodal"],
 )
