@@ -31,7 +31,7 @@ class QueryRequest:
     top_k: int = 10
     tenant: str = ""
     namespace: str = ""
-    tags_any: list[int] = field(default_factory=list)
+    tags_any: list[int | str] = field(default_factory=list)  # strings via tag dict
     nprobe: int | None = None
     sample_p: float | None = None
     query_id: int | None = None

@@ -22,10 +22,12 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from write_optimized_vector_database_spark.functions.distance import l2_normalize
 from write_optimized_vector_database_spark.functions.hashing import id_hash
@@ -80,17 +82,46 @@ class VectorCollection:
                 return json.load(f)
         return {}
 
+    def tag_dict(self) -> DataFrame | None:
+        """The collection's string→id tag dictionary (config.h:122-123),
+        or None if only int tags were ever ingested."""
+        p = os.path.join(self.path, "tag_dict")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _encode_string_tags(self, batch: DataFrame) -> DataFrame:
+        """String-tag ingest edge: extend the persisted dictionary with
+        the batch's novel tags (ids are append-only — never renumbered)
+        and rewrite `tags` as dict ids (types.h:32-33)."""
+        from write_optimized_vector_database_spark.operators import tags as TG
+
+        new_dict = TG.extend_tag_dictionary(self.tag_dict(), batch, tags_col="tags")
+        # two-phase write: parquet can't overwrite its own input dir
+        tmp = os.path.join(self.path, "_tag_dict.tmp")
+        new_dict.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(self.path, "tag_dict")
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return TG.encode_tags(batch, self.tag_dict(), id_col="id", tags_col="tags")
+
     def ingest(self, batch: DataFrame, dedup: bool = True) -> int:
         """Append a batch of ops to the changelog.
 
         Within-batch upsert dedup first (msg-buf.h:134-147) — the
         write-amplification lever; epochs must already be assigned
         monotone by the caller (streaming assigns batch_id × stride).
+        String tag arrays are dict-encoded at this edge (config.h:122).
         """
         cols = [c for c in CHANGELOG_SCHEMA_COLS if c in batch.columns]
         missing = set(("op", "id", "epoch")) - set(cols)
         if missing:
             raise ValueError(f"changelog batch missing columns: {sorted(missing)}")
+        if "tags" in cols and isinstance(
+            batch.schema["tags"].dataType, T.ArrayType
+        ) and isinstance(batch.schema["tags"].dataType.elementType, T.StringType):
+            batch = self._encode_string_tags(batch)
         out = batch.select(*cols)
         if self.normalize and "vector" in cols:
             out = out.withColumn(
@@ -408,7 +439,7 @@ class VectorCollection:
         nprobe: int = 8,
         tenant: str | None = None,
         namespace: str | None = None,
-        tags_any: list[int] | None = None,
+        tags_any: list[int | str] | None = None,
         sample_p: float | None = None,
     ) -> DataFrame:
         """ANN read path over the materialized IVF index (probe join →
@@ -425,7 +456,8 @@ class VectorCollection:
         allowed = None
         if any(x is not None for x in (tenant, namespace, tags_any, sample_p)):
             allowed = apply_query_filters(
-                self.current(), tenant, namespace, tags_any, sample_p
+                self.current(), tenant, namespace, tags_any, sample_p,
+                tag_dict=self._tag_dict_for(tags_any),
             ).select("id")
         return ivf_topk(
             index, queries, cents, k=k, nprobe=nprobe, metric=self.metric,
@@ -464,14 +496,16 @@ class VectorCollection:
         k: int = 10,
         tenant: str | None = None,
         namespace: str | None = None,
-        tags_any: list[int] | None = None,
+        tags_any: list[int | str] | None = None,
         sample_p: float | None = None,
     ) -> DataFrame:
         """Filtered exact top-k over the visible view (QueryRequest
         semantics, types.h:67-82). Filters are applied before scoring so
-        Catalyst pushes them into the snapshot scan."""
+        Catalyst pushes them into the snapshot scan. String tags_any
+        translate through the collection's tag dictionary."""
         base = apply_query_filters(
-            self.current(), tenant, namespace, tags_any, sample_p
+            self.current(), tenant, namespace, tags_any, sample_p,
+            tag_dict=self._tag_dict_for(tags_any),
         )
         return exact_topk(
             base,
@@ -481,6 +515,18 @@ class VectorCollection:
             vec_id_col="id",
             vec_col="vector",
         )
+
+    def _tag_dict_for(self, tags_any) -> DataFrame | None:
+        """Load the tag dictionary only when a string tag needs it."""
+        if tags_any and any(isinstance(t, str) for t in tags_any):
+            td = self.tag_dict()
+            if td is None:
+                raise ValueError(
+                    "string tags_any but this collection has no tag dictionary "
+                    "(ingest string tags first)"
+                )
+            return td
+        return None
 
     def lookup(self, ids: list) -> DataFrame:
         """Point lookup (`getLatest`/`exists`, latest-by-id.h:170-200)."""

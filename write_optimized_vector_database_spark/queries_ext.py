@@ -159,6 +159,76 @@ def mut_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mut_string_tag_filter",
+    # tag dictionary (config.h:122-123, types.h:32-33): string tags at
+    # the edge, dense alphabetical dict ids in storage, string-queried
+    # ANY-of filter resolved through the dict.
+    oracle=_VISIBLE_CTE
+    + """
+, stags AS (
+  SELECT id, tenant, namespace, epoch,
+         list_transform(tags, t -> 'tag_' || lpad(t::VARCHAR, 3, '0')) AS tags
+  FROM visible
+),
+dict AS (
+  SELECT tag, (row_number() OVER (ORDER BY tag) - 1)::INT AS tag_id
+  FROM (SELECT DISTINCT unnest(tags) AS tag FROM stags)
+),
+exploded AS (
+  SELECT s.id, i.i AS pos, s.tags[i.i + 1] AS tag
+  FROM stags s, range(0, 16) i(i) WHERE i.i < len(s.tags)
+),
+enc AS (
+  SELECT e.id, list(d.tag_id ORDER BY e.pos) AS tag_ids
+  FROM exploded e JOIN dict d USING (tag) GROUP BY e.id
+),
+qids AS (
+  SELECT list(tag_id) AS ids FROM dict
+  WHERE tag IN ('tag_003', 'tag_007', 'tag_013', 'tag_021', 'tag_034')
+)
+SELECT s.id, s.tenant, s.namespace,
+       to_json(e.tag_ids)::VARCHAR AS tag_ids_json, s.epoch
+FROM stags s JOIN enc e USING (id), qids
+WHERE len(list_intersect(e.tag_ids, qids.ids)) > 0
+ORDER BY s.id
+""",
+    survey_ref="Q7,Q8 + tag dict (config.h:122-123)",
+    tags=["mutation", "tags", "filter"],
+)
+def mut_string_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-tag round trip: stringified changelog tags → dictionary
+    build → dict-id encode → string `tags_any` filter resolved through
+    the dictionary (the int `arrays_overlap` pushdown underneath)."""
+    from write_optimized_vector_database_spark.operators.tags import (
+        build_tag_dictionary,
+        encode_tags,
+        tags_any_strings_filter,
+    )
+
+    log = synthetic_changelog(spark, sf_dir).withColumn(
+        "tags",
+        F.transform(
+            "tags", lambda t: F.concat(F.lit("tag_"), F.lpad(t.cast("string"), 3, "0"))
+        ),
+    )
+    vis = visible(log)
+    td = build_tag_dictionary(vis, "tags")
+    enc = encode_tags(vis, td, id_col="id", tags_col="tags")
+    return (
+        enc.filter(
+            tags_any_strings_filter(
+                td, ["tag_003", "tag_007", "tag_013", "tag_021", "tag_034"]
+            )
+        )
+        .select(
+            "id", "tenant", "namespace",
+            F.to_json("tags").alias("tag_ids_json"), "epoch",
+        )
+        .orderBy("id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF coarse quantization (SURVEY §2.2 Q3) — deterministic, oracle-checked
 # variant (stride centroids); the KMeans production path is gated by the
