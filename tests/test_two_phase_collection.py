@@ -90,3 +90,31 @@ def test_delta_survives_compact_and_vacuum(spark, coll, queries):
     out = coll.topk_two_phase(queries, k=5, nprobe=8, rerank_factor=4)
     r1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
     assert r1[4] == 888_888
+
+
+def test_max_candidates_budget_clamps():
+    """config.h:129: candidate fetch per branch is clamped so an
+    adversarial k/rerank_factor cannot blow up the rerank join."""
+    from write_optimized_vector_database_spark.config import candidate_budget
+
+    assert candidate_budget(10, 4) == 40  # normal case untouched
+    assert candidate_budget(100, 1000) == 10_000  # global cap
+    assert candidate_budget(100, 1000, n_branches=2) == 5_000  # split cap
+    assert candidate_budget(1, 1) == 1
+
+
+def test_two_phase_adversarial_rerank_factor_capped(coll, queries):
+    """A huge rerank_factor must still execute (clamped), not explode."""
+    out = coll.topk_two_phase(queries, k=5, nprobe=8, rerank_factor=100_000)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_ivf_topk_k_guard(coll, queries):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_candidates"):
+        coll.topk_ivf(queries, k=10_001)

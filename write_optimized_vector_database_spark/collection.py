@@ -388,6 +388,12 @@ class VectorCollection:
         codebooks = spark.read.parquet(f"{self.path}/index_codebooks")
         idx_epoch = self._index_epoch()
 
+        # per-branch candidate budget: k×rerank_factor clamped so the
+        # stable∪delta union stays within max_candidates (config.h:129)
+        from write_optimized_vector_database_spark.config import candidate_budget
+
+        budget = candidate_budget(k, rerank_factor, n_branches=2)
+
         # stable candidates: probe → ADC over pruned posting lists.
         # cosine collections are L2-normalized at ingest, so ADC runs IP
         # (the cosine→IP reduction, types.h:40)
@@ -395,7 +401,7 @@ class VectorCollection:
         probes = probe_centroids(queries, cents, nprobe)
         pruned = index.join(F.broadcast(probes.select("centroid_id").distinct()), "centroid_id")
         stable_cand = pq_adc_topk(
-            pruned, queries, codebooks, k=k * rerank_factor,
+            pruned, queries, codebooks, k=budget,
             metric=adc_metric, vec_id_col="id",
         ).select("query_id", F.col("vec_id").alias("id"))
 
@@ -409,7 +415,7 @@ class VectorCollection:
             (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
         )
         delta_cand = exact_topk(
-            delta_vis, queries, k=k * rerank_factor, metric=self.metric,
+            delta_vis, queries, k=budget, metric=self.metric,
             vec_id_col="id", vec_col="vector",
         ).select("query_id", F.col("vec_id").alias("id"))
 
@@ -449,8 +455,12 @@ class VectorCollection:
 
         QueryRequest filters intersect the candidate set before top-k
         (reference probe-path intersection, msg-buf.h:236-255)."""
+        from write_optimized_vector_database_spark.config import QueryLimits
         from write_optimized_vector_database_spark.operators.ivf import ivf_topk
 
+        limits = QueryLimits()
+        if k > limits.max_candidates:
+            raise ValueError(f"k={k} exceeds max_candidates={limits.max_candidates}")
         index = self.spark.read.parquet(f"{self.path}/index_ivf")
         cents = self.spark.read.parquet(f"{self.path}/index_centroids")
         allowed = None

@@ -57,6 +57,17 @@ class QueryLimits:
     buffer_scan_enabled: bool = True  # RYW union, config.h:133
 
 
+def candidate_budget(
+    k: int, rerank_factor: int, n_branches: int = 1, limits: QueryLimits | None = None
+) -> int:
+    """Per-branch candidate budget for two-phase search: k × rerank_factor,
+    clamped so the UNION of `n_branches` candidate sets stays within the
+    global `max_candidates` cap (reference config.h:129) — an adversarial
+    k/rerank_factor combination cannot blow up the rerank join."""
+    limits = limits or QueryLimits()
+    return max(1, min(k * rerank_factor, limits.max_candidates // n_branches))
+
+
 @dataclass(frozen=True)
 class CompactionConfig:
     """Delta→stable merge policy (reference config.h:54-61)."""

@@ -207,6 +207,11 @@ def ivf_topk(
     its own scan and the join cost scales with nprobe/nlist, not with
     the table.
     """
+    from write_optimized_vector_database_spark.config import QueryLimits
+
+    limits = QueryLimits()
+    if k > limits.max_candidates:
+        raise ValueError(f"k={k} exceeds max_candidates={limits.max_candidates}")
     probes = probe_centroids(queries, centroids, nprobe)
     probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
     cand = index.filter(F.col("centroid_id").isin(probe_ids))

@@ -468,8 +468,11 @@ def opq_two_phase_topk(
         ],
         rq_schema,
     )
+    from write_optimized_vector_database_spark.config import candidate_budget
+
     cand = pq_adc_topk(
-        enc, rq, codebooks, k=k * rerank_factor, metric=metric, vec_id_col=vec_id_col
+        enc, rq, codebooks, k=candidate_budget(k, rerank_factor),
+        metric=metric, vec_id_col=vec_id_col,
     ).select("query_id", "vec_id")
     full = vectors.select(
         F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
@@ -615,10 +618,14 @@ def two_phase_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Two-phase search (reference two-phase-engine, config.h:132):
-    phase 1 ADC candidates (rerank_factor × k, config.h:93), phase 2
-    exact re-score on full vectors fetched by id, final top-k."""
+    phase 1 ADC candidates (rerank_factor × k, config.h:93, clamped to
+    max_candidates, config.h:129), phase 2 exact re-score on full
+    vectors fetched by id, final top-k."""
+    from write_optimized_vector_database_spark.config import candidate_budget
+
     cand = pq_adc_topk(
-        encoded, queries, codebooks, k=k * rerank_factor, metric=metric, vec_id_col=vec_id_col
+        encoded, queries, codebooks, k=candidate_budget(k, rerank_factor),
+        metric=metric, vec_id_col=vec_id_col,
     ).select("query_id", "vec_id")
     full = vectors.select(
         F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
