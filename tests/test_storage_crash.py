@@ -1,0 +1,120 @@
+"""Storage abstraction + crash-ordered snapshot swap.
+
+The reference injects kills mid-compaction (scripts/fault-inject.sh:9,
+`compaction_merge`); here the analog is a hook that raises at a named
+point inside VectorCollection.compact(). After any kill the collection
+must still serve a consistent view and a re-run must converge.
+Also: the same lifecycle code must run against the Hadoop FileSystem
+API (file:// URI here; hdfs/s3a/gs on a real cluster)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import write_optimized_vector_database_spark.collection as coll_mod
+from write_optimized_vector_database_spark.collection import VectorCollection
+from write_optimized_vector_database_spark.storage import HadoopStorage, LocalStorage
+
+
+def _batch(spark, ids, epoch0=0, val=1.0):
+    rows = [
+        ("UPSERT", i, "t0", "ns", [float(i), val], [1], epoch0 + i) for i in ids
+    ]
+    return spark.createDataFrame(
+        rows,
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long",
+    )
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+@pytest.fixture(autouse=True)
+def _clear_hook():
+    yield
+    coll_mod.FAULT_INJECT_HOOK = None
+
+
+@pytest.mark.parametrize("kill_point", ["snapshot_written", "pointer_swapped"])
+def test_kill_mid_compaction_recovers(spark, tmp_path, kill_point):
+    c = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    c.ingest(_batch(spark, range(20)))
+    c.compact()
+    epoch_before = c._snapshot_epoch()
+    c.ingest(_batch(spark, range(20, 40), epoch0=1000))
+
+    def hook(point):
+        if point == kill_point:
+            raise _Boom(point)
+
+    coll_mod.FAULT_INJECT_HOOK = hook
+    with pytest.raises(_Boom):
+        c.compact()
+    coll_mod.FAULT_INJECT_HOOK = None
+
+    # whatever the kill point, the view stays complete and consistent
+    assert c.current().count() == 40
+    if kill_point == "snapshot_written":
+        # pointer still at the OLD snapshot; tail serves the rest
+        assert c._snapshot_epoch() == epoch_before
+    else:
+        # pointer swapped: NEW snapshot live with its own epoch marker
+        assert c._snapshot_epoch() > epoch_before
+
+    # re-running compaction converges; vacuum can then drop the tail
+    c.compact()
+    assert c.current().count() == 40
+    c.vacuum()
+    assert c.current().count() == 40
+    # exactly one live snapshot version remains (stale ones GC'd)
+    vers = [d for d in c.fs.list_dirs(c.path) if "current_v" in d]
+    assert len(vers) == 1
+
+
+def test_crash_leaves_no_epoch_data_disagreement(spark, tmp_path):
+    """The snapshot epoch marker lives INSIDE the versioned dir, so a
+    kill between data write and pointer swap can never publish a new
+    epoch with old data (the r1 meta-after-rename gap)."""
+    c = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    c.ingest(_batch(spark, range(10)))
+
+    coll_mod.FAULT_INJECT_HOOK = lambda p: (_ for _ in ()).throw(_Boom(p))
+    with pytest.raises(_Boom):
+        c.compact()
+    coll_mod.FAULT_INJECT_HOOK = None
+    # nothing published: no pointer, epoch still -1, view from changelog
+    assert c._snapshot_epoch() == -1
+    assert c.current().count() == 10
+
+
+def test_hadoop_storage_backend_roundtrip(spark, tmp_path):
+    """Same lifecycle against the Hadoop FileSystem API via a file://
+    URI — what a real cluster uses for hdfs:// and s3a://."""
+    path = f"file://{tmp_path}/hc"
+    c = VectorCollection(spark, path, metric="ip")
+    assert isinstance(c.fs, HadoopStorage)
+    c.ingest(_batch(spark, range(15)))
+    c.compact()
+    assert c._snapshot_epoch() >= 0
+    assert c.current().count() == 15
+    # second cycle: tail + swap + vacuum through the Hadoop API
+    c.ingest(_batch(spark, range(15, 25), epoch0=2000))
+    assert c.current().count() == 25
+    c.compact()
+    removed = c.vacuum()
+    assert removed > 0
+    assert c.current().count() == 25
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.5])], "query_id long, query_vec array<float>"
+    )
+    assert c.topk(q, k=3).count() == 3
+    wa = c.write_amplification()
+    assert wa["bytes_logical"] > 0 and wa["bytes_physical"] > 0
+
+
+def test_local_storage_selected_for_bare_paths(spark, tmp_path):
+    c = VectorCollection(spark, str(tmp_path / "lc"), metric="ip")
+    assert isinstance(c.fs, LocalStorage)
