@@ -71,3 +71,33 @@ def test_assignment_partitions_cover_all_rows(spark, emb):
     assert index.filter(F.col("centroid_id").isNull()).count() == 0
     n_used = index.select("centroid_id").distinct().count()
     assert n_used > 1  # not everything collapsed into one list
+
+
+def test_collection_persists_and_consumes_calibration(spark, tmp_path, sf_dir):
+    """config.h:138-147: the calibrated nprobe is stored in the
+    collection manifest and used as the default when nprobe is omitted."""
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.changelog import (
+        synthetic_changelog,
+    )
+    from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+
+    c = VectorCollection(spark, str(tmp_path / "cal"), metric="ip")
+    c.ingest(synthetic_changelog(spark, sf_dir))
+    c.compact()
+    c.build_ivf_index(nlist=16)
+    qs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 6)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    nprobe, recall = c.calibrate_nprobe(qs, k=10, recall_target=0.95)
+    assert recall >= 0.95
+    meta = c._meta()
+    assert meta["calibrated_nprobe"] == nprobe
+    assert meta["calibrated_recall"] == recall
+    # nprobe=None consumes the stored value and meets the target
+    exact = c.topk(qs, k=10)
+    approx = c.topk_ivf(qs, k=10)  # no nprobe passed
+    rec = recall_at_k(approx, exact, 10).agg(F.avg("recall")).collect()[0][0]
+    assert rec >= 0.95, f"stored-nprobe recall {rec}"

@@ -91,7 +91,8 @@ def run_batch(
             part = collection.topk_ivf(
                 qdf,
                 k=top_k,
-                nprobe=nprobe or config.ivf.nprobe_delta,
+                # request override > persisted calibration > engine default
+                nprobe=nprobe,
                 tenant=tenant or None,
                 namespace=namespace or None,
                 tags_any=list(tags_any) or None,

@@ -365,6 +365,42 @@ class VectorCollection:
     def _index_epoch(self) -> int:
         return self._meta().get("index_epoch", -1)
 
+    def calibrate_nprobe(
+        self,
+        sample_queries: DataFrame,
+        k: int = 10,
+        recall_target: float = 0.95,
+        nprobe_lo: int = 2,
+        nprobe_hi: int | None = None,
+    ) -> tuple[int, float]:
+        """Auto-tune nprobe against the IVF index on a query sample and
+        PERSIST the decision (reference config.h:138-147 stores the
+        adaptive choice for 1 h; the batch analog stores it in the
+        collection manifest until the next calibration/index rebuild).
+        `topk_ivf(nprobe=None)` then consumes the stored value."""
+        from write_optimized_vector_database_spark.operators.ivf import (
+            calibrate_nprobe as _calibrate,
+        )
+
+        index = self.spark.read.parquet(f"{self.path}/index_ivf")
+        cents = self.spark.read.parquet(f"{self.path}/index_centroids")
+        exact = self.topk(sample_queries, k=k)
+        nprobe, recall = _calibrate(
+            index, cents, sample_queries, exact, k=k,
+            recall_target=recall_target, nprobe_lo=nprobe_lo,
+            nprobe_hi=nprobe_hi, metric=self.metric,
+            vec_id_col="id", vec_col="vector",
+        )
+        self._meta_update(
+            calibrated_nprobe=int(nprobe),
+            calibrated_recall=float(recall),
+            calibrated_at=time.time(),
+        )
+        return nprobe, recall
+
+    def _default_nprobe(self, fallback: int = 8) -> int:
+        return int(self._meta().get("calibrated_nprobe", fallback))
+
     def write_amplification(self) -> dict:
         """Write-amplification telemetry (reference targets: p50 ≤ 2.3,
         p95 ≤ 2.6, types.h:144-145). Logical bytes = changelog appends
@@ -393,7 +429,7 @@ class VectorCollection:
         self,
         queries: DataFrame,
         k: int = 10,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         rerank_factor: int = 4,
     ) -> DataFrame:
         """The reference's full read path (SURVEY §3.2) over both
@@ -416,6 +452,8 @@ class VectorCollection:
             topk_per_group,
         )
 
+        if nprobe is None:
+            nprobe = self._default_nprobe()  # calibrated value if stored
         spark = self.spark
         index = spark.read.parquet(f"{self.path}/index_stable")
         cents = spark.read.parquet(f"{self.path}/index_centroids")
@@ -476,7 +514,7 @@ class VectorCollection:
         self,
         queries: DataFrame,
         k: int = 10,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         tenant: str | None = None,
         namespace: str | None = None,
         tags_any: list[int | str] | None = None,
@@ -495,6 +533,8 @@ class VectorCollection:
         limits = QueryLimits()
         if k > limits.max_candidates:
             raise ValueError(f"k={k} exceeds max_candidates={limits.max_candidates}")
+        if nprobe is None:
+            nprobe = self._default_nprobe()  # calibrated value if stored
         index = self.spark.read.parquet(f"{self.path}/index_ivf")
         cents = self.spark.read.parquet(f"{self.path}/index_centroids")
         allowed = None
