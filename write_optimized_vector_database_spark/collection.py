@@ -70,6 +70,20 @@ class VectorCollection:
 
     # -- write path ---------------------------------------------------------
 
+    @staticmethod
+    def _with_bloom(writer):
+        """Parquet bloom filters on the point-lookup keys (reference
+        config.h:120-121: per-segment bloom on id_hash, fpp 0.01). The
+        snapshot is SORTED by id_hash (zone maps prune that key); bloom
+        covers the unsorted `id` equality lookups the zone maps can't.
+        At 100 TB, set parquet.bloom.filter.expected.ndv per table to
+        right-size the bitsets; the fpp default here keeps row-group
+        skips at 99% for absent keys."""
+        for col in ("id", "id_hash"):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+            writer = writer.option(f"parquet.bloom.filter.fpp#{col}", "0.01")
+        return writer
+
     def _dir_bytes(self, subdir: str) -> int:
         return sum(
             self.fs.getsize(f)
@@ -141,7 +155,7 @@ class VectorCollection:
         out = out.withColumn("id_hash", id_hash("id"))
         n = out.count()
         before = self._dir_bytes("changelog")
-        out.write.mode("append").parquet(f"{self.path}/changelog")
+        self._with_bloom(out.write).mode("append").parquet(f"{self.path}/changelog")
         written = self._dir_bytes("changelog") - before
         meta = self._meta()
         self._meta_update(
@@ -233,7 +247,9 @@ class VectorCollection:
         base = self.current()  # snapshot anti-join tail merge (no snapshot re-window)
         ver = f"current_v{int(time.time() * 1000)}"
         new_dir = f"{self.path}/{ver}"
-        base.sortWithinPartitions("id_hash").write.mode("overwrite").parquet(new_dir)
+        self._with_bloom(
+            base.sortWithinPartitions("id_hash").write
+        ).mode("overwrite").parquet(new_dir)
         self.fs.write_text_atomic(
             f"{new_dir}/_SNAPSHOT_META.json",
             json.dumps({"snapshot_epoch": int(max_epoch)}),
@@ -350,8 +366,8 @@ class VectorCollection:
         assigned = assign_centroids(cur, cents, vec_col="vector")
         encoded = pq_encode(assigned, codebooks, vec_col="vector")
         (
-            encoded.select("id", "centroid_id", "codes")
-            .write.mode("overwrite")
+            self._with_bloom(encoded.select("id", "centroid_id", "codes").write)
+            .mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/index_stable")
         )

@@ -154,8 +154,13 @@ def write_ivf_index(
     assigned: DataFrame, path: str, mode: str = "overwrite"
 ) -> None:
     """Materialize the index partitioned by centroid_id — the posting-list
-    layout partition pruning needs."""
-    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+    layout partition pruning needs. Bloom filters on the id column
+    (config.h:120-121) cover by-id candidate fetches inside a probed
+    posting list."""
+    writer = assigned.write.option("parquet.bloom.filter.enabled#id", "true").option(
+        "parquet.bloom.filter.fpp#id", "0.01"
+    )
+    writer.mode(mode).partitionBy("centroid_id").parquet(path)
 
 
 def probe_centroids(
