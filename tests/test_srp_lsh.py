@@ -87,3 +87,22 @@ def test_multitable_self_match(emb):
     out = srp_multitable_topk(emb, queries, tables, k=3, metric="ip").collect()
     rank1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
     assert rank1 == {i: i for i in rank1} and len(rank1) == 10
+
+
+def test_arrow_and_fold_buckets_bit_identical(spark, sf_dir):
+    """The production Arrow bucketing (cumsum fold discipline) must
+    produce the exact same bucket ids as the JVM fold twin."""
+    from pyspark.sql import functions as F
+
+    from write_optimized_vector_database_spark.operators.srp_lsh import (
+        multitable_planes_from_stride,
+        srp_index,
+        srp_index_np,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tables = multitable_planes_from_stride(emb, 11, 6, 3)
+    a = srp_index_np(emb, tables)
+    b = srp_index(emb, tables)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -82,7 +82,9 @@ class VectorCollection:
         for col in ("id", "id_hash"):
             writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
             writer = writer.option(f"parquet.bloom.filter.fpp#{col}", "0.01")
-        return writer
+        # adaptive sizing: without it every column chunk pays the 1 MiB
+        # default bitset regardless of its actual NDV — 2× compaction cost
+        return writer.option("parquet.bloom.filter.adaptive.enabled", "true")
 
     def _dir_bytes(self, subdir: str) -> int:
         return sum(

@@ -67,6 +67,84 @@ def probe_buckets(bucket: Column, n_planes: int) -> Column:
     )
 
 
+def _fold_dots_np(v, planes):
+    """Per-plane inner products with EXACT left-to-right fold semantics:
+    elementwise products then `np.cumsum` (a sequential prefix sum), so
+    every double op matches the JVM `F.aggregate` fold — and therefore
+    the DuckDB `list_inner_product` oracle — bit for bit, while running
+    as vectorized C loops instead of per-row codegen expression trees.
+    Returns (n, n_planes)."""
+    import numpy as np
+
+    p = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    out = np.empty((len(v), len(p)), dtype=np.float64)
+    for b in range(len(p)):
+        out[:, b] = np.cumsum(v * p[b][None, :], axis=1)[:, -1]
+    return out
+
+
+def srp_buckets_np(v, tables):
+    """Bucket id per (row, table) for a (n, dim) float64 matrix — the
+    driver/Arrow twin of `bucket_column`. Returns (n, n_tables) int32."""
+    import numpy as np
+
+    n_planes = len(tables[0])
+    flat = [plane for planes in tables for plane in planes]
+    dots = _fold_dots_np(v, flat)  # (n, n_tables·n_planes)
+    bits = (dots > 0).astype(np.int64)
+    weights = np.asarray([1 << b for b in range(n_planes)], dtype=np.int64)
+    out = np.empty((len(v), len(tables)), dtype=np.int32)
+    for t in range(len(tables)):
+        out[:, t] = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+    return out
+
+
+def srp_index_np(
+    vectors: DataFrame,
+    tables: list[list[list[float]]],
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket) via ONE Arrow pass — the production
+    bucketing path. All r·n_planes dot products per row happen as NumPy
+    array ops per batch instead of r·n_planes JVM folds per row (the
+    round-1 2× lever on vec_srp_multitable_topk); the cumsum fold
+    discipline keeps bucket ids bit-identical to the `srp_index`
+    fold/oracle variant, which stays as the cross-checkable twin."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            buckets = srp_buckets_np(v, tables)  # (n, r)
+            n, r = buckets.shape
+            ids = pdf[vec_id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    vec_id_col: np.repeat(ids, r),
+                    "table": np.tile(np.arange(r, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(vec_id_col, vectors.schema[vec_id_col].dataType),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+    return vectors.select(vec_id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
 def multitable_planes_from_stride(
     vectors: DataFrame, stride: int, n_planes: int, n_tables: int,
     vec_id_col: str = "vec_id", vec_col: str = "embedding",
@@ -115,6 +193,7 @@ def srp_multitable_topk(
     metric: str = "ip",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Multi-table multi-probe SRP ANN: r independent plane tables; a
     query's candidates are the union over tables of its Hamming≤1 probe
@@ -122,24 +201,58 @@ def srp_multitable_topk(
     ((1-p^n)^r) where one table needs many probes for the same recall.
 
     Shuffle shape: the (table, bucket) equi-join is the only wide op
-    before rerank; probes are broadcast (r·(n_planes+1) rows/query)."""
+    before rerank; probes are broadcast (r·(n_planes+1) rows/query).
+
+    `impl="arrow"` (production default) buckets the collection in one
+    Arrow/NumPy pass and the ≤100 queries driver-side; `impl="fold"`
+    uses the per-plane JVM folds. The cumsum fold discipline makes both
+    produce bit-identical buckets — "fold" remains as the directly
+    SQL-shaped twin and cross-check."""
     n_planes = len(tables[0])
-    idx = srp_index(vectors, tables, vec_id_col, vec_col)
-    probe_entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                probe_buckets(
-                    bucket_column("query_vec", planes), n_planes
-                ).alias("buckets"),
-            )
-            for t, planes in enumerate(tables)
+    if impl == "arrow":
+        import numpy as np
+        from pyspark.sql import types as T
+
+        idx = srp_index_np(vectors, tables, vec_id_col, vec_col)
+        # queries are ≤100 by the batch contract (config.h:180) — a
+        # bounded collect; probes are r·(n_planes+1) ints per query
+        qrows = queries.select("query_id", "query_vec").collect()
+        qv = np.asarray([np.asarray(r.query_vec, dtype=np.float64) for r in qrows])
+        qb = srp_buckets_np(qv, tables)
+        probe_rows = [
+            (r.query_id, t, int(b) ^ flip)
+            for qi, r in enumerate(qrows)
+            for t in range(len(tables))
+            for b in (qb[qi, t],)
+            for flip in (0, *(1 << i for i in range(n_planes)))
         ]
-    )
-    probes = (
-        queries.select("query_id", F.explode(probe_entries).alias("e"))
-        .select("query_id", "e.table", F.explode("e.buckets").alias("bucket"))
-    )
+        probes = queries.sparkSession.createDataFrame(
+            probe_rows,
+            T.StructType(
+                [
+                    T.StructField("query_id", queries.schema["query_id"].dataType),
+                    T.StructField("table", T.IntegerType()),
+                    T.StructField("bucket", T.IntegerType()),
+                ]
+            ),
+        )
+    else:
+        idx = srp_index(vectors, tables, vec_id_col, vec_col)
+        probe_entries = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    probe_buckets(
+                        bucket_column("query_vec", planes), n_planes
+                    ).alias("buckets"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        probes = (
+            queries.select("query_id", F.explode(probe_entries).alias("e"))
+            .select("query_id", "e.table", F.explode("e.buckets").alias("bucket"))
+        )
     cand_ids = (
         idx.join(F.broadcast(probes), ["table", "bucket"])
         .select("query_id", F.col(vec_id_col).alias("vec_id"))
