@@ -68,3 +68,69 @@ def evt_streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "total_value",
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "evt_streaming_sessionization",
+    # session_window semantics: an event EXTENDS the session iff
+    # ts − prev_ts < gap, so a new session starts at gap ≥ 30 min
+    # (the batch evt_sessionization twin uses > — boundary differs);
+    # window.end = last event ts + gap.
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts::TIMESTAMP)
+                      - epoch_us(lag(ts::TIMESTAMP) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+HAVING COUNT(*) >= 3
+ORDER BY user_id, session_start
+""",
+    survey_ref="[EXT] sessionization (streaming session_window)",
+    tags=["streaming", "events", "window", "session"],
+)
+def evt_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming sessionization: `session_window(ts, '30 minutes')`
+    per user, drained via availableNow — Spark's stateful dynamic-gap
+    window merging, hash-checked against the batch lag+cumsum oracle.
+    At scale this runs in update mode with a watermark bounding state;
+    the complete-mode drain here makes the full result observable."""
+    name = f"evt_sess_stream_{int(time.time() * 1000)}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .filter(F.col("n_events") >= 3)
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
