@@ -776,3 +776,88 @@ def vec_sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label")
     )
+
+
+_SQ8_ORACLE = """
+WITH dims AS (
+  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i
+),
+stats AS (
+  SELECT i,
+         min(embedding[i]::DOUBLE) AS vmin,
+         max(embedding[i]::DOUBLE) AS vmax
+  FROM embeddings CROSS JOIN dims
+  GROUP BY i
+),
+params AS (
+  SELECT list(vmin ORDER BY i) AS vmins,
+         list(CASE WHEN vmax = vmin THEN 0.0 ELSE (vmax - vmin) / 255.0 END
+              ORDER BY i) AS scales
+  FROM stats
+),
+codes AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.embedding) + 1),
+           i -> CASE WHEN p.scales[i] = 0.0 THEN 0
+                     ELSE least(255, greatest(0,
+                          CAST(floor((e.embedding[i]::DOUBLE - p.vmins[i])
+                                     / p.scales[i] + 0.5) AS INT))) END
+         ) AS codes
+  FROM embeddings e CROSS JOIN params p
+),
+recon AS (
+  SELECT c.vec_id,
+         list_transform(range(1, len(c.codes) + 1),
+           i -> p.vmins[i] + c.codes[i] * p.scales[i]) AS rv
+  FROM codes c CROSS JOIN params p
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+adc AS (
+  SELECT q.query_id, r.vec_id,
+         list_inner_product(q.qv, r.rv::DOUBLE[]) AS adc_score
+  FROM q CROSS JOIN recon r
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_score DESC, vec_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= 40
+),
+rer AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(q.qv, e.embedding::DOUBLE[]) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM rer
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "vec_sq8_two_phase",
+    oracle=_SQ8_ORACLE,
+    survey_ref="Q4,Q5 (SQ sibling of PQ two-phase, config.h:92-93,131-136)",
+    tags=["vector", "sq8", "topk"],
+)
+def vec_sq8_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 two-phase search: min/max train -> uint8 encode -> ADC
+    candidates -> exact rerank. Fully deterministic (no RNG), so the
+    ENTIRE pipeline -- codes, reconstruction, ADC ordering, rerank -- is
+    hash-checked against the DuckDB oracle, not just the final ranks."""
+    from write_optimized_vector_database_spark.operators.sq8 import sq8_two_phase_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sq8_two_phase_topk(emb, queries, k=10, rerank_factor=4, metric="ip")
+    return out.withColumn("rank", F.col("rank").cast("long"))
