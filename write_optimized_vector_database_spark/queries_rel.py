@@ -713,3 +713,95 @@ def evt_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "evt_incident_range_join",
+    oracle="""
+WITH w AS (
+  SELECT event_id AS incident_id,
+         ts::TIMESTAMP - INTERVAL 10 MINUTE AS w_start,
+         ts::TIMESTAMP + INTERVAL 10 MINUTE AS w_end
+  FROM events WHERE event_type = 'error' AND value > 95
+)
+SELECT w.incident_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN w ON e.ts::TIMESTAMP BETWEEN w.w_start AND w.w_end
+GROUP BY w.incident_id
+ORDER BY w.incident_id
+""",
+    survey_ref="[EXT] interval range join (bucketed reduction)",
+    tags=["events", "range_join"],
+)
+def evt_incident_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: +/-10-minute incident windows around
+    high-value errors, joined to all events inside each window. The
+    Spark plan is the bucketed equi-join reduction (operators/rollup.py
+    range_join_buckets) -- a hash join on an hour-bucket key with the
+    BETWEEN as residual, never a nested loop; the DuckDB oracle states
+    the same join declaratively (its IEJoin handles it at oracle scale)."""
+    from write_optimized_vector_database_spark.operators.rollup import range_join_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter((F.col("event_type") == "error") & (F.col("value") > 95)).select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    joined = range_join_buckets(
+        ev.select("ts", "user_id", "value"), windows, bucket_seconds=3600
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+@register(
+    "evt_hypertable_rollup_merge",
+    oracle="""
+SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS bucket_ts, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    survey_ref="[EXT] hypertable continuous-aggregate hierarchy",
+    tags=["events", "rollup"],
+)
+def evt_hypertable_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous aggregate: daily totals assembled from
+    three pre-aggregated branches -- (a) daily rollup re-aggregated from
+    hourly cells for full days, (b) hourly cells for the closed hours of
+    the current partial day, (c) raw tail past the hour watermark. The
+    oracle aggregates raw rows directly; equality holds because partial
+    sums accumulate in exact DECIMAL (merge-of-partials == direct agg),
+    which is precisely the invariant a hypertable rollup must maintain."""
+    from write_optimized_vector_database_spark.operators.rollup import (
+        hourly_rollup,
+        merge_rollup_branches,
+        rollup_to_coarser,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.date_trunc("hour", F.max("ts")).alias("wm")).first()["wm"]
+    day0 = wm.replace(hour=0, minute=0, second=0, microsecond=0)
+    keys = ["event_type"]
+
+    hourly_full_days = hourly_rollup(ev.filter(F.col("ts") < F.lit(day0)), keys)
+    daily = rollup_to_coarser(hourly_full_days, "day", keys)
+    hourly_partial_day = hourly_rollup(
+        ev.filter((F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(wm))), keys
+    )
+    tail = hourly_rollup(ev.filter(F.col("ts") >= F.lit(wm)), keys)
+
+    return merge_rollup_branches(
+        [daily, hourly_partial_day, tail], "day", keys
+    ).orderBy("bucket_ts", "event_type")
