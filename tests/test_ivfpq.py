@@ -1,0 +1,110 @@
+"""IVF-PQ composite gates: the learned path (k-means centroids +
+k-means residual codebooks) must hit the two-phase recall contract, the
+residual decomposition must be exact, and nprobe = nlist with a fine
+codebook must approach the exact scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.operators.ivf import (
+    recall_at_k,
+    train_centroids_kmeans,
+)
+from write_optimized_vector_database_spark.operators.ivfpq import (
+    assign_centroids,
+    ivfpq_encode,
+    ivfpq_two_phase_topk,
+    residualize,
+    train_ivfpq_codebooks,
+)
+from write_optimized_vector_database_spark.operators.topk import exact_topk
+from write_optimized_vector_database_spark.sources.tables import load_table
+
+NLIST, M, NPROBE = 8, 8, 6
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(emb, queries):
+    return exact_topk(emb, queries, k=10, metric="ip").cache()
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    return train_centroids_kmeans(emb, nlist=NLIST, seed=42)
+
+
+@pytest.fixture(scope="module")
+def cb(emb, cents):
+    return train_ivfpq_codebooks(emb, cents, dim=64, m=M)
+
+
+@pytest.fixture(scope="module")
+def index(emb, cents, cb):
+    return ivfpq_encode(emb, cents, cb).cache()
+
+
+def test_residual_decomposition_exact(emb, cents):
+    """(x − c) + c recovers x to within one rounding step per element
+    (the subtract itself is a single double op; re-adding c costs at
+    most an ulp of c)."""
+    res = residualize(assign_centroids(emb, cents), cents)
+    bad = (
+        res.join(
+            cents.select("centroid_id", F.col("centroid").cast("array<double>").alias("c")),
+            "centroid_id",
+        )
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    F.zip_with(F.col("residual"), F.col("c"), lambda r, c: r + c),
+                    F.col("embedding").cast("array<double>"),
+                    lambda rec, x: F.abs(rec - x),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("err")
+        )
+        .filter(F.col("err") > 1e-9)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_index_rows_are_int_only(index):
+    kinds = dict(index.dtypes)
+    assert kinds == {
+        "vec_id": "bigint",
+        "centroid_id": "int",
+        "codes": "array<int>",
+    }, kinds
+
+
+def test_two_phase_recall(emb, index, queries, cents, cb, exact):
+    approx = ivfpq_two_phase_topk(
+        emb, index, queries, cents, cb, k=10, nprobe=NPROBE, rerank_factor=4
+    )
+    r = recall_at_k(approx, exact, k=10).agg(F.avg("recall").alias("r")).first()["r"]
+    assert r >= 0.95, f"IVFPQ two-phase recall {r} < 0.95"
+
+
+def test_l2_metric_path(emb, index, queries, cents, cb):
+    exact_l2 = exact_topk(emb, queries, k=10, metric="l2")
+    approx = ivfpq_two_phase_topk(
+        emb, index, queries, cents, cb, k=10, nprobe=NPROBE, rerank_factor=4, metric="l2"
+    )
+    r = recall_at_k(approx, exact_l2, k=10).agg(F.avg("recall").alias("r")).first()["r"]
+    assert r >= 0.9, f"IVFPQ l2 recall {r} < 0.9"

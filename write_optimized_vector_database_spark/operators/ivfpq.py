@@ -1,0 +1,352 @@
+"""IVF-PQ composite index — coarse quantization for pruning + residual
+product quantization for in-list scoring (the FAISS ``IndexIVFPQ``
+design, Jégou et al. 2011, public knowledge).
+
+The reference runs IVF (config.h:138-147) and PQ (config.h:131-136) as
+separate stages of its two-phase engine; composing them is the standard
+scale move: the coarse index prunes to nprobe posting lists, and within
+a list vectors are scored from 8-bit codes of their RESIDUAL
+(x − centroid), which quantizes a much tighter distribution than raw
+vectors and so loses less precision per bit.
+
+Spark shape, and why it holds at 100 TB:
+
+- the encoded index is (vec_id, centroid_id, codes) — ints only, laid
+  out partitioned-by-centroid_id (write_ivf_index), so probing is
+  *static partition pruning*: only nprobe posting lists are read;
+- the probe set is bounded (≤ batch·nprobe ≤ 1600 at reference caps)
+  and applied as a literal isin filter, same contract as ivf_topk;
+- ADC is one Arrow pass over the pruned codes; for IP the LUT is
+  per-query (residual terms) plus a scalar ⟨q, centroid⟩ offset per
+  (query, probed list) — both driver-built from bounded inputs
+  (≤100 queries × nprobe lists, m×256 LUT cells);
+- rerank fetches full vectors by candidate id only.
+
+Like IVF/PQ/OPQ, the learned path (k-means centroids + k-means
+codebooks) is recall-gated in tests, and a stride-built deterministic
+twin (`ivfpq_two_phase_exact_fold`) makes every float op — assignment,
+residuals, encoding, LUT, ordered ADC sums, rerank — hash-checkable
+against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.functions.distance import dot_product
+from write_optimized_vector_database_spark.operators.ivf import (
+    assign_centroids,
+    assign_centroids_exact,
+    probe_centroids,
+)
+from write_optimized_vector_database_spark.operators.pq import (
+    _codebooks_np,
+    codebooks_from_stride,
+    explode_subspaces,
+    pq_encode,
+    pq_encode_exact,
+    train_pq_codebooks_kmeans,
+)
+from write_optimized_vector_database_spark.operators.topk import (
+    score_column,
+    topk_per_group,
+)
+
+
+def residualize(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Add `out_col` = x − centroid[centroid_id] as array<double>.
+
+    JVM-side: broadcast the (tiny) centroid table and `zip_with`-subtract
+    inside whole-stage codegen. Elementwise subtraction is a single
+    deterministic double op, so the exact twin and the production path
+    share this function bit-for-bit.
+    """
+    cents = centroids.select(
+        "centroid_id", F.col("centroid").cast("array<double>").alias("__cent")
+    )
+    return (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), F.col("__cent"), lambda x, c: x - c
+            ),
+        )
+        .drop("__cent")
+    )
+
+
+def train_ivfpq_codebooks(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Residual codebooks: assign → subtract centroid → per-subspace
+    k-means. Training rows are hard-capped inside
+    train_pq_codebooks_kmeans (256·2^nbits), never the full table."""
+    assigned = assign_centroids(vectors, centroids, vec_col)
+    res = residualize(assigned, centroids, vec_col)
+    return train_pq_codebooks_kmeans(
+        res,
+        dim,
+        m,
+        nbits=nbits,
+        vec_col="residual",
+        id_col=id_col,
+        sample_fraction=sample_fraction,
+    )
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, centroid_id, codes) — the int-only index rows. One Arrow
+    pass for assignment, one JVM subtract, one Arrow pass for encoding."""
+    assigned = assign_centroids(vectors, centroids, vec_col)
+    res = residualize(assigned, centroids, vec_col)
+    enc = pq_encode(
+        res.select(id_col, "centroid_id", F.col("residual").alias("__resv")),
+        codebooks,
+        vec_col="__resv",
+    )
+    return enc.select(id_col, "centroid_id", "codes")
+
+
+def ivfpq_adc_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "ip",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Phase-1 candidates from codes only, restricted to probed lists.
+
+    IP decomposition: ⟨q, c + r̂⟩ = ⟨q, c⟩ + Σ_s LUT_q[s, code_s] — the
+    LUT is centroid-independent, the offset is a scalar per (q, list).
+    L2 decomposition: ‖q − c − r̂‖² = Σ_s ‖(q−c)_s − cb_s‖² — one LUT per
+    (q, probed list); at most 100·nprobe LUTs of m×2^nbits cells, built
+    driver-side with NumPy.
+    """
+    cb, m, _ = _codebooks_np(codebooks)
+    d_sub = cb.shape[2]
+    crows = centroids.orderBy("centroid_id").collect()
+    cent_vecs = {r.centroid_id: np.asarray(r.centroid, dtype=np.float64) for r in crows}
+    qrows = queries.select("query_id", "query_vec").collect()
+    qids = [r.query_id for r in qrows]
+    qv = np.asarray([np.asarray(r.query_vec, dtype=np.float64) for r in qrows])
+
+    probes = probe_centroids(queries, centroids, nprobe)
+    probe_pairs = probes.collect()  # bounded: ≤ |queries| × nprobe
+    probe_ids = sorted({r.centroid_id for r in probe_pairs})
+    # cid → row indices of the queries probing it
+    by_cid: dict[int, list[int]] = {}
+    qpos = {q: i for i, q in enumerate(qids)}
+    for r in probe_pairs:
+        by_cid.setdefault(r.centroid_id, []).append(qpos[r.query_id])
+
+    qsub = qv.reshape(len(qv), m, d_sub)
+    if metric == "ip":
+        lut = np.einsum("qsd,skd->qsk", qsub, cb)  # residual terms
+        offset = {
+            cid: qv @ cent_vecs[cid] for cid in probe_ids
+        }  # (Q,) per probed list
+    elif metric == "l2":
+        lut_qc = {}
+        for cid in probe_ids:
+            qc = (qv - cent_vecs[cid][None, :]).reshape(len(qv), m, d_sub)
+            diff = qc[:, :, None, :] - cb[None, :, :, :]
+            lut_qc[cid] = -((diff**2).sum(-1))  # (Q, m, k), higher-better
+    else:
+        raise ValueError(f"IVFPQ ADC unsupported for metric {metric!r}")
+
+    qids_np = np.asarray(qids)
+    s_idx = np.arange(m)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for cid, grp in pdf.groupby("centroid_id", sort=False):
+                qi = by_cid.get(cid)
+                if not qi:
+                    continue
+                codes = np.asarray(list(grp["codes"]), dtype=np.int64)  # (n, m)
+                if metric == "ip":
+                    scores = lut[qi][:, s_idx, codes].sum(-1) + np.asarray(
+                        offset[cid]
+                    )[qi, None]
+                else:
+                    scores = lut_qc[cid][qi][:, s_idx, codes].sum(-1)
+                n = len(grp)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids_np[qi], n),
+                            "vec_id": np.tile(grp[vec_id_col].to_numpy(), len(qi)),
+                            "score": scores.reshape(-1),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    from pyspark.sql import types as T
+
+    scored_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema["query_id"].dataType),
+            T.StructField("vec_id", index.schema[vec_id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    pruned = index.filter(F.col("centroid_id").isin(probe_ids)).select(
+        F.col(vec_id_col), "centroid_id", "codes"
+    )
+    scored = pruned.mapInPandas(fn, schema=scored_schema)
+    return topk_per_group(
+        scored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k
+    ).select("query_id", "vec_id", "score", "rank")
+
+
+def ivfpq_two_phase_topk(
+    vectors: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    metric: str = "ip",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC candidates from the pruned lists → exact rerank by id."""
+    from write_optimized_vector_database_spark.config import candidate_budget
+
+    cand = ivfpq_adc_topk(
+        index,
+        queries,
+        centroids,
+        codebooks,
+        k=candidate_budget(k, rerank_factor),
+        nprobe=nprobe,
+        metric=metric,
+        vec_id_col=vec_id_col,
+    ).select("query_id", "vec_id")
+    full = vectors.select(
+        F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    )
+    rescored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            score_column(metric, "query_vec", "__vec").alias("score"),
+        )
+    )
+    return topk_per_group(
+        rescored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k
+    ).select("query_id", "vec_id", "score", "rank")
+
+
+def ivfpq_two_phase_exact_fold(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks_residual: DataFrame,
+    dim: int,
+    m: int,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVFPQ (IP metric) where every float op is a JVM fold
+    or an explicitly-ordered sum — the hash-checkable twin.
+
+    adc(q, x) = ⟨q, c(x)⟩ + Σ_s term(q, s, code_s(x)), summed in
+    subspace order via pivot columns (a groupBy SUM over doubles would
+    be partition-order dependent)."""
+    assigned = assign_centroids_exact(vectors, centroids, vec_col, vec_id_col)
+    res = residualize(assigned, centroids, vec_col)
+    enc = pq_encode_exact(res, codebooks_residual, dim, m, vec_col="residual", id_col=vec_id_col)
+
+    probes = probe_centroids(queries, centroids, nprobe)
+    # candidate (query, vec) pairs: vectors living in probed lists
+    cand_pairs = (
+        assigned.select(F.col(vec_id_col).alias("vec_id"), "centroid_id")
+        .join(F.broadcast(probes), "centroid_id")
+    )
+    offsets = (
+        probes.join(F.broadcast(queries), "query_id")
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(
+            "query_id",
+            "centroid_id",
+            dot_product("query_vec", F.col("centroid").cast("array<double>")).alias(
+                "__offset"
+            ),
+        )
+    )
+    qsub = explode_subspaces(queries, dim, m, "query_vec", "query_id")
+    lut = qsub.join(F.broadcast(codebooks_residual), "subspace").select(
+        "query_id", "subspace", "code", dot_product("sv", "cvec").alias("term")
+    )
+    terms = (
+        cand_pairs.join(enc.withColumnRenamed(vec_id_col, "vec_id"), "vec_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .select("query_id", "vec_id", "centroid_id", "subspace", "term")
+    )
+    wide = (
+        terms.groupBy("query_id", "vec_id", "centroid_id")
+        .pivot("subspace", list(range(m)))
+        .agg(F.first("term"))
+        .join(F.broadcast(offsets), ["query_id", "centroid_id"])
+    )
+    adc = F.col("__offset") + reduce(
+        lambda a, b: a + b, [F.col(str(s)) for s in range(m)]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__adc").desc(), F.col("vec_id").asc())
+    cand = (
+        wide.withColumn("__adc", adc)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * rerank_factor)
+        .select("query_id", "vec_id")
+    )
+    full = vectors.select(F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
+    rescored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", dot_product("query_vec", "__vec").alias("score"))
+    )
+    return topk_per_group(
+        rescored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k,
+        prune_partitions=False,
+    ).select("query_id", "vec_id", "score", "rank")

@@ -861,3 +861,150 @@ def vec_sq8_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sq8_two_phase_topk(emb, queries, k=10, rerank_factor=4, metric="ip")
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (coarse prune + residual PQ ADC) — deterministic twin
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CSTRIDE, _IVFPQ_CBSTRIDE = 31, 17
+_IVFPQ_M, _IVFPQ_DSUB, _IVFPQ_NPROBE, _IVFPQ_RERANK = 8, 8, 4, 4
+
+_IVFPQ_TERM_COLS = ",\n    ".join(
+    f"SUM(CASE WHEN l.subspace = {s} THEN l.term END) AS t{s}"
+    for s in range(_IVFPQ_M)
+)
+_IVFPQ_TERM_SUM = " + ".join(f"t{s}" for s in range(_IVFPQ_M))
+
+_IVFPQ_ORACLE = f"""
+WITH cents AS (
+  SELECT (vec_id // {_IVFPQ_CSTRIDE})::INT AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id % {_IVFPQ_CSTRIDE} = 0
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT e.vec_id, a.centroid_id,
+         list_transform(range(1, len(e.embedding) + 1),
+           i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS rv
+  FROM embeddings e JOIN assign a USING (vec_id) JOIN cents c USING (centroid_id)
+),
+cb AS (
+  SELECT s.s::INT AS subspace, (r.vec_id // {_IVFPQ_CBSTRIDE})::INT AS code,
+         r.rv[s.s*{_IVFPQ_DSUB}+1 : s.s*{_IVFPQ_DSUB}+{_IVFPQ_DSUB}] AS cvec
+  FROM res r, range({_IVFPQ_M}) s(s) WHERE r.vec_id % {_IVFPQ_CBSTRIDE} = 0
+),
+subres AS (
+  SELECT vec_id, s.s::INT AS subspace,
+         rv[s.s*{_IVFPQ_DSUB}+1 : s.s*{_IVFPQ_DSUB}+{_IVFPQ_DSUB}] AS sv
+  FROM res, range({_IVFPQ_M}) s(s)
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT v.vec_id, v.subspace, c.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.subspace
+                              ORDER BY list_distance(v.sv, c.cvec) ASC, c.code ASC) AS rn
+    FROM subres v JOIN cb c ON c.subspace = v.subspace
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(q.embedding::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+offs AS (
+  SELECT p.query_id, p.centroid_id,
+         list_inner_product(q.embedding::DOUBLE[], c.centroid) AS off
+  FROM probes p JOIN q USING (query_id) JOIN cents c USING (centroid_id)
+),
+qsub AS (
+  SELECT query_id, s.s::INT AS subspace,
+         (embedding::DOUBLE[])[s.s*{_IVFPQ_DSUB}+1 : s.s*{_IVFPQ_DSUB}+{_IVFPQ_DSUB}] AS sv
+  FROM q, range({_IVFPQ_M}) s(s)
+),
+lut AS (
+  SELECT qs.query_id, qs.subspace, c.code, list_inner_product(qs.sv, c.cvec) AS term
+  FROM qsub qs JOIN cb c ON c.subspace = qs.subspace
+),
+cand_pairs AS (
+  SELECT p.query_id, a.vec_id, p.centroid_id
+  FROM probes p JOIN assign a USING (centroid_id)
+),
+adc AS (
+  SELECT l.query_id, cp.vec_id, cp.centroid_id,
+    {_IVFPQ_TERM_COLS}
+  FROM cand_pairs cp
+  JOIN enc e ON e.vec_id = cp.vec_id
+  JOIN lut l ON l.query_id = cp.query_id AND l.subspace = e.subspace AND l.code = e.code
+  GROUP BY l.query_id, cp.vec_id, cp.centroid_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT a.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY a.query_id
+                              ORDER BY (o.off + ({_IVFPQ_TERM_SUM})) DESC,
+                                       a.vec_id ASC) AS rn
+    FROM adc a JOIN offs o ON o.query_id = a.query_id AND o.centroid_id = a.centroid_id
+  ) WHERE rn <= {10 * _IVFPQ_RERANK}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM cand c JOIN q USING (query_id) JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "vec_ivfpq_two_phase_deterministic",
+    oracle=_IVFPQ_ORACLE,
+    survey_ref="Q3,Q4,Q5 (IVF x PQ composite: coarse prune + residual ADC)",
+    tags=["vector", "ivf", "pq", "topk"],
+)
+def vec_ivfpq_two_phase_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite with stride centroids + stride residual codebooks
+    so assignment, residuals, encoding, the per-list ADC (offset +
+    ordered subspace-term sum) and the exact rerank are ALL hash-checked.
+    The learned path (k-means both stages) shares every operator and is
+    recall-gated in tests/test_ivfpq.py."""
+    from write_optimized_vector_database_spark.operators.ivf import (
+        assign_centroids_exact,
+        centroids_from_stride,
+    )
+    from write_optimized_vector_database_spark.operators.ivfpq import (
+        ivfpq_two_phase_exact_fold,
+        residualize,
+    )
+    from write_optimized_vector_database_spark.operators.pq import codebooks_from_stride
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, _IVFPQ_CSTRIDE)
+    res = residualize(assign_centroids_exact(emb, cents), cents)
+    cb = codebooks_from_stride(
+        res, dim=64, m=_IVFPQ_M, stride=_IVFPQ_CBSTRIDE, vec_col="residual"
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_two_phase_exact_fold(
+        emb, queries, cents, cb, dim=64, m=_IVFPQ_M, k=10,
+        nprobe=_IVFPQ_NPROBE, rerank_factor=_IVFPQ_RERANK,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
