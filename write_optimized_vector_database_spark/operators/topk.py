@@ -137,3 +137,20 @@ def exact_topk(
         k=k,
         prune_partitions=prune_partitions,
     ).select("query_id", "vec_id", "score", "rank")
+
+
+def ranked_top_n(df: DataFrame, order_cols: list, n: int, rank_col: str = "rank") -> DataFrame:
+    """Global top-n WITH a rank column, scalably.
+
+    `orderBy().limit(n)` compiles to TakeOrderedAndProject — per-partition
+    heaps merged on the driver, O(n) rows moved — and only then does the
+    rank window run, over exactly n rows. The naive
+    `row_number().over(Window.orderBy(...))` + filter runs a SINGLE-TASK
+    window over the entire input first (Spark's WindowExec warning), which
+    dies at scale even though both forms return identical rows.
+    Order columns must define a total order (tie-break on ids) so the
+    result is deterministic.
+    """
+    top = df.orderBy(*order_cols).limit(n)
+    w = Window.orderBy(*order_cols)  # n rows only — single task is fine
+    return top.withColumn(rank_col, F.row_number().over(w))

@@ -166,14 +166,13 @@ def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N).persist()
     pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
     est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
-    from pyspark.sql import Window
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
 
-    w = Window.orderBy(F.col("jaccard_est").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
-    return (
-        est.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .withColumn("rank", F.col("rank").cast("long"))
-    )
+    return ranked_top_n(
+        est,
+        [F.col("jaccard_est").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()],
+        50,
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(
@@ -228,25 +227,17 @@ def doc_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N).persist()
     pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
     est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
-    from pyspark.sql import Window as W
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
 
-    shortlist_w = W.orderBy(
+    shortlist = est.orderBy(
         F.col("jaccard_est").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
-    )
-    shortlist = (
-        est.withColumn("__rn", F.row_number().over(shortlist_w))
-        .filter(F.col("__rn") <= 200)
-        .select("doc_a", "doc_b")
-    )
+    ).limit(200).select("doc_a", "doc_b")
     jac = D.ngram_jaccard(docs, shortlist, _SHINGLE_N)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
-    return (
-        jac.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .withColumn("rank", F.col("rank").cast("long"))
-    )
+    return ranked_top_n(
+        jac,
+        [F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()],
+        50,
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -314,15 +305,13 @@ def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance) — the near-dup join, prefix-bucketed for scale."""
     sim = D.simhash(_docs(spark, sf_dir))
     pairs = D.simhash_near_pairs(sim, max_hamming=D.SIMHASH_BITS, prefix_bits=8)
-    from pyspark.sql import Window
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
 
-    w = Window.orderBy(F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc())
-    return (
-        pairs.withColumn("hamming", F.col("hamming").cast("int"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .withColumn("rank", F.col("rank").cast("long"))
-    )
+    return ranked_top_n(
+        pairs.withColumn("hamming", F.col("hamming").cast("int")),
+        [F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc()],
+        20,
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -355,14 +344,11 @@ def emb_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path that only pairs within an IVF bucket)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     pairs = D.embedding_near_dup_pairs(emb, threshold=-2.0)
-    from pyspark.sql import Window
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
 
-    w = Window.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .withColumn("rank", F.col("rank").cast("long"))
-    )
+    return ranked_top_n(
+        pairs, [F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()], 20
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 _BUCKET_STRIDE = 31
@@ -413,11 +399,8 @@ def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assign_centroids_exact(emb, cents)
     buckets = assigned.select(F.col("vec_id").alias("id"), F.col("centroid_id").alias("bucket"))
     pairs = D.embedding_near_dup_pairs(emb, threshold=-2.0, bucket_by=buckets)
-    from pyspark.sql import Window
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
 
-    w = Window.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .withColumn("rank", F.col("rank").cast("long"))
-    )
+    return ranked_top_n(
+        pairs, [F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()], 20
+    ).withColumn("rank", F.col("rank").cast("long"))

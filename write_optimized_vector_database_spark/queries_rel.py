@@ -555,10 +555,10 @@ def evt_user_topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
         )
     )
-    w = Window.orderBy(F.col("total").desc(), F.col("user_id").asc())
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
+
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        ranked_top_n(agg, [F.col("total").desc(), F.col("user_id").asc()], 20)
         .select(
             "user_id",
             "n_events",
