@@ -340,15 +340,26 @@ class VectorCollection:
         nbits: int = 8,
         sample_fraction: float | None = None,
         seed: int = 42,
+        residual: bool = True,
     ) -> None:
         """Build the *stable generation*: IVF-partitioned index with PQ
         codes over the current snapshot (reference delta/stable split,
         config.h:74-94 — stable segments are IVF-PQ). Everything ingested
         after this call lives in the *delta generation* (the tail) until
-        the next build. Records the index epoch so reads know the split."""
+        the next build. Records the index epoch so reads know the split.
+
+        `residual=True` (default) PQ-encodes x − centroid instead of x —
+        the FAISS IVFPQ formulation: residuals within a posting list span
+        a much tighter range, so 8-bit codes lose less precision. The
+        choice is recorded in the manifest; the read path dispatches on
+        it, so old raw-code indexes keep working."""
         from write_optimized_vector_database_spark.operators.ivf import (
             assign_centroids,
             train_centroids_kmeans,
+        )
+        from write_optimized_vector_database_spark.operators.ivfpq import (
+            ivfpq_encode,
+            train_ivfpq_codebooks,
         )
         from write_optimized_vector_database_spark.operators.pq import (
             pq_encode,
@@ -361,12 +372,19 @@ class VectorCollection:
             cur, nlist=nlist, vec_col="vector", id_col="id",
             sample_fraction=sample_fraction, seed=seed,
         )
-        codebooks = train_pq_codebooks_kmeans(
-            cur, dim=dim, m=m, nbits=nbits, vec_col="vector", id_col="id",
-            sample_fraction=sample_fraction, seed=seed,
-        )
-        assigned = assign_centroids(cur, cents, vec_col="vector")
-        encoded = pq_encode(assigned, codebooks, vec_col="vector")
+        if residual:
+            codebooks = train_ivfpq_codebooks(
+                cur, cents, dim=dim, m=m, nbits=nbits, vec_col="vector",
+                id_col="id", sample_fraction=sample_fraction,
+            )
+            encoded = ivfpq_encode(cur, cents, codebooks, vec_col="vector", id_col="id")
+        else:
+            codebooks = train_pq_codebooks_kmeans(
+                cur, dim=dim, m=m, nbits=nbits, vec_col="vector", id_col="id",
+                sample_fraction=sample_fraction, seed=seed,
+            )
+            assigned = assign_centroids(cur, cents, vec_col="vector")
+            encoded = pq_encode(assigned, codebooks, vec_col="vector")
         (
             self._with_bloom(encoded.select("id", "centroid_id", "codes").write)
             .mode("overwrite")
@@ -378,7 +396,7 @@ class VectorCollection:
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
             self._has_changelog_files()
         ) else self._snapshot_epoch()
-        self._meta_update(index_epoch=int(max_epoch))
+        self._meta_update(index_epoch=int(max_epoch), index_residual=bool(residual))
 
     def _index_epoch(self) -> int:
         return self._meta().get("index_epoch", -1)
@@ -486,14 +504,28 @@ class VectorCollection:
 
         # stable candidates: probe → ADC over pruned posting lists.
         # cosine collections are L2-normalized at ingest, so ADC runs IP
-        # (the cosine→IP reduction, types.h:40)
+        # (the cosine→IP reduction, types.h:40). Residual indexes (the
+        # build_indexes default) score codes of x − centroid with the
+        # per-list offset; raw-code indexes use the plain PQ LUT.
         adc_metric = "ip" if self.metric == "cosine" else self.metric
-        probes = probe_centroids(queries, cents, nprobe)
-        pruned = index.join(F.broadcast(probes.select("centroid_id").distinct()), "centroid_id")
-        stable_cand = pq_adc_topk(
-            pruned, queries, codebooks, k=budget,
-            metric=adc_metric, vec_id_col="id",
-        ).select("query_id", F.col("vec_id").alias("id"))
+        if self._meta().get("index_residual", False):
+            from write_optimized_vector_database_spark.operators.ivfpq import (
+                ivfpq_adc_topk,
+            )
+
+            stable_cand = ivfpq_adc_topk(
+                index, queries, cents, codebooks, k=budget, nprobe=nprobe,
+                metric=adc_metric, vec_id_col="id",
+            ).select("query_id", F.col("vec_id").alias("id"))
+        else:
+            probes = probe_centroids(queries, cents, nprobe)
+            pruned = index.join(
+                F.broadcast(probes.select("centroid_id").distinct()), "centroid_id"
+            )
+            stable_cand = pq_adc_topk(
+                pruned, queries, codebooks, k=budget,
+                metric=adc_metric, vec_id_col="id",
+            ).select("query_id", F.col("vec_id").alias("id"))
 
         # delta candidates: exact over everything visible that changed
         # after the index build. Sourced from current() (not the raw
