@@ -134,3 +134,57 @@ def evt_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "evt_streaming_dedup_keep_first",
+    oracle="""
+SELECT user_id, event_type,
+       date_trunc('hour', ts::TIMESTAMP) AS window_start,
+       MIN(event_id) AS kept_event_id,
+       COUNT(*) AS n_occurrences
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(*) > 1
+ORDER BY user_id, event_type, window_start
+""",
+    survey_ref="[EXT] streaming exact dedup (keep-first within key window)",
+    tags=["streaming", "events", "dedup"],
+)
+def evt_streaming_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming exact-dedup: duplicate-prone keys
+    (user, type, hour window) reduced stateful-streaming-side to the
+    kept representative (min event_id — deterministic under any arrival
+    order, unlike dropDuplicates' first-seen) plus the duplicate count.
+    The watermark bounds state at scale; availableNow drains the fixture.
+    Reports only keys that actually had duplicates."""
+    name = f"evt_dedup_stream_{int(time.time() * 1000)}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("kept_event_id"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "kept_event_id",
+            "n_occurrences",
+        )
+        .orderBy("user_id", "event_type", "window_start")
+    )
