@@ -141,3 +141,85 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints (md5 over normalized text)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@register(
+    "doc_training_set_selection",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 3 = 0
+),
+feats AS (
+  SELECT doc_id, text, lang, source,
+    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens_bpe,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+      / greatest(length(text), 1) AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1) AS digit_ratio,
+    list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                            t -> length(t)))::DOUBLE
+      / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS mean_token_len
+  FROM corpus
+),
+scored AS (
+  SELECT *,
+    1.0 - least(1.0, punct_ratio * 4) * 0.25
+        - least(1.0, digit_ratio * 4) * 0.25
+        - (CASE WHEN n_tokens < 5 OR n_tokens > 10000 THEN 0.25 ELSE 0.0 END)
+        - (CASE WHEN mean_token_len < 2 OR mean_token_len > 12 THEN 0.25 ELSE 0.0 END)
+      AS quality
+  FROM feats
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND quality >= 0.75 AND n_tokens >= 40
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id ASC) AS rn
+    FROM gated
+  ) WHERE rn = 1
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens_bpe) AS total_tokens_bpe,
+       CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+FROM deduped
+GROUP BY source ORDER BY source
+""",
+    survey_ref="[EXT] training-data selection pipeline (lang + quality + dedup)",
+    tags=["text", "dedup", "pipeline"],
+)
+def doc_training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection over a corpus with synthesized
+    duplicates: language gate -> quality-score gate -> token floor ->
+    exact-dedup keep-first -> per-source token accounting. Every stage is
+    one of the engine's own operators (textops.quality_score,
+    dedup.dedup_keep_first) composed in a single Catalyst plan -- the
+    shape of a real corpus-curation job, with filters running BEFORE the
+    dedup shuffle so the shuffle carries only surviving docs."""
+    from write_optimized_vector_database_spark.operators.dedup import dedup_keep_first
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dupes = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    corpus = docs.unionByName(dupes)
+    scored = TX.quality_score(corpus)
+    gated = scored.filter(
+        (F.col("lang") == "en") & (F.col("quality") >= 0.75) & (F.col("n_tokens") >= 40)
+    )
+    kept = dedup_keep_first(gated)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_bpe").alias("total_tokens_bpe"),
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+        )
+        .orderBy("source")
+    )
