@@ -92,3 +92,40 @@ def test_segment_stats_tombstone_ratio(spark):
     assert stats["seg2"].tombstone_ratio == 0.5
     assert stats["seg1"].n_rows == 8
     assert stats["seg1"].min_epoch == 0 and stats["seg1"].max_epoch == 7
+
+
+def test_collection_time_travel(spark, tmp_path_factory, sf_dir):
+    """visible_as_of: pre-delete cut resurrects a later-deleted id; a cut
+    below the vacuum watermark refuses instead of lying."""
+    import pytest as _pytest
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.changelog import (
+        DELETE_EPOCH,
+        synthetic_changelog,
+    )
+
+    c = VectorCollection(
+        spark, str(tmp_path_factory.mktemp("ttravel") / "c"), metric="ip"
+    )
+    # two batches in epoch order: within-batch upsert-dedup keeps only the
+    # newest op per id, so history only exists ACROSS batches — deletes
+    # arriving in a later batch is also the realistic write order
+    log = synthetic_changelog(spark, sf_dir)
+    c.ingest(log.filter(F.col("op") != "DELETE"))
+    c.ingest(log.filter(F.col("op") == "DELETE"))
+    deleted_id = 3  # id % 10 == 3 → DELETEd at epoch 200_003
+    assert c.current().filter(F.col("id") == deleted_id).count() == 0
+    past = c.visible_as_of(DELETE_EPOCH - 1)
+    assert past.filter(F.col("id") == deleted_id).count() == 1
+    # post-cut regime: as_of ≥ snapshot epoch serves from the snapshot
+    c.compact()
+    assert c.visible_as_of(10**9).filter(F.col("id") == deleted_id).count() == 0
+    # pre-snapshot history still replayable until vacuum...
+    assert c.visible_as_of(DELETE_EPOCH - 1).filter(
+        F.col("id") == deleted_id
+    ).count() == 1
+    removed = c.vacuum()
+    assert removed > 0
+    with _pytest.raises(ValueError):
+        c.visible_as_of(DELETE_EPOCH - 1)

@@ -227,6 +227,50 @@ class VectorCollection:
             allowMissingColumns=True,
         ).select(*snapshot.columns)
 
+    def visible_as_of(self, as_of_epoch: int) -> DataFrame:
+        """MVCC time-travel read: the visible view as of `as_of_epoch`.
+
+        Two regimes, split on the snapshot's high-water epoch:
+
+        - `as_of ≥ snapshot_epoch`: the snapshot already equals the
+          visible view at its epoch, so this is the current() merge with
+          the tail truncated at `as_of` — cheap, always answerable.
+        - `as_of < snapshot_epoch`: the snapshot collapsed older history,
+          so the answer must replay the retained changelog. vacuum()
+          deletes changelog files the snapshot covers, so this regime is
+          only answerable within retention — a vacuumed collection
+          raises instead of silently returning post-cut state (the same
+          retention contract table formats attach to time travel).
+
+        Granularity: ingest()'s within-batch upsert-dedup keeps only the
+        newest op per id per batch, so observable history is the batch
+        boundary, not every intermediate op — the same collapse the
+        reference's message-buffer dedup applies (msg-buf.h:134-147).
+        """
+        snap_epoch = self._snapshot_epoch()
+        if as_of_epoch >= snap_epoch >= 0:
+            snapshot = self.spark.read.parquet(self._current_dir())
+            if not self._has_changelog_files():
+                return snapshot
+            tail = self.changelog().filter(
+                (F.col("epoch") > snap_epoch) & (F.col("epoch") <= as_of_epoch)
+            )
+            tail_latest = C.latest_by_id(tail)
+            survivors = snapshot.join(
+                F.broadcast(tail_latest.select("id")), "id", "left_anti"
+            )
+            return survivors.unionByName(
+                tail_latest.filter(F.col("op") != "DELETE"),
+                allowMissingColumns=True,
+            ).select(*snapshot.columns)
+        vacuum_epoch = int(self._meta().get("vacuum_epoch", -1))
+        if not self._has_changelog_files() or as_of_epoch < vacuum_epoch:
+            raise ValueError(
+                f"as_of_epoch={as_of_epoch} predates retained history "
+                f"(snapshot epoch {snap_epoch}, vacuum watermark {vacuum_epoch})"
+            )
+        return C.visible_as_of(self.changelog(), as_of_epoch)
+
     def compact(self) -> None:
         """Fold the changelog into a fresh snapshot, sorted by id_hash
         inside files so Parquet zone maps prune point lookups (the
@@ -306,6 +350,10 @@ class VectorCollection:
             if file_max is not None and file_max <= snap_epoch:
                 self.fs.remove(fpath)
                 removed += 1
+        if removed:
+            # retention watermark: epochs ≤ this are no longer replayable,
+            # so visible_as_of() must refuse to time-travel below it
+            self._meta_update(vacuum_epoch=int(snap_epoch))
         # prune batch dirs left with no parquet (checkpoint markers only)
         for d in self.fs.list_dirs(changelog_dir):
             if not any(f.endswith(".parquet") for f in self.fs.walk_files(d)):

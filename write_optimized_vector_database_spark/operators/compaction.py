@@ -87,3 +87,20 @@ def needs_compaction(
 ) -> DataFrame:
     """Segments whose tombstone ratio exceeds the merge threshold."""
     return stats.filter(F.col("tombstone_ratio") > threshold)
+
+
+def visible_as_of(
+    changelog: DataFrame, as_of_epoch: int, id_col: str = "id", epoch_col: str = "epoch"
+) -> DataFrame:
+    """MVCC time-travel: the visible view as of a past epoch — replay the
+    changelog with everything newer masked out (the epoch-ordered
+    last-writer-wins of latest-by-id.h applied at a historical cut).
+
+    The epoch predicate is a plain conjunctive filter applied BEFORE the
+    latest-by-id shuffle, so it pushes into the changelog's Parquet scan
+    (epoch min/max footer stats skip whole files) and the shuffle only
+    carries rows from the requested history prefix.
+    """
+    return visible(
+        changelog.filter(F.col(epoch_col) <= F.lit(as_of_epoch)), id_col, epoch_col
+    )

@@ -1008,3 +1008,40 @@ def vec_ivfpq_two_phase_deterministic(spark: SparkSession, sf_dir: str) -> DataF
         nprobe=_IVFPQ_NPROBE, rerank_factor=_IVFPQ_RERANK,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_ASOF_EPOCH = 100_050  # after all INSERTs, mid-UPSERT band, before DELETEs
+
+_VISIBLE_ASOF_CTE = f"""
+WITH {SYNTHETIC_CHANGELOG_SQL.strip()},
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY epoch DESC, op DESC) AS __rn
+  FROM changelog WHERE epoch <= {_ASOF_EPOCH}
+),
+visible AS (
+  SELECT op, id, tenant, namespace, tags, epoch FROM latest
+  WHERE __rn = 1 AND op <> 'DELETE'
+)
+"""
+
+
+@register(
+    "mut_visible_as_of",
+    oracle=_VISIBLE_ASOF_CTE
+    + "SELECT op, id, tenant, namespace, to_json(tags)::VARCHAR AS tags_json, epoch FROM visible",
+    survey_ref="S5,Q9 (+MVCC time travel at a historical epoch cut)",
+    tags=["mutation", "time_travel"],
+)
+def mut_visible_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel visible state: the epoch cut lands after every INSERT,
+    inside the UPSERT band, before any DELETE -- so ids 0..50 show their
+    upserted tags, ids > 50 still show insert tags, and nothing is
+    tombstoned yet (deletes are all above the cut). The epoch predicate
+    pushes into the changelog scan before the latest-by-id shuffle."""
+    from write_optimized_vector_database_spark.operators.compaction import visible_as_of
+
+    log = synthetic_changelog(spark, sf_dir)
+    return visible_as_of(log, _ASOF_EPOCH).select(
+        "op", "id", "tenant", "namespace",
+        F.to_json("tags").alias("tags_json"), "epoch",
+    )
