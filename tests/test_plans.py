@@ -94,3 +94,45 @@ def test_tenant_filter_pushdown_on_collection(spark, tmp_path, sf_dir):
     q = coll.current().filter(F.col("tenant") == "t0")
     pf = pushed_filters(q)
     assert any("tenant" in p for p in pf), f"tenant filter not pushed: {pf}"
+
+
+def test_ivfpq_adc_scan_is_pruned_and_int_only(spark, tmp_path, sf_dir):
+    """The IVFPQ phase-1 scan must (a) partition-prune to the probed
+    posting lists and (b) read ONLY int columns (id, centroid_id, codes)
+    — never the float vectors."""
+    from write_optimized_vector_database_spark.operators.ivf import centroids_from_stride
+    from write_optimized_vector_database_spark.operators.ivfpq import (
+        ivfpq_adc_topk,
+        ivfpq_encode,
+        train_ivfpq_codebooks,
+    )
+    from write_optimized_vector_database_spark.plans.explain import explain_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, stride=100)
+    cb = train_ivfpq_codebooks(emb, cents, dim=64, m=8)
+    ivfpq_encode(emb, cents, cb).write.partitionBy("centroid_id").parquet(
+        str(tmp_path / "idx")
+    )
+    index = spark.read.parquet(str(tmp_path / "idx"))
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_adc_topk(index, queries, cents, cb, k=5, nprobe=2)
+    plan = explain_str(out)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l and "idx" not in l]
+    assert not any("embedding" in s for s in scan_schemas), scan_schemas
+
+
+def test_sq8_encode_stays_jvm_side(spark, sf_dir):
+    """SQ8 encode must be pure JVM expressions — no Python/Arrow eval
+    nodes in the plan (the codes column is zip_with over literals)."""
+    from write_optimized_vector_database_spark.operators.sq8 import encode_sq8, train_sq8
+    from write_optimized_vector_database_spark.plans.explain import explain_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vmin, vmax = train_sq8(emb)
+    plan = explain_str(encode_sq8(emb, vmin, vmax), "simple")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
