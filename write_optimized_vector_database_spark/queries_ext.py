@@ -1045,3 +1045,69 @@ def mut_visible_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op", "id", "tenant", "namespace",
         F.to_json("tags").alias("tags_json"), "epoch",
     )
+
+
+_MMR_K, _MMR_FETCH, _MMR_LAM = 10, 30, 0.7
+
+_MMR_ORACLE = f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+),
+cand AS (
+  SELECT query_id, vec_id, score, emb FROM (
+    SELECT q.query_id, e.vec_id,
+           list_inner_product(q.qv, e.embedding::DOUBLE[]) AS score,
+           e.embedding::DOUBLE[] AS emb,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.qv, e.embedding::DOUBLE[]) DESC,
+                                       e.vec_id ASC) AS rk
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rk <= {_MMR_FETCH}
+),
+firsts AS (
+  SELECT query_id, [vec_id] AS sel FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id ASC) rn FROM cand) WHERE rn = 1
+),
+mmr AS (
+  SELECT query_id, sel, 1 AS step FROM firsts
+  UNION ALL
+  SELECT m.query_id, list_append(m.sel, p.vec_id), m.step + 1
+  FROM mmr m, LATERAL (
+    SELECT c.vec_id
+    FROM cand c
+    WHERE c.query_id = m.query_id AND NOT list_contains(m.sel, c.vec_id)
+    ORDER BY ({_MMR_LAM} * c.score - {1.0 - _MMR_LAM} * (
+        SELECT max(list_inner_product(c.emb, s.emb))
+        FROM cand s
+        WHERE s.query_id = m.query_id AND list_contains(m.sel, s.vec_id)
+      )) DESC, c.vec_id ASC
+    LIMIT 1
+  ) p
+  WHERE m.step < {_MMR_K}
+)
+SELECT query_id,
+       unnest(sel) AS vec_id,
+       unnest(range(1, len(sel) + 1)) AS rank
+FROM mmr WHERE step = {_MMR_K}
+"""
+
+
+@register(
+    "vec_mmr_diversified_topk",
+    oracle=_MMR_ORACLE,
+    survey_ref="Q12 rerank stage (+MMR diversification, Carbonell-Goldstein 1998)",
+    tags=["vector", "topk", "mmr"],
+)
+def vec_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-reranked top-10: greedy MMR (lambda=0.7) over the exact
+    top-30 candidates. Relevance scores and pairwise sims both use the
+    left-to-right double fold, so the ENTIRE greedy trajectory matches
+    the recursive-CTE oracle step for step -- including every tie-break."""
+    from write_optimized_vector_database_spark.operators.mmr import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return mmr_topk(emb, queries, k=_MMR_K, fetch_k=_MMR_FETCH, lam=_MMR_LAM)
