@@ -1111,3 +1111,133 @@ def vec_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return mmr_topk(emb, queries, k=_MMR_K, fetch_k=_MMR_FETCH, lam=_MMR_LAM)
+
+
+# ---------------------------------------------------------------------------
+# BM25 + RRF hybrid search (lexical ∪ vector, reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+_HYBRID_QUERIES = [
+    (0, ["vector", "scan", "merge"]),
+    (1, ["join", "hash", "row"]),
+    (2, ["customer", "stream"]),
+]
+_BM25_K1, _BM25_B, _RRF_DEPTH = 1.2, 0.75, 50
+
+
+def _bm25_branch_sql(qid: int, terms: list[str]) -> str:
+    pivot = ",\n      ".join(
+        f"coalesce(SUM(CASE WHEN term = '{t}' THEN w END), 0.0) AS t{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(f"t{i}" for i in range(len(terms)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+  SELECT {qid} AS query_id, doc_id, ({score}) AS score FROM (
+    SELECT doc_id,
+      {pivot}
+    FROM w WHERE term IN ({in_list}) GROUP BY doc_id
+  ) WHERE ({score}) > 0.0"""
+
+
+_BM25_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ((n - df + 0.5) / (df + 0.5)) * tf
+           / (tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / (sdl / n))) AS w
+  FROM tf JOIN dl USING (doc_id) JOIN dfs USING (term) CROSS JOIN corp
+),
+bm25 AS ({" UNION ALL ".join(_bm25_branch_sql(q, t) for q, t in _HYBRID_QUERIES)}
+),
+bm25_ranked AS (
+  SELECT query_id, doc_id, rank_b FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank_b
+    FROM bm25
+  ) WHERE rank_b <= {_RRF_DEPTH}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(q) for q, _ in _HYBRID_QUERIES)})
+),
+vec_ranked AS (
+  SELECT query_id, vec_id AS doc_id, rank_v FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.qv, e.embedding::DOUBLE[]) DESC,
+                                       e.vec_id ASC) AS rank_v
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank_v <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(b.query_id, v.query_id) AS query_id,
+         coalesce(b.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + b.rank_b), 0.0)
+           + coalesce(1.0 / (60.0 + v.rank_v), 0.0) AS rrf
+  FROM bm25_ranked b FULL OUTER JOIN vec_ranked v
+    ON b.query_id = v.query_id AND b.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, rrf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "mmdoc_bm25_rrf_hybrid",
+    oracle=_BM25_RRF_ORACLE,
+    survey_ref="[EXT] hybrid search: BM25 lexical + vector ANN fused by RRF",
+    tags=["text", "vector", "hybrid"],
+)
+def mmdoc_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25-style lexical ranking (rational idf -- see
+    operators/bm25.py for why ln() is banned) fused with the exact
+    vector ranking by reciprocal-rank fusion. Every float op is
+    integer-derived or a pinned-order sum, so lexical scores, both rank
+    lists, and the fused ordering all hash-match the oracle."""
+    from write_optimized_vector_database_spark.operators.bm25 import (
+        bm25_query_scores,
+        bm25_weights,
+        rrf_fuse,
+    )
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    weights = bm25_weights(docs, k1=_BM25_K1, b=_BM25_B).persist()
+
+    bm25_ranked = None
+    for qid, terms in _HYBRID_QUERIES:
+        scores = bm25_query_scores(weights, qid, terms)
+        ranked = ranked_top_n(
+            scores, [F.col("score").desc(), F.col("doc_id").asc()], _RRF_DEPTH
+        ).select("query_id", "doc_id", "rank")
+        bm25_ranked = ranked if bm25_ranked is None else bm25_ranked.unionByName(ranked)
+
+    qids = [q for q, _ in _HYBRID_QUERIES]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec_ranked = (
+        exact_topk(emb, queries, k=_RRF_DEPTH, metric="ip")
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse(bm25_ranked, vec_ranked)
+    return (
+        topk_per_group(
+            fused, group_cols=["query_id"], score_col="rrf", id_col="doc_id", k=10,
+            prune_partitions=False,
+        )
+        .select("query_id", "doc_id", "rrf", F.col("rank").cast("long"))
+    )
