@@ -58,3 +58,36 @@ def test_vacuum_removes_covered_files(spark, loaded):
     loaded.ingest(b)
     assert loaded.vacuum() == 0  # not covered yet
     assert loaded.current().count() == 451
+
+
+def test_filtered_planner_picks_by_selectivity(spark, loaded, sf_dir):
+    """Planner: a narrow tag filter → pre; a broad tenant filter → post.
+    Both strategies must return only rows passing the filter, and
+    post-with-over-fetch must match pre on a permissive filter."""
+    loaded.build_ivf_index(nlist=8)
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(1, 2))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    # tenant t0 keeps ~half the rows → permissive → post
+    strat_t, sel_t = loaded.plan_filtered_strategy(tenant="t0")
+    assert strat_t == "post" and sel_t > 0.2
+    # a single tag id is rare → selective → pre
+    strat_g, sel_g = loaded.plan_filtered_strategy(tags_any=[7])
+    assert strat_g == "pre" and sel_g < 0.2
+
+    pre = loaded.topk_filtered(queries, k=5, nprobe=8, tenant="t0", strategy="pre")
+    post = loaded.topk_filtered(queries, k=5, nprobe=8, tenant="t0", strategy="post")
+    allowed = {
+        r["id"]
+        for r in loaded.current().filter(F.col("tenant") == "t0").select("id").collect()
+    }
+    for df in (pre, post):
+        assert all(r["vec_id"] in allowed for r in df.collect())
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in pre.collect()}
+    b = {(r["query_id"], r["vec_id"], r["rank"]) for r in post.collect()}
+    assert a == b  # permissive filter + full probe → identical top-k
+
+    auto = loaded.topk_filtered(queries, k=5, nprobe=8, tenant="t0", strategy="auto")
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in auto.collect()} == a

@@ -646,6 +646,100 @@ class VectorCollection:
             vec_id_col="id", vec_col="vector", allowed_ids=allowed,
         )
 
+    def plan_filtered_strategy(
+        self,
+        tenant: str | None = None,
+        namespace: str | None = None,
+        tags_any: list[int | str] | None = None,
+        sample_p: float | None = None,
+        pre_filter_threshold: float = 0.2,
+    ) -> tuple[str, float]:
+        """Pick pre- vs post-filtering for a filtered ANN query from the
+        filter's measured selectivity — the planner decision every
+        filtered-search engine makes (the reference intersects filters in
+        the probe path, msg-buf.h:236-255, i.e. always-pre; at Spark
+        scale the right answer depends on selectivity):
+
+        - **selective filter** (few survivors): PRE-filter — semi-join
+          the allowed ids into the pruned posting lists; the ANN scan
+          scores only matching rows.
+        - **permissive filter** (most rows survive): POST-filter —
+          over-fetch k/selectivity candidates from the unfiltered index
+          and filter after; skips the semi-join entirely.
+
+        Selectivity is measured with two count()s whose predicates push
+        into the Parquet scan (footer-stat cheap, no vector bytes read).
+        """
+        total = self.current().count()
+        kept = apply_query_filters(
+            self.current(), tenant, namespace, tags_any, sample_p,
+            tag_dict=self._tag_dict_for(tags_any),
+        ).count()
+        sel = kept / total if total else 1.0
+        return ("pre" if sel < pre_filter_threshold else "post"), sel
+
+    def topk_filtered(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int | None = None,
+        tenant: str | None = None,
+        namespace: str | None = None,
+        tags_any: list[int | str] | None = None,
+        sample_p: float | None = None,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Filtered ANN with planner-chosen filtering side (see
+        plan_filtered_strategy). `strategy` ∈ {auto, pre, post}.
+
+        POST over-fetches ⌈k/sel⌉·2 candidates (clamped to
+        max_candidates) before filtering — permissive filters only, where
+        the over-fetch is small; the planner never picks it for selective
+        filters, where over-fetch would explode past the clamp and lose
+        recall."""
+        from write_optimized_vector_database_spark.config import QueryLimits
+        from write_optimized_vector_database_spark.operators.ivf import ivf_topk
+        from write_optimized_vector_database_spark.operators.topk import topk_per_group
+
+        if strategy == "auto":
+            strategy, sel = self.plan_filtered_strategy(
+                tenant, namespace, tags_any, sample_p
+            )
+        else:
+            sel = None
+        if strategy == "pre":
+            return self.topk_ivf(
+                queries, k=k, nprobe=nprobe, tenant=tenant, namespace=namespace,
+                tags_any=tags_any, sample_p=sample_p,
+            )
+        if strategy != "post":
+            raise ValueError(f"unknown strategy {strategy!r}")
+        if sel is None:
+            _, sel = self.plan_filtered_strategy(tenant, namespace, tags_any, sample_p)
+        limits = QueryLimits()
+        import math
+
+        fetch = min(limits.max_candidates, max(k, 2 * math.ceil(k / max(sel, 1e-6))))
+        if nprobe is None:
+            nprobe = self._default_nprobe()
+        index = self.spark.read.parquet(f"{self.path}/index_ivf")
+        cents = self.spark.read.parquet(f"{self.path}/index_centroids")
+        over = ivf_topk(
+            index, queries, cents, k=fetch, nprobe=nprobe, metric=self.metric,
+            vec_id_col="id", vec_col="vector",
+        )
+        allowed = apply_query_filters(
+            self.current(), tenant, namespace, tags_any, sample_p,
+            tag_dict=self._tag_dict_for(tags_any),
+        ).select("id")
+        kept = over.select(
+            "query_id", F.col("vec_id").alias("id"), "score"
+        ).join(allowed, "id", "semi")
+        return topk_per_group(
+            kept, group_cols=["query_id"], score_col="score", id_col="id", k=k,
+            prune_partitions=False,
+        ).select("query_id", F.col("id").alias("vec_id"), "score", "rank")
+
     def delta_fraction(self) -> float:
         """Fraction of the visible view served from the un-compacted tail
         (reference target: unmerged delta ≤ 5%, types.h:143). The number
