@@ -1241,3 +1241,79 @@ def mmdoc_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "doc_id", "rrf", F.col("rank").cast("long"))
     )
+
+
+_MAXSIM_PARTS, _MAXSIM_PDIM, _MAXSIM_FETCH = 4, 16, 50
+
+_MAXSIM_PIVOT = ",\n    ".join(
+    f"SUM(CASE WHEN qpart = {p} THEN m END) AS p{p}" for p in range(_MAXSIM_PARTS)
+)
+_MAXSIM_SUM = " + ".join(f"p{p}" for p in range(_MAXSIM_PARTS))
+
+_MAXSIM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+),
+cand AS (
+  SELECT query_id, vec_id AS doc_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                                          e.embedding::DOUBLE[]) DESC,
+                                       e.vec_id ASC) AS rk
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rk <= {_MAXSIM_FETCH}
+),
+qp AS (
+  SELECT query_id, p.p::INT AS qpart,
+         (embedding::DOUBLE[])[p.p*{_MAXSIM_PDIM}+1 : p.p*{_MAXSIM_PDIM}+{_MAXSIM_PDIM}] AS qpv
+  FROM q, range({_MAXSIM_PARTS}) p(p)
+),
+dp AS (
+  SELECT vec_id AS doc_id, p.p::INT AS dpart,
+         (embedding::DOUBLE[])[p.p*{_MAXSIM_PDIM}+1 : p.p*{_MAXSIM_PDIM}+{_MAXSIM_PDIM}] AS dpv
+  FROM embeddings, range({_MAXSIM_PARTS}) p(p)
+),
+per AS (
+  SELECT c.query_id, c.doc_id, qp.qpart,
+         MAX(list_inner_product(qp.qpv, dp.dpv)) AS m
+  FROM cand c
+  JOIN qp ON qp.query_id = c.query_id
+  JOIN dp ON dp.doc_id = c.doc_id
+  GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT query_id, doc_id,
+    {_MAXSIM_PIVOT}
+  FROM per GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, ({_MAXSIM_SUM}) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ({_MAXSIM_SUM}) DESC, doc_id ASC) AS rank
+  FROM wide
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "vec_maxsim_late_interaction",
+    oracle=_MAXSIM_ORACLE,
+    survey_ref="Q12 rerank (+ColBERT-style maxsim late interaction)",
+    tags=["vector", "topk", "maxsim"],
+)
+def vec_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction top-10: single-vector phase-1 prune to 50
+    candidates, then maxsim over 4 part-vectors per side. The inner max
+    is exact, inner products are the shared fold, and the query-part sum
+    is pivot-ordered -- the full rerank hash-matches the oracle."""
+    from write_optimized_vector_database_spark.operators.maxsim import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = maxsim_topk(
+        emb, queries, dim=64, n_parts=_MAXSIM_PARTS, k=10, fetch_k=_MAXSIM_FETCH
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
