@@ -805,3 +805,34 @@ def evt_hypertable_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rollup_branches(
         [daily, hourly_partial_day, tail], "day", keys
     ).orderBy("bucket_ts", "event_type")
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+    survey_ref="§2.4 rollup/cube grammar (+explicit GROUPING SETS)",
+    tags=["relational", "agg"],
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping-id disambiguation (the
+    rollup/cube generalization): detail, per-flag, and grand-total rows
+    in one pass -- Spark computes all sets in a single Expand+Aggregate,
+    not three scans."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+SELECT l_returnflag, l_linestatus,
+       grouping_id(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem_gs
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+""")

@@ -62,3 +62,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Materialize a bucketed (+optionally sorted) managed table.
+
+    Bucketing is THE co-located-join lever at 100 TB: two tables
+    bucketed by the same key into the same bucket count hash-split
+    identically at WRITE time, so a later equi-join on that key needs
+    NO Exchange on either side — the shuffle is paid once at layout
+    time and amortized over every subsequent join (the Spark analog of
+    the reference pre-partitioning its segments by id_hash,
+    types.h:98-99). tests/test_bucketing.py pins the exchange-free
+    plan."""
+    writer = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.mode("overwrite").format("parquet").saveAsTable(table_name)
