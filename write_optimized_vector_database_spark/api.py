@@ -88,16 +88,26 @@ def run_batch(
             "query_id long, query_vec array<float>",
         )
         if use_index:
-            part = collection.topk_ivf(
-                qdf,
-                k=top_k,
-                # request override > persisted calibration > engine default
-                nprobe=nprobe,
-                tenant=tenant or None,
-                namespace=namespace or None,
-                tags_any=list(tags_any) or None,
-                sample_p=sample_p,
-            )
+            filtered = bool(tenant or namespace or tags_any) or sample_p is not None
+            if filtered:
+                # planner-chosen pre/post filtering (selectivity-measured)
+                part = collection.topk_filtered(
+                    qdf,
+                    k=top_k,
+                    nprobe=nprobe,
+                    tenant=tenant or None,
+                    namespace=namespace or None,
+                    tags_any=list(tags_any) or None,
+                    sample_p=sample_p,
+                    strategy="auto",
+                )
+            else:
+                part = collection.topk_ivf(
+                    qdf,
+                    k=top_k,
+                    # request override > persisted calibration > engine default
+                    nprobe=nprobe,
+                )
         else:
             part = collection.topk(
                 qdf,
