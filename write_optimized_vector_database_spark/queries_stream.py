@@ -188,3 +188,56 @@ def evt_streaming_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "event_type", "window_start")
     )
+
+
+@register(
+    "evt_streaming_static_enrichment",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(date_trunc('day', e.ts::TIMESTAMP) AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    survey_ref="[EXT] stream-static enrichment join",
+    tags=["streaming", "events", "join"],
+)
+def evt_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming run of the canonical enrichment shape: a stream
+    joined to a static dimension INSIDE the streaming plan (the dim is
+    broadcast into every micro-batch; no stream-stream state needed),
+    then watermarked daily windows per market segment."""
+    static_dim = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    name = f"evt_enrich_stream_{int(time.time() * 1000)}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .join(F.broadcast(static_dim), "user_id")
+        .groupBy(F.window("ts", "1 day"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            "c_mktsegment",
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("c_mktsegment", "window_start")
+    )
