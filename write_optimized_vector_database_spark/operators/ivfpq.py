@@ -296,13 +296,20 @@ def ivfpq_two_phase_exact_fold(
     be partition-order dependent)."""
     assigned = assign_centroids_exact(vectors, centroids, vec_col, vec_id_col)
     res = residualize(assigned, centroids, vec_col)
-    enc = pq_encode_exact(res, codebooks_residual, dim, m, vec_col="residual", id_col=vec_id_col)
 
     probes = probe_centroids(queries, centroids, nprobe)
     # candidate (query, vec) pairs: vectors living in probed lists
     cand_pairs = (
         assigned.select(F.col(vec_id_col).alias("vec_id"), "centroid_id")
         .join(F.broadcast(probes), "centroid_id")
+    )
+    # encode ONLY probed-list members: rows outside the probed lists never
+    # join cand_pairs, so restricting the (expensive) exact encode is
+    # result-identical — the oracle encodes everything, the hash agrees
+    probed_lists = probes.select("centroid_id").distinct()
+    enc = pq_encode_exact(
+        res.join(F.broadcast(probed_lists), "centroid_id", "semi"),
+        codebooks_residual, dim, m, vec_col="residual", id_col=vec_id_col,
     )
     offsets = (
         probes.join(F.broadcast(queries), "query_id")
