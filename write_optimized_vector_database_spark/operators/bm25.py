@@ -110,3 +110,35 @@ def rrf_fuse(
     return joined.select(
         "query_id", "doc_id", (contrib_a + contrib_b).alias("rrf")
     )
+
+
+def bm25_batch_scores(
+    weights: DataFrame, queries: list[tuple[int, list[str]]]
+) -> DataFrame:
+    """(query_id, doc_id, score) for a BATCH of term-list queries in ONE
+    pass over the weights table (vs one scan+shuffle per query).
+
+    The query terms become a broadcast literal (query_id, term, pos)
+    frame; one join + one pivot on pos computes every query's pinned-
+    order sum Σ w(t_pos0) + w(t_pos1) + … — positions missing for a
+    query contribute +0.0, which is bit-neutral for the non-negative w.
+    """
+    spark = weights.sparkSession
+    max_terms = max(len(t) for _, t in queries)
+    qterms = spark.createDataFrame(
+        [(qid, t, i) for qid, terms in queries for i, t in enumerate(terms)],
+        "query_id long, term string, pos int",
+    )
+    joined = weights.join(F.broadcast(qterms), "term").select(
+        "query_id", "doc_id", "pos", "w"
+    )
+    wide = (
+        joined.groupBy("query_id", "doc_id")
+        .pivot("pos", list(range(max_terms)))
+        .agg(F.first("w"))
+    )
+    cols = [F.coalesce(F.col(str(i)), F.lit(0.0)) for i in range(max_terms)]
+    score = reduce(lambda a, c: a + c, cols)
+    return wide.select("query_id", "doc_id", score.alias("score")).filter(
+        F.col("score") > 0.0
+    )

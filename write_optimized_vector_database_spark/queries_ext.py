@@ -1207,23 +1207,22 @@ def mmdoc_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-derived or a pinned-order sum, so lexical scores, both rank
     lists, and the fused ordering all hash-match the oracle."""
     from write_optimized_vector_database_spark.operators.bm25 import (
-        bm25_query_scores,
+        bm25_batch_scores,
         bm25_weights,
         rrf_fuse,
     )
-    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    weights = bm25_weights(docs, k1=_BM25_K1, b=_BM25_B).persist()
+    weights = bm25_weights(docs, k1=_BM25_K1, b=_BM25_B)
 
-    bm25_ranked = None
-    for qid, terms in _HYBRID_QUERIES:
-        scores = bm25_query_scores(weights, qid, terms)
-        ranked = ranked_top_n(
-            scores, [F.col("score").desc(), F.col("doc_id").asc()], _RRF_DEPTH
-        ).select("query_id", "doc_id", "rank")
-        bm25_ranked = ranked if bm25_ranked is None else bm25_ranked.unionByName(ranked)
+    # every query scored in ONE pass over the weights table (the
+    # per-query-branch formulation scans it once per query)
+    scores = bm25_batch_scores(weights, _HYBRID_QUERIES)
+    bm25_ranked = topk_per_group(
+        scores, group_cols=["query_id"], score_col="score", id_col="doc_id",
+        k=_RRF_DEPTH, prune_partitions=False,
+    ).select("query_id", "doc_id", "rank")
 
     qids = [q for q, _ in _HYBRID_QUERIES]
     queries = emb.filter(F.col("vec_id").isin(qids)).select(
