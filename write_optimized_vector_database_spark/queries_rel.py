@@ -836,3 +836,64 @@ FROM lineitem_gs
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY gid, l_returnflag, l_linestatus
 """)
+
+
+@register(
+    "evt_asof_tolerance_join",
+    oracle="""
+WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+u AS (
+  SELECT user_id, ts, 0 AS side,
+         event_id AS asof_event_id, value AS asof_value, ts AS asof_ts,
+         NULL::BIGINT AS r_event_id, NULL::DOUBLE AS r_value, NULL::TIMESTAMP AS r_ts
+  FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, NULL, NULL, event_id, value, ts
+  FROM ev WHERE event_type = 'purchase'
+),
+filled AS (
+  SELECT user_id, side, r_event_id, r_value, r_ts,
+         last_value(asof_event_id IGNORE NULLS) OVER w AS asof_event_id,
+         last_value(asof_value IGNORE NULLS) OVER w AS asof_value,
+         last_value(asof_ts IGNORE NULLS) OVER w AS asof_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC, side DESC, asof_event_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT r_event_id AS event_id, user_id, r_value AS value,
+       CASE WHEN asof_ts IS NOT NULL
+                 AND epoch_us(r_ts) - epoch_us(asof_ts) <= 1800000000
+            THEN asof_event_id END AS asof_event_id,
+       CASE WHEN asof_ts IS NOT NULL
+                 AND epoch_us(r_ts) - epoch_us(asof_ts) <= 1800000000
+            THEN asof_value END AS asof_value
+FROM filled WHERE side = 1
+""",
+    survey_ref="§2.4 as-of join (+tolerance bound, merge_asof parity)",
+    tags=["events", "asof", "join"],
+)
+def evt_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 30-minute lookback bound: a purchase only inherits a
+    click that happened within the last half hour -- stale state is
+    nulled, not attached (pandas merge_asof `tolerance` semantics).
+    The bound compares epoch-microsecond integers: exact cross-engine."""
+    from write_optimized_vector_database_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["event_id", "value"],
+        strict=True,
+        tiebreak="event_id",
+        tolerance_seconds=1800,
+    ).select("event_id", "user_id", "value", "asof_event_id", "asof_value")
