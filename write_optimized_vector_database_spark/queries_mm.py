@@ -105,3 +105,60 @@ def mm_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"), F.sum(F.octet_length("frame")).alias("bytes"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_feature_ann_topk",
+    # byte_histogram_features is arithmetic on the blob bytes (high
+    # nibble → 16-bin normalized histogram, float32), so the whole
+    # blob → embed → ANN pipeline is SQL-expressible: the corpus is
+    # ASCII (octet_length == length), so byte == ord(char).
+    oracle="""
+WITH bins AS (
+  SELECT d.doc_id, ord(substring(d.text, i.i::INT, 1)) // 16 AS bin
+  FROM documents d, unnest(range(1, length(d.text) + 1)) AS i(i)
+),
+counts AS (SELECT doc_id, bin, count(*)::BIGINT AS c FROM bins GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, b.b AS bin, length(d.text)::BIGINT AS total
+  FROM documents d, range(16) b(b)
+),
+feats AS (
+  SELECT g.doc_id,
+         list((coalesce(c.c, 0) / g.total)::FLOAT ORDER BY g.bin) AS features
+  FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+  GROUP BY g.doc_id
+),
+q AS (SELECT doc_id AS query_id, features AS qv FROM feats WHERE doc_id < 4),
+scored AS (
+  SELECT q.query_id, f.doc_id,
+         list_inner_product(q.qv::DOUBLE[], f.features::DOUBLE[]) AS score
+  FROM q CROSS JOIN feats f
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    survey_ref="[EXT] multimodal blob -> feature-extract -> ANN, end to end",
+    tags=["multimodal", "vector", "topk"],
+)
+def mm_feature_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal-to-vector pipeline: binary blobs ->
+    Arrow-batched feature extraction (the vision-encoder integration
+    point) -> exact ANN over the feature vectors. Deterministic features
+    make even the Python-side extraction hash-checkable."""
+    from write_optimized_vector_database_spark.operators.topk import exact_topk
+
+    feats = MM.byte_histogram_features(_blobs(spark, sf_dir))
+    queries = feats.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), F.col("features").alias("query_vec")
+    )
+    out = exact_topk(
+        feats, queries, k=5, metric="ip", vec_id_col="doc_id", vec_col="features"
+    )
+    return (
+        out.withColumnRenamed("vec_id", "doc_id")
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
