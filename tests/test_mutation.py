@@ -129,3 +129,21 @@ def test_collection_time_travel(spark, tmp_path_factory, sf_dir):
     assert removed > 0
     with _pytest.raises(ValueError):
         c.visible_as_of(DELETE_EPOCH - 1)
+
+
+def test_time_travel_at_head_equals_visible(spark, sf_dir):
+    """visible_as_of(max epoch) must equal the plain visible view —
+    the time-travel identity at the head of history."""
+    from write_optimized_vector_database_spark.operators.changelog import (
+        synthetic_changelog,
+    )
+    from write_optimized_vector_database_spark.operators.compaction import (
+        visible,
+        visible_as_of,
+    )
+
+    log = synthetic_changelog(spark, sf_dir)
+    head = log.agg(F.max("epoch")).first()[0]
+    a = {tuple(r) for r in visible(log).select("id", "epoch", "op").collect()}
+    b = {tuple(r) for r in visible_as_of(log, head).select("id", "epoch", "op").collect()}
+    assert a == b

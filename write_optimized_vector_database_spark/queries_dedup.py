@@ -404,3 +404,96 @@ def emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_top_n(
         pairs, [F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()], 20
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "doc_cdc_chunk_dedup",
+    # Content-defined chunking (rolling-window boundary detection, the
+    # rsync/LBFS family): a chunk boundary opens wherever the 16-char
+    # window's md5 starts with hex nibble 0 (p = 1/16 → ~16-char mean
+    # spacing over the content, independent of byte offsets — insertions
+    # shift boundaries only locally, which is what makes CDC dedup
+    # robust where fixed-size blocks are not). All arithmetic is
+    # integer + md5 strings: exactly hash-checkable.
+    oracle="""
+WITH pos AS (
+  SELECT d.doc_id, i.i AS p
+  FROM documents d, unnest(range(1, length(d.text) - 16 + 2)) AS i(i)
+),
+bnd AS (
+  SELECT pos.doc_id, pos.p
+  FROM pos JOIN documents d ON d.doc_id = pos.doc_id
+  WHERE md5(substring(d.text, pos.p::INT, 16)) LIKE '0%'
+),
+starts AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, 1 AS s FROM documents
+    UNION ALL
+    SELECT doc_id, p FROM bnd
+  )
+),
+chunks AS (
+  SELECT doc_id, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+  FROM starts
+),
+hashes AS (
+  SELECT c.doc_id,
+         md5(substring(d.text, c.s::INT,
+             coalesce(c.nxt - c.s, length(d.text) - c.s + 1)::INT)) AS chash
+  FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT h.chash) AS n_distinct_chunks
+FROM hashes h JOIN documents d ON d.doc_id = h.doc_id
+GROUP BY d.source ORDER BY d.source
+""",
+    survey_ref="[EXT] content-defined chunking + chunk-level dedup",
+    tags=["dedup", "text", "chunking"],
+)
+def doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup accounting: content-defined chunk boundaries
+    (rolling 16-char window, boundary where the window hash's first hex
+    nibble is 0), chunk identity = hash of the chunk text, aggregated
+    per source. Everything runs JVM-side: sequence/explode for
+    positions, column-arg substring, md5 -- no Python in the plan."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    pos = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(15))).alias("p"),
+    )
+    bnd = pos.filter(
+        F.md5(F.substring(F.col("text"), F.col("p"), F.lit(16))).startswith("0")
+    ).select("doc_id", F.col("p").alias("s"))
+    starts = (
+        docs.select("doc_id", F.lit(1).alias("s"))
+        .unionByName(bnd)
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    chunks = starts.withColumn("nxt", F.lead("s").over(w))
+    hashes = chunks.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.substring(
+                F.col("text"),
+                F.col("s"),
+                F.coalesce(
+                    F.col("nxt") - F.col("s"),
+                    F.length("text") - F.col("s") + F.lit(1),
+                ),
+            )
+        ).alias("chash"),
+    )
+    return (
+        hashes.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chash").alias("n_distinct_chunks"),
+        )
+        .orderBy("source")
+    )
