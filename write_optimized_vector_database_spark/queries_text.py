@@ -223,3 +223,97 @@ def doc_training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+_CMS_HASH = "('0x' || substring(md5(term || '_{r}'), 1, 8))::BIGINT % " + str(_CMS_W)
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+counters AS (
+  SELECT r.r AS row, {_CMS_HASH.format(r="' || r.r || '")} AS bucket,
+         count(*)::BIGINT AS c
+  FROM toks, range({_CMS_D}) r(r)
+  GROUP BY 1, 2
+),
+terms AS (SELECT DISTINCT term FROM toks),
+probes AS (
+  SELECT t.term, r.r AS row, {_CMS_HASH.format(r="' || r.r || '")} AS bucket
+  FROM terms t, range({_CMS_D}) r(r)
+),
+est AS (
+  SELECT p.term, min(c.c) AS cms_count
+  FROM probes p JOIN counters c ON c.row = p.row AND c.bucket = p.bucket
+  GROUP BY p.term
+),
+exact AS (SELECT term, count(*)::BIGINT AS exact_count FROM toks GROUP BY term)
+SELECT term, cms_count, exact_count, rank FROM (
+  SELECT e.term, e.cms_count, x.exact_count,
+         row_number() OVER (ORDER BY e.cms_count DESC, e.term ASC) AS rank
+  FROM est e JOIN exact x ON x.term = e.term
+) WHERE rank <= 20
+"""
+
+
+@register(
+    "doc_cms_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    survey_ref="[EXT] count-min sketch heavy hitters (integer-exact twin)",
+    tags=["text", "sketch", "agg"],
+)
+def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (d=4 rows x w=256 buckets,
+    Cormode-Muthukrishnan): counters are one groupBy over (row, bucket),
+    estimates are the min over each term's d probes -- overestimates
+    only, never under (the CMS guarantee; visible here next to the exact
+    count). All integer arithmetic on md5-portable buckets, so the
+    sketch itself is hash-checked cross-engine. At scale the counter
+    table is d x w cells regardless of corpus size -- the point of
+    sketching."""
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("row"))
+    probed = toks.crossJoin(F.broadcast(rows)).select(
+        "term",
+        "row",
+        (
+            portable_hash(F.concat(F.col("term"), F.lit("_"), F.col("row").cast("string")))
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    counters = probed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    term_probes = (
+        toks.distinct()
+        .crossJoin(F.broadcast(rows))
+        .select(
+            "term",
+            "row",
+            (
+                portable_hash(
+                    F.concat(F.col("term"), F.lit("_"), F.col("row").cast("string"))
+                )
+                % _CMS_W
+            ).alias("bucket"),
+        )
+    )
+    est = (
+        term_probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("term")
+        .agg(F.min("c").alias("cms_count"))
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
+
+    return ranked_top_n(
+        est.join(exact, "term"),
+        [F.col("cms_count").desc(), F.col("term").asc()],
+        20,
+    ).withColumn("rank", F.col("rank").cast("long"))
