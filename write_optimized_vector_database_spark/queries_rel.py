@@ -897,3 +897,122 @@ def evt_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
         tolerance_seconds=1800,
     ).select("event_id", "user_id", "value", "asof_event_id", "asof_value")
+
+
+@register(
+    "evt_session_funnel",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+),
+s1 AS (
+  SELECT user_id, sid, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM sess GROUP BY user_id, sid
+),
+s2 AS (
+  SELECT s1.user_id, s1.sid, s1.t_view, MIN(e.ts) AS t_click
+  FROM s1 LEFT JOIN sess e
+    ON e.user_id = s1.user_id AND e.sid = s1.sid
+   AND e.event_type = 'click' AND s1.t_view IS NOT NULL AND e.ts > s1.t_view
+  GROUP BY s1.user_id, s1.sid, s1.t_view
+),
+s3 AS (
+  SELECT s2.user_id, s2.sid, s2.t_view, s2.t_click, MIN(e.ts) AS t_purchase
+  FROM s2 LEFT JOIN sess e
+    ON e.user_id = s2.user_id AND e.sid = s2.sid
+   AND e.event_type = 'purchase' AND s2.t_click IS NOT NULL AND e.ts > s2.t_click
+  GROUP BY s2.user_id, s2.sid, s2.t_view, s2.t_click
+)
+SELECT 'step1_view' AS step, COUNT(t_view) AS n_sessions FROM s3
+UNION ALL
+SELECT 'step2_click', COUNT(t_click) FROM s3
+UNION ALL
+SELECT 'step3_purchase', COUNT(t_purchase) FROM s3
+ORDER BY step
+""",
+    survey_ref="[EXT] sessionized funnel (ordered multi-step conversion)",
+    tags=["events", "window", "funnel"],
+)
+def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel within 30-minute sessions: view -> later click ->
+    later purchase. Step times chain through conditional aggregation
+    (each step's min ts must follow the previous step's), so the output
+    is the per-step session count -- pure integer/timestamp arithmetic,
+    one shuffle per stage on (user_id, sid)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = gaps.select(
+        "user_id", "ts", "event_type", F.sum("new_session").over(cum).alias("sid")
+    )
+    s1 = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = sess.filter(F.col("event_type") == "click").select(
+        "user_id", "sid", F.col("ts").alias("c_ts")
+    )
+    s2 = (
+        s1.join(
+            clicks,
+            (s1.user_id == clicks.user_id)
+            & (s1.sid == clicks.sid)
+            & s1.t_view.isNotNull()
+            & (clicks.c_ts > s1.t_view),
+            "left",
+        )
+        .groupBy(s1.user_id, s1.sid, "t_view")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    purchases = sess.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sid", F.col("ts").alias("p_ts")
+    )
+    s3 = (
+        s2.join(
+            purchases,
+            (s2.user_id == purchases.user_id)
+            & (s2.sid == purchases.sid)
+            & s2.t_click.isNotNull()
+            & (purchases.p_ts > s2.t_click),
+            "left",
+        )
+        .groupBy(s2.user_id, s2.sid, "t_view", "t_click")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    counts = s3.agg(
+        F.count("t_view").alias("step1_view"),
+        F.count("t_click").alias("step2_click"),
+        F.count("t_purchase").alias("step3_purchase"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            ("step1_view", counts["step1_view"]),
+            ("step2_click", counts["step2_click"]),
+            ("step3_purchase", counts["step3_purchase"]),
+        ],
+        "step string, n_sessions long",
+    ).orderBy("step")
