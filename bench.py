@@ -103,6 +103,22 @@ def main() -> None:
         t0 = time.time()
         coll.compact()
         timings["compact_snapshot"] = round(time.time() - t0, 3)
+        # the flagship read path: residual-IVFPQ stable index + delta
+        # merge + exact rerank, timed as build and search separately
+        t0 = time.time()
+        coll.build_indexes(nlist=32, m=8, nbits=8)
+        timings["build_indexes_ivfpq"] = round(time.time() - t0, 3)
+        qdf = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .filter(F.col("vec_id") < 8)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        )
+        t0 = time.time()
+        coll.topk_two_phase(qdf, k=10, nprobe=8, rerank_factor=4).collect()
+        timings["two_phase_search"] = round(time.time() - t0, 3)
         wa = coll.write_amplification()
         print(
             f"ingested {n_ops} ops in {dt:.2f}s = {n_ops / dt:,.0f} ops/s; "

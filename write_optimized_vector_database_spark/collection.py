@@ -414,7 +414,11 @@ class VectorCollection:
             train_pq_codebooks_kmeans,
         )
 
-        cur = self.current().filter(F.col("vector").isNotNull())
+        # current() is a shuffle (snapshot ∪ tail → latest-by-id window);
+        # the build makes several passes over it (dim probe, centroid
+        # sample, codebook sample, encode) — persist once, unpersist at
+        # the end, so the window runs once instead of per-pass.
+        cur = self.current().filter(F.col("vector").isNotNull()).persist()
         dim = len(cur.select("vector").first()[0])
         cents = train_centroids_kmeans(
             cur, nlist=nlist, vec_col="vector", id_col="id",
@@ -444,6 +448,7 @@ class VectorCollection:
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
             self._has_changelog_files()
         ) else self._snapshot_epoch()
+        cur.unpersist()
         self._meta_update(index_epoch=int(max_epoch), index_residual=bool(residual))
 
     def _index_epoch(self) -> int:

@@ -75,11 +75,13 @@ def train_pq_codebooks_kmeans(
     sample = np.asarray(
         [r[0] for r in train.select(vec_col).collect()], dtype=np.float64
     )
-    rng = np.random.RandomState(seed)
+    # Subspaces are independent; per-subspace seeds keep the codebooks
+    # deterministic and order-independent. (A thread pool here LOSES:
+    # BLAS already multithreads the matmuls, and nesting oversubscribes.)
     rows = []
     for s in range(m):
-        sub = sample[:, s * d_sub : (s + 1) * d_sub]
-        centers = _kmeans_np(sub, k, rng)
+        sub = np.ascontiguousarray(sample[:, s * d_sub : (s + 1) * d_sub])
+        centers = _kmeans_np(sub, k, np.random.RandomState(seed + s))
         rows.extend(
             (s, int(c), [float(x) for x in centers[c]]) for c in range(len(centers))
         )
@@ -90,17 +92,29 @@ def train_pq_codebooks_kmeans(
 
 def _kmeans_np(x: np.ndarray, k: int, rng) -> np.ndarray:
     """Small in-driver Lloyd's k-means (codebooks are tiny; MLlib KMeans
-    per subspace would spin m Spark jobs for kilobytes of data)."""
+    per subspace would spin m Spark jobs for kilobytes of data).
+
+    Assignment uses the matmul expansion ‖x−c‖² = ‖c‖² − 2x·cᵀ (+‖x‖²,
+    constant per row, dropped) — BLAS-speed and O(n·k) memory, vs the
+    n×k×d broadcast temporary that melts the driver at the 64k-row
+    training cap. Means via bincount; empty clusters keep their center."""
     k = min(k, len(x))
-    centers = x[rng.choice(len(x), size=k, replace=False)]
+    x32 = np.ascontiguousarray(x, dtype=np.float32)
+    centers = x32[rng.choice(len(x), size=k, replace=False)].copy()
+    n = len(x32)
+    assign = np.empty(n, dtype=np.int64)
+    blk = 16384  # keep the n×k score block inside L2/L3, not RAM
     for _ in range(15):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for c in range(k):
-            mask = assign == c
-            if mask.any():
-                centers[c] = x[mask].mean(0)
-    return centers
+        cnorm = (centers.astype(np.float64) ** 2).sum(-1).astype(np.float32)[None, :]
+        for i in range(0, n, blk):
+            d = cnorm - 2.0 * (x32[i : i + blk] @ centers.T)
+            assign[i : i + blk] = d.argmin(1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = counts > 0
+        for j in range(x.shape[1]):
+            sums = np.bincount(assign, weights=x[:, j], minlength=k)
+            centers[nz, j] = (sums[nz] / counts[nz]).astype(np.float32)
+    return centers.astype(np.float64)
 
 
 def codebooks_from_stride(
