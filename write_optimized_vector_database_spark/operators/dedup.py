@@ -350,3 +350,76 @@ def embedding_near_dup_pairs(
     return pairs.select("id_a", "id_b", cosine.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id).
+
+    Near-dup detection emits PAIRS; dedup policy needs CLUSTERS (the
+    transitive closure: if a~b and b~c, keep one of {a,b,c}). This is
+    the component-labeling step the reference's dedup story implies but
+    pair queries alone can't express.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round every node takes the min label in its closed
+    neighborhood. Converges in O(component diameter) rounds — near-dup
+    clusters are short-diameter by construction (they form inside LSH
+    buckets), so the loop exits after 2-3 rounds in practice, bounded by
+    `max_iter`. Each round is ONE shuffle over the EDGE set (candidate
+    pairs only — tiny vs the corpus), so the 100 TB cost is
+    O(rounds × |pairs|), never O(n²). For adversarially long chains,
+    swap in alternating large-star/small-star (Kiveris et al., "CC in
+    MapReduce and Beyond") — same join shape, fewer rounds.
+
+    The cluster_id is the component's min member id — deterministic, so
+    the result is hash-checkable against a recursive-CTE oracle.
+    """
+    # Iterative plans grow lineage per round; localCheckpoint truncates
+    # the DAG each iteration (persist alone keeps the nested plan and
+    # blows up Catalyst/codegen on long chains).
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", "nlabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out

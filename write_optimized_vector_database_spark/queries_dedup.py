@@ -497,3 +497,103 @@ def doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components
+# ---------------------------------------------------------------------------
+
+# Corpus with two synthesized duplicate generations: every 3rd doc gets a
+# copy at +1M, every 6th another at +2M — so components are chains
+# {id, id+1M, id+2M} whose closure only CLUSTERING (not pair listing)
+# recovers. The shingle/sig/band CTEs mirror _SHINGLE_CTE/_LSH_CTE but
+# read from the widened corpus.
+_CLUSTER_CORPUS_CTE = rf"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 6 = 0
+),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i::INT, {_SHINGLE_N}) AS shingle
+  FROM norm, range(1, 100001) r(i)
+  WHERE i <= greatest(length(t) - {_SHINGLE_N - 1}, 1)
+),
+shh AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS s FROM sh
+)
+"""
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTER_CORPUS_CTE.strip()},
+{_LSH_CTE.strip()},
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_NUM_HASHES))})::DOUBLE
+           / {_NUM_HASHES} AS jaccard_est
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+),
+prs AS (SELECT doc_a, doc_b FROM est WHERE jaccard_est >= 0.6),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION
+  SELECT doc_b, doc_a FROM prs
+),
+walk(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       (c.doc_id = c.cluster_id) AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
+""",
+    survey_ref="[EXT] dedup-clusters",
+    tags=["dedup", "text", "graph"],
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: MinHash-LSH candidates above an
+    estimated-Jaccard threshold feed connected components (iterative
+    min-label propagation), yielding one canonical doc per duplicate
+    cluster. The `is_canonical` flag is the dedup keep-policy: keep the
+    min-id member of every component."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    sig = D.minhash_signatures(corpus, _NUM_HASHES, _SHINGLE_N).persist()
+    pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
+    est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
+    prs = est.filter(F.col("jaccard_est") >= 0.6)
+    comp = D.dedup_clusters(prs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
