@@ -121,24 +121,19 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
         for r in windowed_event_counts(ev_batch).collect()
     }
 
-    # raw file carries TIMESTAMP(NANOS) → declare ts as long (nanosAsLong)
-    # and apply the same ns→µs conversion the batch loader uses
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    # file-stream sources need a directory; stage the fixture file
+    # file-stream sources need a directory; stage the fixture file.
+    # events_stream_source sniffs the file's actual ts physical type
+    # (ns vs µs — it has varied across driver generations).
     import shutil
+
+    from write_optimized_vector_database_spark.sources.tables import (
+        events_stream_source,
+    )
 
     src_dir = tmp_path / "events_src"
     src_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream_source(spark, str(src_dir))
     q = (
         windowed_event_counts(stream)
         .writeStream.outputMode("complete")

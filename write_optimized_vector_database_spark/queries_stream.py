@@ -16,20 +16,19 @@ from pyspark.sql import functions as F
 
 from write_optimized_vector_database_spark.queries import register
 
-_RAW_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture (ns→µs conversion inline)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """readStream over the events fixture.
+
+    The fixture's `ts` physical type has varied across driver
+    generations (TIMESTAMP(NANOS) vs timestamp[us]); sniff the actual
+    type from one batch-side footer read and declare the stream schema
+    to match, converting ns→µs only when the file really is nanos."""
+    from write_optimized_vector_database_spark.sources.tables import (
+        events_stream_source,
+    )
+
+    return events_stream_source(
+        spark, sf_dir.rstrip("/"), path_glob="events.parquet"
     )
 
 

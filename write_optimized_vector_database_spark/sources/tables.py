@@ -42,16 +42,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # it, but entry/queries run under the caller's session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events":
-        # ts arrives as TIMESTAMP(NANOS) → read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to µs timestamp,
-        # matching DuckDB's ns→µs cast in the oracles.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # older fixture generations carry ts as TIMESTAMP(NANOS) → read
+        # as long nanos (spark.sql.legacy.parquet.nanosAsLong) → truncate
+        # to µs timestamp, matching DuckDB's ns→µs cast in the oracles.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize TIMESTAMP_NTZ (tz-less parquet annotations) to session-tz
+    # TIMESTAMP: the session is pinned UTC so wall values are unchanged,
+    # and epoch functions (unix_micros etc.) accept only TIMESTAMP.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+def events_stream_source(
+    spark: SparkSession, src_dir: str, path_glob: str | None = None
+) -> DataFrame:
+    """readStream over an events-shaped parquet directory with `ts`
+    normalized to a µs TIMESTAMP.
+
+    File-stream sources require an explicit schema, but the fixture's
+    `ts` physical type has varied across driver generations
+    (TIMESTAMP(NANOS) → read as long under nanosAsLong, vs plain
+    timestamp[us]). Sniff the effective type with ONE batch-side footer
+    read and declare the stream schema to match — hard-coding either
+    variant silently mis-scales every event time by 1000×."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = src_dir if path_glob is None else f"{src_dir.rstrip('/')}/{path_glob}"
+    ts_is_long = isinstance(
+        spark.read.parquet(probe).schema["ts"].dataType, T.LongType
+    )
+    schema = (
+        "event_id long, ts {} , user_id long, event_type string, "
+        "value double, props string"
+    ).format("long" if ts_is_long else "timestamp")
+    reader = spark.readStream.schema(schema)
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.parquet(src_dir)
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
