@@ -437,8 +437,17 @@ class VectorCollection:
             )
             assigned = assign_centroids(cur, cents, vec_col="vector")
             encoded = pq_encode(assigned, codebooks, vec_col="vector")
+        # hash-cluster rows by posting list before the partitioned write:
+        # without it every input task writes a file into every list dir
+        # (tasks × nlist small files); with it each task owns whole lists
+        # (AQE splits skewed lists). At 100 TB this is the difference
+        # between nlist×10k files and a file count proportional to data.
         (
-            self._with_bloom(encoded.select("id", "centroid_id", "codes").write)
+            self._with_bloom(
+                encoded.select("id", "centroid_id", "codes")
+                .repartition("centroid_id")
+                .write
+            )
             .mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/index_stable")

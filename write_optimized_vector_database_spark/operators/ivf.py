@@ -18,8 +18,9 @@ Spark design — the posting list IS the partition:
   then the candidate scan is an `isin`/join Catalyst prunes on.
 
 Two centroid sources share the pipeline:
-- `train_centroids_kmeans` — MLlib KMeans on a deterministic hash-sample
-  (global shared centroids, config.h:80-81); the production path.
+- `train_centroids_kmeans` — driver-side k-means (k-means++ seeded) on a
+  bounded deterministic hash-sample (global shared centroids,
+  config.h:80-81); the production path.
 - `centroids_from_stride` — every Nth vector as a centroid; fully
   deterministic AND SQL-expressible, which makes the whole IVF pipeline
   hash-checkable against a DuckDB oracle.
@@ -62,26 +63,34 @@ def train_centroids_kmeans(
     max_iter: int = 20,
     max_train_rows: int | None = None,
 ) -> DataFrame:
-    """MLlib KMeans centroids trained on a deterministic hash-sample.
+    """Coarse centroids trained driver-side on a deterministic hash-sample.
 
     At 100 TB you never KMeans the full table: the training set is ALWAYS
     bounded — `max_train_rows` defaults to 256 × nlist (reference trains
     global centroids once and reuses them, config.h:79-81
-    rebuild_interval 24h). Returns (centroid_id, centroid).
+    rebuild_interval 24h). Because the sample is bounded (≤ nlist×256
+    rows of dim doubles — megabytes), Lloyd's iterations run as driver
+    NumPy with k-means++ seeding: one Spark job to collect the sample
+    instead of ~2 jobs × maxIter from a distributed fit, which at 32
+    local cores is pure scheduling overhead for kilobyte partitions.
+    Returns (centroid_id, centroid).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from write_optimized_vector_database_spark.operators.pq import _kmeans_np
 
     cap = max_train_rows if max_train_rows is not None else 256 * nlist
     train = vectors
     if sample_fraction is not None and sample_fraction < 1.0:
         train = train.filter(deterministic_sample(id_col, sample_fraction, salt="kmeans"))
     train = bounded_training_sample(train, id_col, cap, salt="kmeans-cap")
-    train = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+    from write_optimized_vector_database_spark.functions.nputil import collect_vectors_np
+
+    sample = collect_vectors_np(train, vec_col)
+    centers_np = _kmeans_np(
+        sample, nlist, np.random.RandomState(seed), max_iter=max_iter, init_pp=True
+    )
     spark = vectors.sparkSession
     centers = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centers_np)
     ]
     return spark.createDataFrame(centers, "centroid_id int, centroid array<double>")
 

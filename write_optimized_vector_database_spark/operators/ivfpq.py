@@ -51,7 +51,6 @@ from write_optimized_vector_database_spark.operators.pq import (
     explode_subspaces,
     pq_encode,
     pq_encode_exact,
-    train_pq_codebooks_kmeans,
 )
 from write_optimized_vector_database_spark.operators.topk import (
     score_column,
@@ -97,19 +96,47 @@ def train_ivfpq_codebooks(
     id_col: str = "vec_id",
     sample_fraction: float | None = None,
 ) -> DataFrame:
-    """Residual codebooks: assign → subtract centroid → per-subspace
-    k-means. Training rows are hard-capped inside
-    train_pq_codebooks_kmeans (256·2^nbits), never the full table."""
-    assigned = assign_centroids(vectors, centroids, vec_col)
-    res = residualize(assigned, centroids, vec_col)
-    return train_pq_codebooks_kmeans(
-        res,
-        dim,
-        m,
-        nbits=nbits,
-        vec_col="residual",
-        id_col=id_col,
-        sample_fraction=sample_fraction,
+    """Residual codebooks: sample → assign → subtract centroid →
+    per-subspace k-means, ALL on the bounded training sample.
+
+    Order matters at scale: sampling FIRST means the assignment and
+    residual passes touch only ≤64·2^nbits rows (collected once to the
+    driver and processed as three NumPy matmuls), instead of running an
+    Arrow assignment pass over the full table twice (count + collect)
+    just to throw 99% of it away at the sample filter."""
+    from write_optimized_vector_database_spark.functions.hashing import (
+        bounded_training_sample,
+        deterministic_sample,
+    )
+    from write_optimized_vector_database_spark.operators.pq import (
+        _kmeans_np,
+        subspace_dims,
+    )
+
+    d_sub = subspace_dims(dim, m)
+    k = 2**nbits
+    train = vectors
+    if sample_fraction is not None and sample_fraction < 1.0:
+        train = train.filter(deterministic_sample(id_col, sample_fraction, salt="pq"))
+    train = bounded_training_sample(train, id_col, 64 * k, salt="pq-cap")
+    from write_optimized_vector_database_spark.functions.nputil import collect_vectors_np
+
+    sample = collect_vectors_np(train, vec_col)
+    crows = centroids.orderBy("centroid_id").collect()
+    cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
+    c_sq = (cents * cents).sum(-1)
+    assign = (c_sq[None, :] - 2.0 * (sample @ cents.T)).argmin(1)
+    res = sample - cents[assign]
+    seed = 42
+    rows = []
+    for s in range(m):
+        sub = np.ascontiguousarray(res[:, s * d_sub : (s + 1) * d_sub])
+        centers = _kmeans_np(sub, k, np.random.RandomState(seed + s))
+        rows.extend(
+            (s, int(c), [float(x) for x in centers[c]]) for c in range(len(centers))
+        )
+    return vectors.sparkSession.createDataFrame(
+        rows, "subspace int, code int, cvec array<double>"
     )
 
 
@@ -120,16 +147,52 @@ def ivfpq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(vec_id, centroid_id, codes) — the int-only index rows. One Arrow
-    pass for assignment, one JVM subtract, one Arrow pass for encoding."""
-    assigned = assign_centroids(vectors, centroids, vec_col)
-    res = residualize(assigned, centroids, vec_col)
-    enc = pq_encode(
-        res.select(id_col, "centroid_id", F.col("residual").alias("__resv")),
-        codebooks,
-        vec_col="__resv",
+    """(vec_id, centroid_id, codes) — the int-only index rows.
+
+    ONE fused Arrow pass: per batch, centroid assignment (argmin
+    matmul), residual subtraction, and per-subspace code argmin run as
+    consecutive NumPy ops on the same in-memory block. Splitting these
+    into assign → JVM zip_with → encode costs two extra Arrow
+    (de)serializations of every vector in the table — the dominant cost
+    of the index build once training is sample-bounded."""
+    from pyspark.sql import types as T
+
+    cb, m, _k = _codebooks_np(codebooks)
+    d_sub = cb.shape[2]
+    cb_sq = (cb * cb).sum(-1)  # (m, k)
+    crows = centroids.orderBy("centroid_id").collect()
+    cent_ids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
+    cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
+    c_sq = (cents * cents).sum(-1)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            pos = (c_sq[None, :] - 2.0 * (v @ cents.T)).argmin(1)
+            res = v - cents[pos]
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                sub = res[:, s * d_sub : (s + 1) * d_sub]
+                d = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
+                codes[:, s] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "centroid_id": cent_ids[pos].astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            vectors.schema[id_col],
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
     )
-    return enc.select(id_col, "centroid_id", "codes")
+    return vectors.select(id_col, vec_col).mapInPandas(fn, schema=schema)
 
 
 def ivfpq_adc_topk(

@@ -62,19 +62,19 @@ def train_pq_codebooks_kmeans(
     Trains on a deterministic hash-sample collected to the driver (PQ
     training needs O(2^nbits × 1k) rows per subspace — never the full
     table; reference trains codebooks offline the same way). The sample
-    is ALWAYS bounded: `max_train_rows` defaults to 256 × 2^nbits, so an
+    is ALWAYS bounded: `max_train_rows` defaults to 64 × 2^nbits (64 training points per codeword — ample for the low-dim subquantizers, FAISS-recommended range), so an
     unset `sample_fraction` can never collect a 100 TB table.
     """
     d_sub = subspace_dims(dim, m)
     k = 2**nbits
-    cap = max_train_rows if max_train_rows is not None else 256 * k
+    cap = max_train_rows if max_train_rows is not None else 64 * k
     train = vectors
     if sample_fraction is not None and sample_fraction < 1.0:
         train = train.filter(deterministic_sample(id_col, sample_fraction, salt="pq"))
     train = bounded_training_sample(train, id_col, cap, salt="pq-cap")
-    sample = np.asarray(
-        [r[0] for r in train.select(vec_col).collect()], dtype=np.float64
-    )
+    from write_optimized_vector_database_spark.functions.nputil import collect_vectors_np
+
+    sample = collect_vectors_np(train, vec_col)
     # Subspaces are independent; per-subspace seeds keep the codebooks
     # deterministic and order-independent. (A thread pool here LOSES:
     # BLAS already multithreads the matmuls, and nesting oversubscribes.)
@@ -90,9 +90,30 @@ def train_pq_codebooks_kmeans(
     )
 
 
-def _kmeans_np(x: np.ndarray, k: int, rng) -> np.ndarray:
-    """Small in-driver Lloyd's k-means (codebooks are tiny; MLlib KMeans
-    per subspace would spin m Spark jobs for kilobytes of data).
+def _kmeans_pp_init(x32: np.ndarray, k: int, rng) -> np.ndarray:
+    """k-means++ D² seeding: each next center drawn ∝ squared distance
+    to the nearest already-chosen center. O(n·k) — trivial at the
+    bounded training-sample sizes; markedly better coarse-quantizer
+    recall than uniform seeding when cluster sizes are skewed."""
+    n = len(x32)
+    centers = np.empty((k, x32.shape[1]), dtype=np.float32)
+    centers[0] = x32[rng.randint(n)]
+    d2 = ((x32 - centers[0]) ** 2).sum(-1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            centers[j:] = x32[rng.choice(n, size=k - j)]
+            break
+        centers[j] = x32[np.searchsorted(np.cumsum(d2), rng.rand() * tot)]
+        d2 = np.minimum(d2, ((x32 - centers[j]) ** 2).sum(-1))
+    return centers
+
+
+def _kmeans_np(
+    x: np.ndarray, k: int, rng, max_iter: int = 15, init_pp: bool = False
+) -> np.ndarray:
+    """Small in-driver Lloyd's k-means (codebooks are tiny; a distributed
+    fit per subspace would spin m Spark jobs for kilobytes of data).
 
     Assignment uses the matmul expansion ‖x−c‖² = ‖c‖² − 2x·cᵀ (+‖x‖²,
     constant per row, dropped) — BLAS-speed and O(n·k) memory, vs the
@@ -100,11 +121,14 @@ def _kmeans_np(x: np.ndarray, k: int, rng) -> np.ndarray:
     training cap. Means via bincount; empty clusters keep their center."""
     k = min(k, len(x))
     x32 = np.ascontiguousarray(x, dtype=np.float32)
-    centers = x32[rng.choice(len(x), size=k, replace=False)].copy()
+    if init_pp:
+        centers = _kmeans_pp_init(x32, k, rng)
+    else:
+        centers = x32[rng.choice(len(x), size=k, replace=False)].copy()
     n = len(x32)
     assign = np.empty(n, dtype=np.int64)
     blk = 16384  # keep the n×k score block inside L2/L3, not RAM
-    for _ in range(15):
+    for _ in range(max_iter):
         cnorm = (centers.astype(np.float64) ** 2).sum(-1).astype(np.float32)[None, :]
         for i in range(0, n, blk):
             d = cnorm - 2.0 * (x32[i : i + blk] @ centers.T)
@@ -349,12 +373,14 @@ def train_opq(
     """
     d_sub = subspace_dims(dim, m)
     k = 2**nbits
-    cap = max_train_rows if max_train_rows is not None else 256 * k
+    cap = max_train_rows if max_train_rows is not None else 64 * k
     train = vectors
     if sample_fraction is not None and sample_fraction < 1.0:
         train = train.filter(deterministic_sample(id_col, sample_fraction, salt="opq"))
     train = bounded_training_sample(train, id_col, cap, salt="opq-cap")
-    x = np.asarray([r[0] for r in train.select(vec_col).collect()], dtype=np.float64)
+    from write_optimized_vector_database_spark.functions.nputil import collect_vectors_np
+
+    x = collect_vectors_np(train, vec_col)
     rng = np.random.RandomState(seed)
     r_mat = np.eye(dim)
     centers: list[np.ndarray] | None = None
