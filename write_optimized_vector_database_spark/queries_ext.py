@@ -1316,3 +1316,90 @@ def vec_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, dim=64, n_parts=_MAXSIM_PARTS, k=10, fetch_k=_MAXSIM_FETCH
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance + inverted tag index (S5/M1/Q8 extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mut_incremental_agg",
+    # The ORACLE recomputes the aggregate directly from the visible set;
+    # the Spark twin derives the SAME numbers by folding per-id state
+    # TRANSITIONS (the Flink-style retraction/CDC formulation). Hash
+    # equality proves the incremental maintenance is exact.
+    oracle=_VISIBLE_CTE
+    + """
+SELECT tenant, namespace, COUNT(*) AS n_visible
+FROM visible GROUP BY tenant, namespace ORDER BY tenant, namespace
+""",
+    survey_ref="S5,M1 (incremental view maintenance)",
+    tags=["mutation", "agg", "cdc"],
+)
+def mut_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance from the changelog.
+
+    Instead of recomputing COUNT(*) over the visible set, fold each op
+    into a ±1 delta against the id's PREVIOUS state (lag over the per-id
+    epoch order): INSERT/UPSERT of an invisible id → +1, DELETE of a
+    visible id → −1, everything else → 0. Summing deltas per
+    (tenant, namespace) maintains the aggregate with one narrow window
+    + one partial-aggregated shuffle over ONLY the changed keys — at
+    100 TB this is the difference between touching the delta and
+    re-scanning the table (the same algebra a streaming materialized
+    view runs per micro-batch)."""
+    from pyspark.sql import Window
+
+    log = synthetic_changelog(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("epoch", "op")
+    vis_now = F.col("op") != "DELETE"
+    vis_prev = F.lag(F.col("op") != F.lit("DELETE"), 1, False).over(w)
+    deltas = log.withColumn(
+        "delta",
+        F.when(vis_now & ~vis_prev, F.lit(1))
+        .when(~vis_now & vis_prev, F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    return (
+        deltas.groupBy("tenant", "namespace")
+        .agg(F.sum("delta").cast("long").alias("n_visible"))
+        .filter(F.col("n_visible") > 0)
+        .orderBy("tenant", "namespace")
+    )
+
+
+@register(
+    "mut_tag_posting_lists",
+    oracle=_VISIBLE_CTE
+    + """
+, exploded AS (
+  SELECT unnest(tags) AS tag, id FROM visible
+)
+SELECT tag, COUNT(*) AS doc_freq,
+       to_json(list(id ORDER BY id))::VARCHAR AS ids_json
+FROM exploded GROUP BY tag ORDER BY tag
+""",
+    survey_ref="Q8 (inverted tag index / posting lists)",
+    tags=["mutation", "tags", "index"],
+)
+def mut_tag_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over tags: tag → sorted posting list of visible
+    ids + document frequency.
+
+    This is the scale path for SELECTIVE tag filters: a broadcast-able
+    posting-list lookup replaces an arrays_overlap scan of the table
+    (the reference's tag-dictionary + per-tag bitmap design,
+    config.h:122-123). One explode + one shuffle on the tag key;
+    posting lists serialize to JSON for the driver's canonicalizer."""
+    log = synthetic_changelog(spark, sf_dir)
+    return (
+        visible(log)
+        .select(F.explode("tags").alias("tag"), "id")
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.to_json(F.sort_array(F.collect_list("id"))).alias("ids_json"),
+        )
+        .orderBy("tag")
+    )

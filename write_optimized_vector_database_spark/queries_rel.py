@@ -1016,3 +1016,196 @@ def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "step string, n_sessions long",
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: market share, correlated EXISTS, z-order layout,
+# column profiling (§2.4 breadth + layout ops for 100 TB scans)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_market_share",
+    oracle=f"""
+WITH asia AS (
+  SELECT year(o.o_orderdate) AS order_year, n.n_name AS nation,
+         {_REVENUE_DEC} AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT order_year, nation,
+       CAST(CAST(SUM(rev) AS DOUBLE)
+            / CAST(SUM(SUM(rev)) OVER (PARTITION BY order_year) AS DOUBLE)
+         AS DOUBLE) AS mkt_share
+FROM asia GROUP BY order_year, nation
+ORDER BY order_year, nation
+""",
+    survey_ref="§2.4 joins,agg,window (TPC-H Q8 family)",
+    tags=["relational", "join", "window"],
+)
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year nation market share inside one region (TPC-H Q8 shape):
+    a 5-way join where every dimension side is broadcast-sized, one
+    shuffle on the (year, nation) aggregate, and the share is a window
+    ratio of exact DECIMAL sums (division done in DOUBLE — IEEE-identical
+    across engines; decimal division scale rules are NOT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(28,4)")
+    asia = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").alias("order_year"),
+                F.col("n_name").alias("nation"), rev.alias("rev"))
+    )
+    per = asia.groupBy("order_year", "nation").agg(F.sum("rev").alias("nrev"))
+    w = Window.partitionBy("order_year")
+    return (
+        per.select(
+            "order_year", "nation",
+            (F.col("nrev").cast("double") / F.sum("nrev").over(w).cast("double"))
+            .alias("mkt_share"),
+        )
+        .orderBy("order_year", "nation")
+    )
+
+
+@register(
+    "rel_correlated_exists",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+ORDER BY o.o_orderkey
+LIMIT 500
+""",
+    survey_ref="§2.4 subquery (correlated EXISTS / NOT EXISTS)",
+    tags=["relational", "subquery"],
+)
+def rel_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS — planned as LEFT SEMI and LEFT
+    ANTI joins on the order key (no row multiplication, no distinct):
+    the two scans of lineitem each push their own filter down, and both
+    joins shuffle on the same key so AQE coalesces the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = li.filter(F.col("l_discount") > 0.08).select("l_orderkey")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(disc, o.o_orderkey == disc.l_orderkey, "left_semi")
+        .join(ret, o.o_orderkey == ret.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+from write_optimized_vector_database_spark.operators.zorder import (  # noqa: E402
+    zorder_key,
+    zorder_key_sql,
+)
+
+_Z_SQL = zorder_key_sql(
+    ["user_id % 256", "(hour(ts::TIMESTAMP) * 60 + minute(ts::TIMESTAMP)) % 256"],
+    bits=8,
+)
+
+
+@register(
+    "rel_zorder_layout",
+    oracle=f"""
+WITH keyed AS (
+  SELECT {_Z_SQL} AS zkey, user_id, event_id FROM events
+)
+SELECT zkey >> 8 AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       MIN(event_id) AS min_event
+FROM keyed GROUP BY 1 ORDER BY 1
+""",
+    survey_ref="S7 segment layout ([EXT] z-order multi-dim clustering)",
+    tags=["relational", "layout", "zorder"],
+)
+def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key layout accounting: interleave (user_id, minute-of-day)
+    into a z-key and aggregate per 256-key z-range — the per-file stats
+    a z-ordered write would produce. The tight min/max_user per bucket
+    IS the clustering property that turns a user_id filter into
+    row-group skips even though the sort key is two-dimensional.
+    All bit arithmetic is JVM-side (see operators/zorder.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    zk = zorder_key(
+        [
+            F.col("user_id") % 256,
+            (F.hour("ts") * 60 + F.minute("ts")) % 256,
+        ],
+        bits=8,
+    )
+    return (
+        ev.select(zk.alias("zkey"), "user_id", "event_id")
+        .groupBy(F.shiftright(F.col("zkey"), 8).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("event_id").alias("min_event"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+@register(
+    "rel_table_profile",
+    oracle="""
+SELECT 'o_totalprice' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_totalprice) AS n_nulls,
+       COUNT(DISTINCT o_totalprice) AS n_distinct,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+ORDER BY col_name
+""",
+    survey_ref="M1 stats ([EXT] data-quality column profiling)",
+    tags=["relational", "profile", "quality"],
+)
+def rel_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (row/null/distinct counts, min/max) — the
+    data-quality pass a training pipeline runs before ingesting a crawl.
+    One aggregate per profiled column over a single scan each; at scale
+    the exact COUNT(DISTINCT) is the only shuffle-expander and would be
+    swapped for approx_count_distinct where 2% error is acceptable."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+
+    return prof("o_totalprice").unionByName(prof("o_custkey")).orderBy("col_name")

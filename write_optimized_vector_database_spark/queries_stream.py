@@ -190,6 +190,78 @@ def evt_streaming_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "evt_streaming_interval_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS BIGINT)
+         AS delay_us
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY c.user_id, click_id, purchase_id
+""",
+    survey_ref="[EXT] stream-stream interval join",
+    tags=["streaming", "events", "join"],
+)
+def evt_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-stream join: clicks joined to purchases by the same
+    user within a 30-minute event-time window, both sides streaming.
+
+    This is the canonical attribution shape. The watermarks plus the
+    time-range join condition are what BOUND the join state: Spark keeps
+    only rows younger than (watermark − interval) per side, so state is
+    O(rate × window), not O(stream). availableNow drains the fixture in
+    one batch, which makes the append-mode output deterministic and
+    hash-comparable to the batch oracle."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "p_user_id = c_user_id AND "
+            "p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+    )
+    name = f"evt_ssjoin_{int(time.time() * 1000)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
     "evt_streaming_static_enrichment",
     oracle="""
 SELECT c.c_mktsegment,

@@ -317,3 +317,52 @@ def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cms_count").desc(), F.col("term").asc()],
         20,
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "doc_stratified_split",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::BIGINT
+           % 10000 AS h
+  FROM documents
+),
+assigned AS (
+  SELECT lang,
+         CASE WHEN h < 9000 THEN 'train'
+              WHEN h < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM keyed
+)
+SELECT lang, split, COUNT(*) AS n_docs
+FROM assigned GROUP BY lang, split ORDER BY lang, split
+""",
+    survey_ref="[EXT] training-pipeline stratified split",
+    tags=["text", "sampling", "pipeline"],
+)
+def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-stable
+    hash, reported per language stratum.
+
+    The split is a pure function of doc_id — reproducible across
+    engines, retries, partitions, and table growth (a new crawl batch
+    never reshuffles old rows between splits, unlike rand()-based
+    splitting). One narrow projection + one partial-aggregated shuffle;
+    the same predicate applied at read time IS the split filter, so no
+    materialized split column is needed at 100 TB."""
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit("split"))) % 10000
+    split = (
+        F.when(h < 9000, F.lit("train"))
+        .when(h < 9500, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
