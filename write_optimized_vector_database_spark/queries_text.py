@@ -366,3 +366,90 @@ def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "split")
     )
+
+
+# HLL-family distinct sketch: p=8 → 256 registers; rho from the md5
+# portable hash's trailing-zero run (statistically equivalent to the
+# leading-zero formulation for iid hash bits, and exact integer math in
+# both engines). The alpha·m² constant is computed ONCE in Python and
+# injected into both twins so the float formula is bit-identical.
+_HLL_M = 256
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+
+_HLL_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+hashed AS (
+  SELECT ('0x' || substring(md5(CAST(term AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM toks
+),
+rhos AS (
+  SELECT h % {_HLL_M} AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN 25
+              ELSE bit_count(((h >> 8) & (-(h >> 8))) - 1) + 1 END AS rho
+  FROM hashed
+),
+regs AS (SELECT bucket, MAX(rho) AS m FROM rhos GROUP BY bucket),
+acc AS (
+  SELECT COUNT(*) AS n_present,
+         SUM(CAST(pow(2.0, -m) AS DECIMAL(30,25))) AS s_present
+  FROM regs
+),
+ex AS (SELECT COUNT(DISTINCT term) AS n_exact FROM toks)
+SELECT ex.n_exact,
+       acc.n_present,
+       CAST({_HLL_ALPHA_M2!r}
+            / CAST(acc.s_present + ({_HLL_M} - acc.n_present) AS DOUBLE)
+         AS DOUBLE) AS hll_estimate
+FROM acc, ex
+"""
+
+
+@register(
+    "doc_hll_distinct",
+    oracle=_HLL_ORACLE,
+    survey_ref="[EXT] HLL distinct-count sketch (integer-exact registers)",
+    tags=["text", "sketch", "agg"],
+)
+def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token estimate via a 256-register HLL-family sketch,
+    reported next to the exact COUNT(DISTINCT).
+
+    The register table is 256 rows REGARDLESS of corpus size — the
+    whole point at 100 TB: one narrow shuffle on an 8-bit key with
+    map-side partial MAX, vs the full-width shuffle of an exact
+    distinct. Register updates are integer-only (portable md5 hash +
+    trailing-zero run via bit_count), so even the ESTIMATE is
+    bit-identical cross-engine; only the final constant/sum division is
+    float, and its operands are exact decimals."""
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    hashed = toks.select(portable_hash("term").alias("h"))
+    rest = F.shiftright("h", 8)
+    rho = F.when(rest == 0, F.lit(25)).otherwise(
+        F.bit_count(rest.bitwiseAND(-rest) - 1) + 1
+    )
+    regs = (
+        hashed.select((F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    acc = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m")).cast("decimal(30,25)")).alias("s_present"),
+    )
+    ex = toks.agg(F.countDistinct("term").alias("n_exact"))
+    return ex.crossJoin(acc).select(
+        "n_exact",
+        "n_present",
+        (
+            F.lit(_HLL_ALPHA_M2)
+            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present"))).cast("double")
+        ).alias("hll_estimate"),
+    )
