@@ -597,3 +597,56 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "emb_quantized_gram",
+    oracle="""
+WITH q AS (
+  SELECT e.vec_id, t.i,
+         -- CAST + 1e6 keep the product in DOUBLE: a 1000000.0 literal
+         -- is DECIMAL in DuckDB and drags the multiply off the
+         -- float64 path Spark uses (119/32000 floors differ)
+         CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT) AS qv
+  FROM embeddings e, range(1, 65) t(i)
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(SUM(a.qv * b.qv) AS DOUBLE) / 1e12 AS gram
+FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+""",
+    survey_ref="[EXT] Gram/covariance matrix (whitening & PCA input)",
+    tags=["embedding", "agg", "linalg"],
+)
+def emb_quantized_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix Σ vᵢvⱼ over the embedding corpus — the
+    one-pass statistic PCA/whitening/OPQ-style rotations train from.
+
+    Components are QUANTIZED to 1e-6 (floor, not round — round's tie
+    rule differs between engines on exact binary fractions like 2⁻⁶) so
+    every product and the whole sum are exact BIGINT arithmetic: the
+    matrix is hash-identical cross-engine despite being a float
+    reduction at heart. Shape at 100 TB: the pair explode is dim²/2 per
+    row but the aggregate is map-side partial into dim²/2 ≈ 2k groups —
+    the shuffle carries (i, j, partial) triples, never vectors. The
+    driver-side eigensolve over the 64×64 result is O(dim³), constant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("v") * 1_000_000.0).cast("long").alias("qv"),
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.vec_id") == F.col("a.vec_id")) & (F.col("b.i") >= F.col("a.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg((F.sum(F.col("a.qv") * F.col("b.qv")).cast("double") / F.lit(1e12)).alias("gram"))
+        .orderBy("i", "j")
+    )

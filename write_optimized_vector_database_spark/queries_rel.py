@@ -1209,3 +1209,47 @@ def rel_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return prof("o_totalprice").unionByName(prof("o_custkey")).orderBy("col_name")
+
+
+@register(
+    "evt_sliding_window_counts",
+    oracle="""
+WITH hops AS (
+  SELECT e.event_type, e.value,
+         time_bucket(INTERVAL 30 MINUTE, e.ts::TIMESTAMP)
+           - k.k * INTERVAL 30 MINUTE AS window_start
+  FROM events e, range(4) k(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM hops
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    survey_ref="[EXT] sliding/hopping event-time windows",
+    tags=["events", "window"],
+)
+def evt_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2 h length, 30 min hop): every event lands in
+    exactly 4 overlapping windows. Spark's `window()` expands the row
+    per overlapping window BEFORE the aggregate — same explode-then-
+    partial-agg shape as the oracle's range(4) join, so the shuffle
+    carries window×type partials, amplified 4× but still narrow."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
