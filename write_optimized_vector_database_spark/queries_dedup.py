@@ -650,3 +650,58 @@ def emb_quantized_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.col("a.qv") * F.col("b.qv")).cast("double") / F.lit(1e12)).alias("gram"))
         .orderBy("i", "j")
     )
+
+
+@register(
+    "doc_benchmark_contamination",
+    oracle=rf"""
+WITH {_SHINGLE_CTE.strip()},
+bench AS (SELECT doc_id, s FROM shh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, s FROM shh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT c.doc_id,
+         COUNT(DISTINCT c.s) AS n_shared_shingles,
+         COUNT(DISTINCT b.doc_id) AS n_bench_docs
+  FROM corpus c JOIN bench b ON b.s = c.s
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shared_shingles, n_bench_docs, rank FROM (
+  SELECT doc_id, n_shared_shingles, n_bench_docs,
+         row_number() OVER (ORDER BY n_shared_shingles DESC, doc_id ASC) AS rank
+  FROM hits
+) WHERE rank <= 50
+""",
+    survey_ref="[EXT] benchmark decontamination (shingle-overlap join)",
+    tags=["text", "dedup", "pipeline"],
+)
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: rank corpus documents by how many
+    distinct shingles they share with a held-out benchmark set (here the
+    doc_id % 97 == 0 slice stands in for the benchmark).
+
+    The shape is ONE equality join on the 32-bit shingle hash — the
+    benchmark side is tiny (benchmarks are thousands of docs, the corpus
+    is billions), so at scale it broadcasts and contamination checking
+    is a map-side probe of the corpus shingle stream, never a pairwise
+    document comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_hashes(docs, n=_SHINGLE_N)
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
+
+    return ranked_top_n(
+        hits,
+        [F.col("n_shared_shingles").desc(), F.col("doc_id").asc()],
+        50,
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -312,3 +312,51 @@ def evt_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_mktsegment", "window_start")
     )
+
+
+@register(
+    "evt_streaming_running_user_stats",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+         AS total_cents
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    survey_ref="S4/S5 streaming state (applyInPandasWithState)",
+    tags=["streaming", "events", "stateful"],
+)
+def evt_streaming_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL custom stateful streaming: per-user running (count, cents)
+    maintained in GroupState via applyInPandasWithState — the streaming
+    form of the reference's per-id mutable ingest state. Values are
+    quantized to integer cents INSIDE the state function, so the running
+    totals are exact int64 regardless of how rows split across
+    micro-batches — which is what makes a custom stateful operator
+    hash-checkable against the batch oracle at all. The sink keeps one
+    row per (user, update); the final state per user is the row with
+    the max event count."""
+    from write_optimized_vector_database_spark.streaming.stateful import (
+        running_user_cents,
+    )
+
+    name = f"evt_state_stream_{int(time.time() * 1000)}"
+    q = (
+        running_user_cents(_events_stream(spark, sf_dir))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # n_events and total_cents grow monotonically per user, so the
+    # final state is the per-user max of each
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )

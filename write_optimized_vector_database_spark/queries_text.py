@@ -453,3 +453,68 @@ def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present"))).cast("double")
         ).alias("hll_estimate"),
     )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS trigram
+  FROM toks, range(1, 100001) r(i)
+  WHERE i <= len(t) - 2
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams,
+         COUNT(DISTINCT trigram) AS n_distinct
+  FROM tris GROUP BY doc_id
+)
+SELECT doc_id, n_trigrams, n_distinct,
+       CAST(n_trigrams - n_distinct AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+         AS dup_trigram_frac
+FROM per ORDER BY doc_id
+""",
+    survey_ref="[EXT] repetition/quality scoring (Gopher-style dup n-grams)",
+    tags=["text", "quality", "pipeline"],
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram repetition — the Gopher-family quality rule
+    'fraction of duplicate n-grams' used to drop boilerplate/spam before
+    training. Trigrams are built with JVM array ops (sequence +
+    transform over the token array — no explode of the corpus until the
+    count, no Python). The ratio divides two exact counts in DOUBLE, so
+    the score is bit-identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # guard: Spark's sequence(1, 0) DESCENDS ([1,0]) — a <3-token doc
+    # must yield an empty trigram array, not two bogus entries
+    tris = F.when(F.size(toks) >= 3, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    per = (
+        docs.select("doc_id", F.explode(tris).alias("trigram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.countDistinct("trigram").alias("n_distinct"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        (
+            (F.col("n_trigrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_trigrams").cast("double")
+        ).alias("dup_trigram_frac"),
+    ).orderBy("doc_id")

@@ -87,3 +87,35 @@ def streaming_latest_by_id(changelog_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _running_user_cents_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        v = pdf["value"].to_numpy(dtype="float64")
+        # quantize to integer cents BEFORE summing: the running total is
+        # exact int64 no matter how rows split across batches/partitions
+        cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_user_cents(events_stream):
+    """Per-user running (count, Σ value-in-cents) — the integer-exact
+    variant of running_user_stats whose state survives any batch split
+    bit-identically (float accumulation order never enters)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _running_user_cents_fn,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
