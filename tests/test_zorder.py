@@ -80,3 +80,39 @@ def test_cluster_by_zorder_sorts_and_drops_key(spark):
             yield pdf
 
     out.mapInPandas(check, schema=out.schema).count()
+
+
+def test_zorder_write_gives_prunable_file_stats(spark, tmp_path):
+    """Write the same 256×256 grid once row-major and once z-ordered
+    (8 files each). A point predicate on EITHER dimension must overlap
+    few z-ordered files (their per-file min/max boxes are tiles) while
+    the row-major layout prunes only its sort dimension. This is the
+    row-group-skip mechanism measured from the actual parquet footers."""
+    import pyarrow.parquet as pq
+    import glob
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    row_major = str(tmp_path / "row_major")
+    zordered = str(tmp_path / "zordered")
+    grid.repartitionByRange(8, "y").sortWithinPartitions("y").write.parquet(row_major)
+    cluster_by_zorder(grid, ["x", "y"], bits=8).write.parquet(zordered)
+
+    def overlap_count(path, col, val):
+        n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= val <= st.max:
+                    n += 1
+                    break
+        return n
+
+    # x-filter: row-major (sorted by y) cannot prune x at all
+    assert overlap_count(row_major, "x", 7) == 8
+    # z-order prunes BOTH dimensions to a minority of files
+    assert overlap_count(zordered, "x", 7) <= 4
+    assert overlap_count(zordered, "y", 7) <= 4
