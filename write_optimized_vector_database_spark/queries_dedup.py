@@ -705,3 +705,118 @@ def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_shared_shingles").desc(), F.col("doc_id").asc()],
         50,
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# Same duplicate-chain corpus, but the copies carry an extra tail so
+# cluster members DIFFER in length — which makes keep-longest a real
+# policy decision instead of collapsing into keep-min-id.
+_KEEPBEST_CORPUS_CTE = rf"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra tail content appended here'
+  FROM documents WHERE doc_id % 3 = 0
+),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i::INT, {_SHINGLE_N}) AS shingle
+  FROM norm, range(1, 100001) r(i)
+  WHERE i <= greatest(length(t) - {_SHINGLE_N - 1}, 1)
+),
+shh AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS s FROM sh
+)
+"""
+
+
+@register(
+    "doc_dedup_keep_longest",
+    oracle=f"""
+WITH RECURSIVE {_KEEPBEST_CORPUS_CTE.strip()},
+{_LSH_CTE.strip()},
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({" + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(_NUM_HASHES))})::DOUBLE
+           / {_NUM_HASHES} AS jaccard_est
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+),
+prs AS (SELECT doc_a, doc_b FROM est WHERE jaccard_est >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION
+  SELECT doc_b, doc_a FROM prs
+),
+walk(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+lens AS (SELECT doc_id, length(t) AS n_chars FROM norm),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, l.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY l.n_chars DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM comp c JOIN lens l USING (doc_id)
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_chars, cluster_size
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+""",
+    survey_ref="[EXT] dedup keep-policy (keep-longest per cluster)",
+    tags=["dedup", "text", "graph", "pipeline"],
+)
+def doc_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup POLICY stage: per near-dup cluster keep the LONGEST
+    member (the CCNet/RefinedWeb-style 'keep the most complete copy'
+    rule), not the min-id. The corpus's synthesized copies carry an
+    extra tail, so the policy provably diverges from keep-first — the
+    kept id is the +1M copy wherever one exists. Composition of the
+    existing cluster operator with one length join + one window."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail content appended here")).alias(
+                "text"
+            ),
+        )
+    )
+    sig = D.minhash_signatures(corpus, _NUM_HASHES, _SHINGLE_N).persist()
+    pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
+    est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
+    prs = est.filter(F.col("jaccard_est") >= 0.5)
+    comp = D.dedup_clusters(prs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    lens = corpus.select(
+        "doc_id", F.length(TX.normalize_text("text")).alias("n_chars")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        comp.join(lens, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_chars"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )

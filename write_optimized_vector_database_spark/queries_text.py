@@ -518,3 +518,48 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_trigrams").cast("double")
         ).alias("dup_trigram_frac"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_length_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'lenw'), 1, 8))::BIGINT
+           % 10000 AS h
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, n_chars FROM keyed
+  WHERE h < least(n_chars * 10, 10000)
+)
+SELECT lang, COUNT(*) AS n_kept,
+       SUM(n_chars) AS kept_chars,
+       MIN(doc_id) AS min_doc_id
+FROM kept GROUP BY lang ORDER BY lang
+""",
+    survey_ref="[EXT] length-weighted sampling (training-mix construction)",
+    tags=["text", "sampling", "pipeline"],
+)
+def doc_length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample documents with probability ∝ length (capped at 1): the
+    token-budget-aware mix rule — longer documents carry more training
+    signal, so uniform doc sampling under-weights them. The keep rule is
+    pure integer arithmetic on the content-stable hash (P(keep) =
+    min(10·n_chars, 10000)/10000), so the sample is reproducible across
+    engines/retries and never needs a shuffle — the predicate applies
+    at scan time."""
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit("lenw"))) % 10000
+    kept = docs.filter(h < F.least(F.col("n_chars") * 10, F.lit(10000)))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )
