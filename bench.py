@@ -119,6 +119,17 @@ def main() -> None:
         t0 = time.time()
         coll.topk_two_phase(qdf, k=10, nprobe=8, rerank_factor=4).collect()
         timings["two_phase_search"] = round(time.time() - t0, 3)
+        # incremental maintenance: ingest a ~1% delta and fold it into
+        # the stable index without retraining — the contrast with
+        # build_indexes_ivfpq IS the write-optimized story
+        delta = (
+            log.withColumn("id", F.col("id") + 900_000_000)
+            .withColumn("epoch", F.col("epoch") + 500_000_000)
+        )
+        coll.ingest(delta)
+        t0 = time.time()
+        coll.refresh_indexes()
+        timings["refresh_indexes_incremental"] = round(time.time() - t0, 3)
         wa = coll.write_amplification()
         print(
             f"ingested {n_ops} ops in {dt:.2f}s = {n_ops / dt:,.0f} ops/s; "

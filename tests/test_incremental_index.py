@@ -1,0 +1,139 @@
+"""Incremental index maintenance gates (collection.refresh_indexes):
+the refreshed index must equal a full re-encode with the SAME
+centroids/codebooks, untouched posting lists must not be rewritten,
+and a vacuum past the index epoch must force a full rebuild."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.collection import VectorCollection
+
+
+def _ops(ids, op="INSERT", epoch0=0, dim=8):
+    return [
+        (
+            op,
+            i,
+            f"t{i % 2}",
+            "ns0",
+            None if op == "DELETE" else [float(i % 7), float(i % 5)] + [0.1 * i % 1.0] * (dim - 2),
+            None if op == "DELETE" else [i % 4],
+            epoch0 + i,
+        )
+        for i in ids
+    ]
+
+
+SCHEMA = (
+    "op string, id long, tenant string, namespace string, "
+    "vector array<float>, tags array<int>, epoch long"
+)
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    c = VectorCollection(spark, str(tmp_path / "coll"), metric="ip")
+    c.ingest(spark.createDataFrame(_ops(range(200)), SCHEMA))
+    c.compact()
+    c.build_indexes(nlist=8, m=4, nbits=4)
+    return c
+
+
+def _index_rows(spark, path):
+    df = spark.read.parquet(f"{path}/index_stable")
+    return {
+        (r.id, int(r.centroid_id), tuple(r.codes)) for r in df.collect()
+    }
+
+
+def test_refresh_equals_full_reencode(spark, coll):
+    # delta: update 10 ids, insert 5 new, delete 5
+    delta = (
+        _ops(range(0, 10), op="UPSERT", epoch0=10_000)
+        + _ops(range(200, 205), epoch0=10_000)
+        + _ops(range(20, 25), op="DELETE", epoch0=10_000)
+    )
+    coll.ingest(spark.createDataFrame(delta, SCHEMA))
+    stats = coll.refresh_indexes()
+    assert stats["n_touched"] == 20
+    assert stats["n_reencoded"] == 15  # 10 updates + 5 inserts; deletes drop out
+
+    # ground truth: full re-encode of current() with the same artifacts
+    from write_optimized_vector_database_spark.operators.ivfpq import ivfpq_encode
+
+    cents = spark.read.parquet(f"{coll.path}/index_centroids")
+    cbs = spark.read.parquet(f"{coll.path}/index_codebooks")
+    cur = coll.current().filter(F.col("vector").isNotNull())
+    want = {
+        (r.id, int(r.centroid_id), tuple(r.codes))
+        for r in ivfpq_encode(cur, cents, cbs, vec_col="vector", id_col="id").collect()
+    }
+    assert _index_rows(spark, coll.path) == want
+
+    # deleted ids are gone from the index
+    got_ids = {t[0] for t in _index_rows(spark, coll.path)}
+    assert not ({20, 21, 22, 23, 24} & got_ids)
+    assert {200, 201, 202, 203, 204} <= got_ids
+
+
+def test_refresh_rewrites_only_affected_lists(spark, coll):
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{coll.path}/index_stable/centroid_id=*/*.parquet")
+    }
+    # touch exactly one existing id
+    coll.ingest(
+        spark.createDataFrame(_ops([0], op="UPSERT", epoch0=50_000), SCHEMA)
+    )
+    stats = coll.refresh_indexes()
+    assert stats["n_touched"] == 1
+    nlist_total = len(glob.glob(f"{coll.path}/index_stable/centroid_id=*"))
+    assert stats["n_lists_rewritten"] < nlist_total
+    untouched_same = 0
+    for f, mt in files_before.items():
+        if os.path.exists(f) and os.path.getmtime(f) == mt:
+            untouched_same += 1
+    # at least one partition survived byte-identical (not a full rewrite)
+    assert untouched_same > 0
+
+
+def test_refresh_noop_when_no_delta(coll):
+    assert coll.refresh_indexes() == {
+        "n_touched": 0,
+        "n_reencoded": 0,
+        "n_lists_rewritten": 0,
+    }
+
+
+def test_refresh_refuses_after_vacuum_past_index(spark, coll):
+    coll.ingest(
+        spark.createDataFrame(_ops([1], op="UPSERT", epoch0=60_000), SCHEMA)
+    )
+    coll.compact()
+    coll.vacuum()  # vacuum_epoch now > index_epoch
+    with pytest.raises(ValueError, match="vacuumed"):
+        coll.refresh_indexes()
+
+
+def test_two_phase_search_after_refresh(spark, coll):
+    delta = _ops(range(0, 10), op="UPSERT", epoch0=10_000) + _ops(
+        range(200, 210), epoch0=10_000
+    )
+    coll.ingest(spark.createDataFrame(delta, SCHEMA))
+    coll.refresh_indexes()
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.5] * 8)], "query_id long, query_vec array<float>"
+    )
+    out = coll.topk_two_phase(q, k=5, nprobe=8, rerank_factor=4)
+    rows = out.collect()
+    assert len(rows) == 10  # 2 queries × k
+    # post-refresh the delta generation is empty: results come purely
+    # from the refreshed stable index + rerank, and every returned id
+    # must be currently visible
+    vis = {r.id for r in coll.current().select("id").collect()}
+    assert {r.vec_id for r in rows} <= vis

@@ -463,6 +463,128 @@ class VectorCollection:
     def _index_epoch(self) -> int:
         return self._meta().get("index_epoch", -1)
 
+    def refresh_indexes(self) -> dict:
+        """Incrementally fold the delta generation into the stable index.
+
+        Centroids and codebooks are KEPT (the reference retrains
+        centroids on a 24 h schedule, config.h:79-81 — between rebuilds
+        the index is maintained, not rebuilt): only ids touched since
+        the last build are re-encoded, and only the posting lists that
+        contain touched ids are rewritten (dynamic partition overwrite).
+        Cost is O(delta + affected lists), never O(index) — the
+        merge-on-write analog of the reference's delta→stable compaction
+        for the index itself.
+
+        Requires the changelog tail back to the index epoch (the normal
+        schedule: refresh, then vacuum). If vacuum() already collapsed
+        past it, delete visibility can't be derived incrementally —
+        raises, directing callers to a full build_indexes().
+        Returns {n_touched, n_reencoded, n_lists_rewritten}.
+        """
+        from write_optimized_vector_database_spark.operators.ivf import (
+            assign_centroids,
+        )
+        from write_optimized_vector_database_spark.operators.ivfpq import (
+            ivfpq_encode,
+        )
+        from write_optimized_vector_database_spark.operators.pq import pq_encode
+
+        idx_epoch = self._index_epoch()
+        if idx_epoch < 0:
+            raise ValueError("no stable index; run build_indexes() first")
+        if self._meta().get("vacuum_epoch", -1) > idx_epoch:
+            raise ValueError(
+                "changelog vacuumed past the index epoch — deletes are no "
+                "longer derivable incrementally; run build_indexes()"
+            )
+        spark = self.spark
+        tail = self.changelog().filter(F.col("epoch") > idx_epoch)
+        touched = tail.select("id").distinct().persist()
+        n_touched = touched.count()
+        if n_touched == 0:
+            touched.unpersist()
+            return {"n_touched": 0, "n_reencoded": 0, "n_lists_rewritten": 0}
+
+        cents = spark.read.parquet(f"{self.path}/index_centroids")
+        codebooks = spark.read.parquet(f"{self.path}/index_codebooks")
+        # visible versions of touched ids (deleted ids simply absent)
+        delta_vis = self.current().filter(
+            (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
+        )
+        if self._meta().get("index_residual", False):
+            new_rows = ivfpq_encode(
+                delta_vis, cents, codebooks, vec_col="vector", id_col="id"
+            )
+        else:
+            assigned = assign_centroids(delta_vis, cents, vec_col="vector")
+            new_rows = pq_encode(assigned, codebooks, vec_col="vector").select(
+                "id", "centroid_id", "codes"
+            )
+        new_rows = new_rows.persist()
+
+        index = spark.read.parquet(f"{self.path}/index_stable")
+        # affected lists: where touched ids sit now, plus where they used
+        # to sit. touched is delta-sized → broadcast semi-join; the index
+        # side is an int-only columnar scan.
+        old_lists = (
+            index.join(F.broadcast(touched), "id", "left_semi")
+            .select("centroid_id").distinct()
+        )
+        new_lists = new_rows.select("centroid_id").distinct()
+        affected = sorted(
+            r.centroid_id
+            for r in old_lists.unionByName(new_lists).distinct().collect()
+        )
+        if not affected:
+            touched.unpersist()
+            new_rows.unpersist()
+            return {"n_touched": n_touched, "n_reencoded": 0, "n_lists_rewritten": 0}
+
+        keep = index.filter(F.col("centroid_id").isin(affected)).join(
+            F.broadcast(touched), "id", "left_anti"
+        )
+        # materialize BEFORE the write: the plan reads index_stable and
+        # the write replaces it — localCheckpoint severs the read
+        # dependency (the checkpointed set is affected-lists-sized, the
+        # same data the write is about to produce anyway)
+        out = (
+            keep.select("id", "centroid_id", "codes")
+            .unionByName(new_rows.select("id", "centroid_id", "codes"))
+            .localCheckpoint(eager=True)
+        )
+        n_reencoded = new_rows.count()
+        # dynamic overwrite replaces ONLY the partitions present in `out`
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                self._with_bloom(out.repartition("centroid_id").write)
+                .mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(f"{self.path}/index_stable")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # a list whose every row died produces no output rows, so dynamic
+        # overwrite leaves its stale dir behind — drop it explicitly
+        live = {
+            r.centroid_id for r in out.select("centroid_id").distinct().collect()
+        }
+        for cid in set(affected) - live:
+            self.fs.rmtree(f"{self.path}/index_stable/centroid_id={cid}")
+        # the session caches file listings per path; the overwrite just
+        # replaced files under it — stale entries 404 later reads
+        spark.catalog.refreshByPath(f"{self.path}/index_stable")
+        max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0]
+        touched.unpersist()
+        new_rows.unpersist()
+        self._meta_update(index_epoch=int(max_epoch))
+        return {
+            "n_touched": n_touched,
+            "n_reencoded": int(n_reencoded),
+            "n_lists_rewritten": len(affected),
+        }
+
     def calibrate_nprobe(
         self,
         sample_queries: DataFrame,
