@@ -137,3 +137,52 @@ def test_two_phase_search_after_refresh(spark, coll):
     # must be currently visible
     vis = {r.id for r in coll.current().select("id").collect()}
     assert {r.vec_id for r in rows} <= vis
+
+
+def test_streaming_ingest_with_online_maintenance(spark, coll, tmp_path):
+    """Stream two delta files through start_maintained_ingest: after the
+    drain, the stable index must equal a full re-encode of current()
+    with the same artifacts — the index was maintained online, batch by
+    batch, without a rebuild."""
+    from write_optimized_vector_database_spark.operators.ivfpq import ivfpq_encode
+    from write_optimized_vector_database_spark.streaming.ingest import (
+        start_maintained_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    stream_schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    for i, delta in enumerate(
+        [
+            _ops(range(300, 320), epoch0=0),
+            _ops(range(0, 10), op="DELETE", epoch0=0),
+        ]
+    ):
+        spark.createDataFrame(delta, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_maintained_ingest(
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            coll,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    # index epoch advanced past every streamed epoch → delta is empty
+    assert coll._index_epoch() == coll.changelog().agg(F.max("epoch")).first()[0]
+    cents = spark.read.parquet(f"{coll.path}/index_centroids")
+    cbs = spark.read.parquet(f"{coll.path}/index_codebooks")
+    cur = coll.current().filter(F.col("vector").isNotNull())
+    want = {
+        (r.id, int(r.centroid_id), tuple(r.codes))
+        for r in ivfpq_encode(cur, cents, cbs, vec_col="vector", id_col="id").collect()
+    }
+    assert _index_rows(spark, coll.path) == want
+    got_ids = {t[0] for t in _index_rows(spark, coll.path)}
+    assert {300, 310, 319} <= got_ids
+    assert not (set(range(10)) & got_ids)

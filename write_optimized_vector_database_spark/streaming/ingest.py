@@ -55,13 +55,24 @@ def assign_stream_epochs(batch: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
-def changelog_batch_writer(collection_path: str, dedup: bool = True):
-    """foreachBatch sink: dedup → epoch-stamp → idempotent partition write."""
+def changelog_batch_writer(
+    collection_path: str, dedup: bool = True, epoch_base: int = 0
+):
+    """foreachBatch sink: dedup → epoch-stamp → idempotent partition write.
+
+    `epoch_base` shifts every stamped epoch — required when the stream
+    JOINS a collection with prior history (batch ids restart at 0 per
+    checkpoint, and epochs below the snapshot epoch would make the new
+    rows invisible to current()). Pass a constant (e.g. the snapshot
+    epoch rounded up to an EPOCH_STRIDE multiple) so replays stay
+    deterministic."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
-        out = assign_stream_epochs(batch, batch_id)
+        out = assign_stream_epochs(batch, batch_id).withColumn(
+            "epoch", F.col("epoch") + F.lit(epoch_base)
+        )
         if dedup:
             out = upsert_dedup(out)
         out = out.withColumn("id_hash", id_hash("id"))
@@ -85,6 +96,60 @@ def start_changelog_ingest(
     changelog appends. Returns the StreamingQuery."""
     writer = (
         source.writeStream.foreachBatch(changelog_batch_writer(collection_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_maintained_ingest(
+    source: DataFrame,
+    collection,
+    checkpoint_dir: str,
+    refresh_every: int = 1,
+    trigger_seconds: float | None = None,
+):
+    """Ingest stream with ONLINE INDEX MAINTENANCE: after every
+    `refresh_every`-th micro-batch append, fold the new delta into the
+    stable index via `collection.refresh_indexes()` — the streaming form
+    of the reference's continuous delta→stable migration (stable index
+    lags by at most `refresh_every` batches; queries stay correct
+    regardless because topk_two_phase scans the residual delta exactly).
+
+    Maintenance runs INSIDE foreachBatch, i.e. serialized with the
+    appends — exactly the ordering the reference's flush pipeline has.
+    A replayed batch re-runs refresh harmlessly: refresh is a no-op when
+    nothing is newer than the index epoch.
+
+    Epochs are stamped above the collection's existing high-water mark
+    (next EPOCH_STRIDE multiple), captured ONCE at stream start — on a
+    restart after more history accrued elsewhere, reuse the original
+    stream's base for bit-stable replays."""
+    hi = collection._snapshot_epoch()
+    if collection._has_changelog_files():
+        tail_hi = (
+            collection.changelog().agg(F.max("epoch")).first()[0] or -1
+        )
+        hi = max(hi, tail_hi)
+    epoch_base = ((max(hi, 0) // EPOCH_STRIDE) + 1) * EPOCH_STRIDE
+    base = changelog_batch_writer(collection.path, epoch_base=epoch_base)
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        base(batch, batch_id)
+        if batch_id % refresh_every == refresh_every - 1:
+            try:
+                collection.refresh_indexes()
+            except ValueError:
+                # no stable index yet — maintenance starts after the
+                # first build_indexes(); appends are never blocked on it
+                pass
+
+    writer = (
+        source.writeStream.foreachBatch(write)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
