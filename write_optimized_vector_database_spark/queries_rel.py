@@ -1253,3 +1253,48 @@ def evt_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "evt_salted_user_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+         AS total_cents,
+       MIN(user_id) AS min_user,
+       MAX(user_id) AS max_user
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    survey_ref="§2.4 agg (skew: salted two-stage aggregation)",
+    tags=["events", "agg", "skew"],
+)
+def evt_salted_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation under the oracle gate: the per-type totals
+    run through salted_agg (key × 16-salt partials, then a tiny final
+    merge), and hash-equality with the plain GROUP BY oracle proves the
+    two-stage decomposition exact. event_type is a 5-value key — exactly
+    the shape whose partial aggregate funnels 1/5 of a 100 TB table
+    into one reducer without the salt. Values are floor-quantized to
+    integer cents so the salted partial sums stay order-independent."""
+    from write_optimized_vector_database_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5).cast("long"),
+    )
+    out = salted_agg(
+        ev,
+        key_cols=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "total_cents": ("cents", "sum"),
+            "min_user": ("user_id", "min"),
+            "max_user": ("user_id", "max"),
+        },
+        n_salts=16,
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type", "n_events", "total_cents", "min_user", "max_user"
+    ).orderBy("event_type")
