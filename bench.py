@@ -131,6 +131,10 @@ def main() -> None:
         coll.refresh_indexes()
         timings["refresh_indexes_incremental"] = round(time.time() - t0, 3)
         wa = coll.write_amplification()
+        extra_metrics = {
+            "ingest_ops_per_s": round(n_ops / dt, 1),
+            "write_amplification": wa["wa_now"],
+        }
         print(
             f"ingested {n_ops} ops in {dt:.2f}s = {n_ops / dt:,.0f} ops/s; "
             f"write amplification {wa['wa_now']} "
@@ -155,6 +159,12 @@ def main() -> None:
     if REPEATS > 1:
         line["repeats"] = REPEATS
         line["p95"] = p95
+    # baseline-comparable telemetry (reference targets: 50k ops/s,
+    # WA p50<=2.3 -- types.h:142-145), machine-readable beside the timings
+    try:
+        line.update(extra_metrics)
+    except NameError:
+        pass
     print(json.dumps(line))
     spark.stop()
 
