@@ -186,3 +186,73 @@ def test_streaming_ingest_with_online_maintenance(spark, coll, tmp_path):
     got_ids = {t[0] for t in _index_rows(spark, coll.path)}
     assert {300, 310, 319} <= got_ids
     assert not (set(range(10)) & got_ids)
+
+
+def test_refresh_property_random_op_sequences(spark, tmp_path):
+    """Property gate: for random op sequences split at random points
+    into (initial build, incremental delta), refresh_indexes must land
+    the index in EXACTLY the state a full re-encode with the same
+    artifacts produces — insert/upsert/delete in any interleaving."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from write_optimized_vector_database_spark.operators.ivfpq import ivfpq_encode
+
+    op_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["INSERT", "UPSERT", "DELETE"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=5,
+        max_size=25,
+    )
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=op_strategy, split=st.integers(min_value=1, max_value=24))
+    def check(ops, split):
+        split = min(split, len(ops) - 1) or 1
+        counter["n"] += 1
+        path = str(tmp_path / f"prop_{counter['n']}")
+        c = VectorCollection(spark, path, metric="ip")
+
+        def rows(seq, epoch0):
+            return [
+                (
+                    op,
+                    i,
+                    f"t{i % 2}",
+                    "ns0",
+                    None if op == "DELETE" else [float(i % 7), float(i % 5)] + [0.25] * 6,
+                    None if op == "DELETE" else [i % 4],
+                    epoch0 + k,
+                )
+                for k, (op, i) in enumerate(seq)
+            ]
+
+        # seed rows so the trainer always has vectors even if the random
+        # prefix is delete-heavy
+        seed = [("INSERT", 100 + j) for j in range(8)]
+        c.ingest(spark.createDataFrame(rows(seed + ops[:split], 0), SCHEMA))
+        c.compact()
+        c.build_indexes(nlist=4, m=4, nbits=4)
+        c.ingest(spark.createDataFrame(rows(ops[split:], 10_000), SCHEMA))
+        c.refresh_indexes()
+
+        cents = spark.read.parquet(f"{path}/index_centroids")
+        cbs = spark.read.parquet(f"{path}/index_codebooks")
+        cur = c.current().filter(F.col("vector").isNotNull())
+        want = {
+            (r.id, int(r.centroid_id), tuple(r.codes))
+            for r in ivfpq_encode(
+                cur, cents, cbs, vec_col="vector", id_col="id"
+            ).collect()
+        }
+        assert _index_rows(spark, path) == want
+
+    check()

@@ -1403,3 +1403,108 @@ def mut_tag_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+@register(
+    "mut_grouped_topk_by_namespace",
+    oracle=_VISIBLE_CTE
+    + """
+, q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, v.namespace, v.id,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN visible v JOIN embeddings e ON v.id = e.vec_id
+)
+SELECT query_id, namespace, id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id, namespace
+                               ORDER BY score DESC, id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY query_id, namespace, rank
+""",
+    survey_ref="Q12,Q14 (group-aware top-k: per-namespace result sets)",
+    tags=["mutation", "vector", "topk"],
+)
+def mut_grouped_topk_by_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware search: top-3 PER (query, namespace) in one pass —
+    the 'best results per tenant slice' shape a multi-tenant serving
+    layer needs, and exactly what a per-group rank window gives for
+    free once scoring is set-based (the reference would issue one
+    QueryRequest per namespace; here it's ONE scan)."""
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+    from pyspark.sql import Window
+
+    log = synthetic_changelog(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = (
+        visible(log)
+        .join(emb, visible(log).id == emb.vec_id)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "namespace",
+            "id",
+            dot_product("query_vec", "embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id", "namespace").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "namespace", "rank")
+    )
+
+
+@register(
+    "vec_topk_paged",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank > 10 AND rank <= 20
+ORDER BY query_id, rank
+""",
+    survey_ref="Q12 (pagination: search-after / second page)",
+    tags=["vector", "topk"],
+)
+def vec_topk_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ranks 11-20 per query (page 2 at page size 10). The
+    deterministic (score desc, id asc) rank makes pages stable across
+    requests — the property search-after APIs need; the scan cost is
+    one pass regardless of page, since rank assignment and the page
+    filter share the window."""
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id", "vec_id", dot_product("query_vec", "embedding").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter((F.col("rank") > 10) & (F.col("rank") <= 20))
+        .orderBy("query_id", "rank")
+    )
