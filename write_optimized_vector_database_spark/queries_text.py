@@ -227,22 +227,32 @@ def doc_training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_D, _CMS_W = 4, 256
 
-_CMS_HASH = "('0x' || substring(md5(term || '_{r}'), 1, 8))::BIGINT % " + str(_CMS_W)
+# ONE md5 per term occurrence; the d row-buckets derive from it with
+# the same affine-mod-P family MinHash uses (products < 2^48 — exact
+# BIGINT in both engines). d× fewer md5 evaluations than hashing
+# (term, row) pairs — the dominant cost of sketch maintenance.
+_CMS_P = 2_147_483_647
+_CMS_HASH = (
+    "((h * (2 * r.r + 3) + (7 * r.r + 1)) % " + str(_CMS_P) + ") % " + str(_CMS_W)
+)
 
 _CMS_ORACLE = f"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
   FROM documents
 ),
+hashed AS (
+  SELECT term, ('0x' || substring(md5(term), 1, 8))::BIGINT AS h FROM toks
+),
 counters AS (
-  SELECT r.r AS row, {_CMS_HASH.format(r="' || r.r || '")} AS bucket,
+  SELECT r.r AS row, {_CMS_HASH} AS bucket,
          count(*)::BIGINT AS c
-  FROM toks, range({_CMS_D}) r(r)
+  FROM hashed, range({_CMS_D}) r(r)
   GROUP BY 1, 2
 ),
-terms AS (SELECT DISTINCT term FROM toks),
+terms AS (SELECT DISTINCT term, h FROM hashed),
 probes AS (
-  SELECT t.term, r.r AS row, {_CMS_HASH.format(r="' || r.r || '")} AS bucket
+  SELECT t.term, r.r AS row, {_CMS_HASH.replace("h *", "t.h *")} AS bucket
   FROM terms t, range({_CMS_D}) r(r)
 ),
 est AS (
@@ -281,28 +291,22 @@ def doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
     )
     rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("row"))
-    probed = toks.crossJoin(F.broadcast(rows)).select(
-        "term",
-        "row",
-        (
-            portable_hash(F.concat(F.col("term"), F.lit("_"), F.col("row").cast("string")))
+
+    def bucket():
+        # h already 32-bit; A ≤ 2·d+3, so h·A < 2^48 — exact in a long
+        return (
+            (F.col("h") * (2 * F.col("row") + 3) + (7 * F.col("row") + 1))
+            % _CMS_P
             % _CMS_W
-        ).alias("bucket"),
-    )
+        ).alias("bucket")
+
+    hashed = toks.select("term", portable_hash("term").alias("h"))
+    probed = hashed.crossJoin(F.broadcast(rows)).select("term", "row", bucket())
     counters = probed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
     term_probes = (
-        toks.distinct()
+        hashed.distinct()
         .crossJoin(F.broadcast(rows))
-        .select(
-            "term",
-            "row",
-            (
-                portable_hash(
-                    F.concat(F.col("term"), F.lit("_"), F.col("row").cast("string"))
-                )
-                % _CMS_W
-            ).alias("bucket"),
-        )
+        .select("term", "row", bucket())
     )
     est = (
         term_probes.join(F.broadcast(counters), ["row", "bucket"])
