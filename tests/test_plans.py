@@ -136,3 +136,58 @@ def test_sq8_encode_stays_jvm_side(spark, sf_dir):
     plan = explain_str(encode_sq8(emb, vmin, vmax), "simple")
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_zorder_key_stays_in_codegen(spark, sf_dir):
+    """The Morton interleave must be pure JVM expression work — no
+    Python eval node anywhere in the plan (a UDF here would drag every
+    row of a 100 TB layout job through Arrow)."""
+    from write_optimized_vector_database_spark.operators.zorder import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        zorder_key([F.col("user_id") % 256, F.col("event_id") % 256]).alias("z")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "z-order must not cross into Python"
+
+
+def test_contamination_probe_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination joins the corpus shingle stream against the
+    (small) benchmark side — the benchmark MUST broadcast; shuffling
+    the corpus shingles by hash would be the 100 TB mistake."""
+    from write_optimized_vector_database_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_hashes(docs, n=5)
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    out = corpus.join(F.broadcast(bench), "sh")
+    assert has_broadcast_join(out)
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    """salted_agg must plan exactly two aggregate exchanges: the salted
+    partial and the tiny final merge — no third shuffle sneaking in."""
+    from write_optimized_vector_database_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        key_cols=["event_type"],
+        aggs={"n": ("event_id", "count")},
+        n_salts=8,
+        salt_source="event_id",
+    )
+    assert count_exchanges(out) <= 2, "salted agg grew a third exchange"
+
+
+def test_repetition_stats_is_shuffle_free_until_sort(spark, sf_dir):
+    """The per-doc trigram stats are row-local array ops; the ONLY
+    exchange allowed is the final presentation orderBy."""
+    from write_optimized_vector_database_spark.queries import registry
+
+    q = registry()["doc_repetition_stats"].fn(spark, sf_dir)
+    assert count_exchanges(q) <= 1, "per-row statistic must not shuffle the corpus"
