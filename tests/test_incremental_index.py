@@ -256,3 +256,22 @@ def test_refresh_property_random_op_sequences(spark, tmp_path):
         assert _index_rows(spark, path) == want
 
     check()
+
+
+def test_delete_where_bulk_tombstones(spark, coll):
+    """Bulk predicate delete: tombstones flow through the changelog, the
+    visible view shrinks immediately, and refresh_indexes folds the
+    removals into the stable index without a rebuild."""
+    before = coll.current().count()
+    n = coll.delete_where("tenant = 't1'")
+    assert n > 0
+    after = coll.current()
+    assert after.count() == before - n
+    assert after.filter(F.col("tenant") == "t1").count() == 0
+    # the stable index still holds them until maintenance folds it in
+    coll.refresh_indexes()
+    live = {t[0] for t in _index_rows(spark, coll.path)}
+    t1_ids = {i for i in range(200) if i % 2 == 1}
+    assert not (live & t1_ids)
+    # delete is idempotent at the semantic level: nothing left to match
+    assert coll.delete_where(F.col("tenant") == "t1") == 0

@@ -166,6 +166,41 @@ class VectorCollection:
         )
         return n
 
+    def delete_where(self, predicate) -> int:
+        """Bulk predicate delete: tombstone every visible row matching
+        `predicate` (a Column or SQL string over the visible view's
+        columns) — the GDPR/retention bulk-delete path.
+
+        Deletes are DATA, not surgery: matching ids get DELETE rows
+        stamped above the collection's epoch high-water mark, so the
+        operation is one filtered scan + one append — no snapshot
+        rewrite, no index rewrite (compact() and refresh_indexes() fold
+        the tombstones in on their own schedule, which is exactly the
+        reference's tombstone→compaction flow, config.h:54-61). Returns
+        the number of ids tombstoned."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        victims = self.current().filter(pred).select("id", "tenant", "namespace")
+        hi = self._snapshot_epoch()
+        if self._has_changelog_files():
+            tail_hi = self.changelog().agg(F.max("epoch")).first()[0]
+            hi = max(hi, tail_hi if tail_hi is not None else -1)
+        base = max(hi, 0) + 1
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.col("id") % 64).orderBy("id")
+        tombstones = victims.select(
+            F.lit("DELETE").alias("op"),
+            "id",
+            "tenant",
+            "namespace",
+            F.lit(None).cast("array<float>").alias("vector"),
+            F.lit(None).cast("array<int>").alias("tags"),
+            # per-shard rank keeps epoch assignment parallel; epochs only
+            # compare within an id, so cross-shard collisions are fine
+            (F.lit(base) + F.row_number().over(w)).cast("long").alias("epoch"),
+        )
+        return self.ingest(tombstones, dedup=False)
+
     # -- materializations ---------------------------------------------------
 
     def _has_changelog_files(self) -> bool:
