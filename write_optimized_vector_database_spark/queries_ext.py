@@ -1508,3 +1508,69 @@ def vec_topk_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rank") > 10) & (F.col("rank") <= 20))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "mut_epoch_diff",
+    oracle=f"""
+WITH {SYNTHETIC_CHANGELOG_SQL.strip()},
+v1 AS (
+  SELECT id, epoch FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY epoch DESC, op DESC) AS rn
+    FROM changelog WHERE epoch <= {_ASOF_EPOCH}
+  ) WHERE rn = 1 AND op <> 'DELETE'
+),
+v2 AS (
+  SELECT id, epoch FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY epoch DESC, op DESC) AS rn
+    FROM changelog
+  ) WHERE rn = 1 AND op <> 'DELETE'
+)
+SELECT COALESCE(v1.id, v2.id) AS id,
+       CASE WHEN v1.id IS NULL THEN 'inserted'
+            WHEN v2.id IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change,
+       v1.epoch AS epoch_before, v2.epoch AS epoch_after
+FROM v1 FULL OUTER JOIN v2 ON v2.id = v1.id
+WHERE v1.id IS NULL OR v2.id IS NULL OR v1.epoch <> v2.epoch
+ORDER BY id
+""",
+    survey_ref="S5 (+MVCC: diff between two epoch snapshots)",
+    tags=["mutation", "time_travel"],
+)
+def mut_epoch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: what changed between the mid-UPSERT epoch cut and
+    now — inserted / updated / deleted per id, from ONE changelog scan
+    windowed twice and full-outer-joined on id. This is the audit/CDC
+    question MVCC retention exists to answer ('what did the last day of
+    writes do'), and it never replays ops row by row."""
+    from write_optimized_vector_database_spark.operators.compaction import (
+        visible,
+        visible_as_of,
+    )
+
+    log = synthetic_changelog(spark, sf_dir)
+    v1 = visible_as_of(log, _ASOF_EPOCH).select(
+        F.col("id").alias("id1"), F.col("epoch").alias("epoch_before")
+    )
+    v2 = visible(log).select(
+        F.col("id").alias("id2"), F.col("epoch").alias("epoch_after")
+    )
+    joined = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    return (
+        joined.select(
+            F.coalesce("id1", "id2").alias("id"),
+            F.when(F.col("id1").isNull(), F.lit("inserted"))
+            .when(F.col("id2").isNull(), F.lit("deleted"))
+            .otherwise(F.lit("updated"))
+            .alias("change"),
+            "epoch_before",
+            "epoch_after",
+        )
+        .filter(
+            F.col("epoch_before").isNull()
+            | F.col("epoch_after").isNull()
+            | (F.col("epoch_before") != F.col("epoch_after"))
+        )
+        .orderBy("id")
+    )
