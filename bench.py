@@ -149,7 +149,11 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if v >= 0]
-    line = {
+    # Round 2 lesson: 95 per-query entries made the single JSON line exceed
+    # the driver's tail capture (BENCH_r02.json parsed: null). The printed
+    # line stays BOUNDED — total + telemetry + the slowest 20 — and the full
+    # per-query map is committed as BENCH_FULL.json next to this script.
+    full = {
         "metric": "registry_query_wall_time_total",
         "value": round(sum(ok), 3),
         "unit": "sec",
@@ -157,14 +161,26 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if REPEATS > 1:
-        line["repeats"] = REPEATS
-        line["p95"] = p95
+        full["repeats"] = REPEATS
+        full["p95"] = p95
     # baseline-comparable telemetry (reference targets: 50k ops/s,
-    # WA p50<=2.3 -- types.h:142-145), machine-readable beside the timings
+    # WA p50<=2.3 -- types.h:144-145), machine-readable beside the timings
     try:
-        line.update(extra_metrics)
+        full.update(extra_metrics)
     except NameError:
         pass
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError as e:  # noqa: BLE001
+        print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    line = {k: v for k, v in full.items() if k not in ("queries", "p95")}
+    line["queries"] = slowest
+    line["n_queries"] = len(timings)
+    line["n_errors"] = len([v for v in timings.values() if v < 0])
+    line["full_map"] = "BENCH_FULL.json"
     print(json.dumps(line))
     spark.stop()
 

@@ -107,6 +107,10 @@ def test_two_phase_recall(emb, index, queries, cents, cb, exact):
         if r >= 0.95:
             break
     assert r >= 0.95, f"IVFPQ two-phase recall {r} < 0.95 at nprobe<{NLIST}"
+    # quantizer-quality budget: reaching the target must not need more
+    # than 2× the configured nprobe, else a coarse-quantizer regression
+    # would pass silently via an ever-longer sweep
+    assert nprobe <= 2 * NPROBE, f"recall 0.95 needed nprobe={nprobe} > {2 * NPROBE}"
 
 
 def test_l2_metric_path(emb, index, queries, cents, cb):

@@ -164,8 +164,13 @@ def ivfpq_encode(
     cent_ids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
     cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
     c_sq = (cents * cents).sum(-1)
+    # ship the LUTs once per executor via broadcast, not pickled into
+    # every task closure — at stable-index scale (nlist=4096, m=96) the
+    # closure copy is tens of MB re-serialized per task
+    bc = vectors.sparkSession.sparkContext.broadcast((cb, cb_sq, cent_ids, cents, c_sq))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb, cb_sq, cent_ids, cents, c_sq = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue

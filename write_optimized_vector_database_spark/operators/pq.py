@@ -104,7 +104,9 @@ def _kmeans_pp_init(x32: np.ndarray, k: int, rng) -> np.ndarray:
         if tot <= 0:
             centers[j:] = x32[rng.choice(n, size=k - j)]
             break
-        centers[j] = x32[np.searchsorted(np.cumsum(d2), rng.rand() * tot)]
+        # clamp: cumsum is sequential but tot is pairwise-summed, so
+        # rand()*tot can exceed cumsum[-1] and searchsorted return n
+        centers[j] = x32[min(np.searchsorted(np.cumsum(d2), rng.rand() * tot), n - 1)]
         d2 = np.minimum(d2, ((x32 - centers[j]) ** 2).sum(-1))
     return centers
 

@@ -1441,9 +1441,11 @@ def mut_grouped_topk_by_namespace(spark: SparkSession, sf_dir: str) -> DataFrame
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    vis = visible(log)  # bind ONE instance: joining on a column from a
+    # second visible(log) DataFrame would only resolve via Spark's
+    # dataset-id self-join fallback (fragile across versions)
     scored = (
-        visible(log)
-        .join(emb, visible(log).id == emb.vec_id)
+        vis.join(emb, vis.id == emb.vec_id)
         .crossJoin(F.broadcast(queries))
         .select(
             "query_id",
