@@ -91,3 +91,32 @@ def test_filtered_planner_picks_by_selectivity(spark, loaded, sf_dir):
 
     auto = loaded.topk_filtered(queries, k=5, nprobe=8, tenant="t0", strategy="auto")
     assert {(r["query_id"], r["vec_id"], r["rank"]) for r in auto.collect()} == a
+
+
+def test_planner_stats_path_zero_jobs_same_decisions(spark, loaded):
+    """The planner must answer from manifest stats without launching any
+    Spark job, and agree with measured mode on both decision and
+    (approximately) selectivity."""
+    stats = loaded._meta().get("stats")
+    assert stats and stats["n"] == 450  # compact() ran analyze()
+    assert "tenant" in stats and "tag" in stats
+
+    sc = spark.sparkContext
+    sc.setJobGroup("planner_stats", "stats-only planning")
+    try:
+        strat_t, sel_t = loaded.plan_filtered_strategy(tenant="t0")
+        strat_g, sel_g = loaded.plan_filtered_strategy(tags_any=[7])
+        strat_c, sel_c = loaded.plan_filtered_strategy(
+            tenant="t0", tags_any=[7], sample_p=0.5
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("planner_stats")) == []
+
+    m_t = loaded.plan_filtered_strategy(tenant="t0", use_stats=False)
+    m_g = loaded.plan_filtered_strategy(tags_any=[7], use_stats=False)
+    assert (strat_t, strat_g) == (m_t[0], m_g[0])
+    assert abs(sel_t - m_t[1]) < 0.05
+    assert abs(sel_g - m_g[1]) < 0.05
+    # combined filter: independence estimate stays on the pre side
+    assert strat_c == "pre" and sel_c < sel_g

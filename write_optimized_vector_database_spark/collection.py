@@ -87,9 +87,13 @@ class VectorCollection:
         return writer.option("parquet.bloom.filter.adaptive.enabled", "true")
 
     def _dir_bytes(self, subdir: str) -> int:
+        # sizes ride along with the recursive listing (scandir /
+        # LocatedFileStatus) — one metadata stream, not a per-file
+        # getsize round-trip; at millions of files the listing itself is
+        # the floor any system pays
         return sum(
-            self.fs.getsize(f)
-            for f in self.fs.walk_files(f"{self.path}/{subdir}")
+            size
+            for f, size in self.fs.walk_files_with_size(f"{self.path}/{subdir}")
             if f.endswith(".parquet")
         )
 
@@ -351,6 +355,9 @@ class VectorCollection:
         if logical > 0:
             history = history + [round(physical / logical, 4)]
         self._meta_update(bytes_physical=physical, wa_history=history)
+        # refresh planner stats off the snapshot just written — the CBO
+        # analogue of ANALYZE TABLE after a rewrite
+        self.analyze(self.spark.read.parquet(new_dir))
         # GC superseded snapshot versions (and crashed half-written ones).
         # Single-writer assumption; a real deployment adds retention lag
         # for in-flight readers of the old version.
@@ -364,24 +371,20 @@ class VectorCollection:
         snap_epoch = self._snapshot_epoch()
         if snap_epoch < 0:
             return 0
-        import pyarrow.parquet as pq
-
-        removed = 0
         changelog_dir = f"{self.path}/changelog"
-        for fpath in list(self.fs.walk_files(changelog_dir)):
-            if not fpath.endswith(".parquet"):
-                continue
-            # footer-stat read: pyarrow resolves file:/ URIs and plain
-            # paths; remote schemes would route through an fsspec
-            # filesystem here (same API), or push this into a Spark job
-            meta = pq.ParquetFile(fpath.removeprefix("file:")).metadata
-            file_max = None
-            for rg in range(meta.num_row_groups):
-                for ci in range(meta.num_columns):
-                    col = meta.row_group(rg).column(ci)
-                    if col.path_in_schema == "epoch" and col.statistics:
-                        mx = col.statistics.max
-                        file_max = mx if file_max is None else max(file_max, mx)
+        files = [
+            f for f in self.fs.walk_files(changelog_dir) if f.endswith(".parquet")
+        ]
+        if not files:
+            return 0
+        # footer reads are DISTRIBUTED: one Spark job maps pyarrow
+        # footer-stat extraction over the file list, so vacuum cost is
+        # O(#files / executors) instead of a driver serial loop. Only the
+        # listing (which Spark pays for any read anyway) and the
+        # metadata deletes stay on the driver.
+        removed = 0
+        covered = self._file_epoch_stats(files)
+        for fpath, file_max in covered:
             if file_max is not None and file_max <= snap_epoch:
                 self.fs.remove(fpath)
                 removed += 1
@@ -394,6 +397,37 @@ class VectorCollection:
             if not any(f.endswith(".parquet") for f in self.fs.walk_files(d)):
                 self.fs.rmtree(d)
         return removed
+
+    def _file_epoch_stats(self, files: list[str]) -> list[tuple[str, int | None]]:
+        """Per-file max(epoch) from Parquet FOOTER statistics only (no
+        data pages), computed in a Spark job — executors open the footers
+        with pyarrow (file:/ and plain paths; remote schemes resolve via
+        pyarrow's fsspec handlers)."""
+        import pandas as pd
+
+        paths = self.spark.createDataFrame(
+            [(p,) for p in files], "path string"
+        ).repartition(min(len(files), 32))
+
+        def scan(batches):
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                out = []
+                for p in pdf["path"]:
+                    meta = pq.ParquetFile(p.removeprefix("file:")).metadata
+                    file_max = None
+                    for rg in range(meta.num_row_groups):
+                        for ci in range(meta.num_columns):
+                            col = meta.row_group(rg).column(ci)
+                            if col.path_in_schema == "epoch" and col.statistics:
+                                mx = col.statistics.max
+                                file_max = mx if file_max is None else max(file_max, mx)
+                    out.append((p, file_max))
+                yield pd.DataFrame(out, columns=["path", "max_epoch"])
+
+        rows = paths.mapInPandas(scan, "path string, max_epoch bigint").collect()
+        return [(r.path, r.max_epoch) for r in rows]
 
     def build_ivf_index(
         self, nlist: int = 64, sample_fraction: float | None = None, seed: int = 42
@@ -817,6 +851,117 @@ class VectorCollection:
             vec_id_col="id", vec_col="vector", allowed_ids=allowed,
         )
 
+    _STATS_TOP_K = 1024
+
+    def analyze(self, df: DataFrame | None = None, top_k: int | None = None) -> dict:
+        """Collect planner statistics into the manifest — row count plus
+        tenant/namespace/tag histograms (top-K entries + a remainder
+        bucket), the ANALYZE TABLE analogue. compact() calls this on
+        every snapshot rewrite; callers can re-run it any time.
+
+        Histograms are capped at `top_k` heavy hitters per dimension so
+        the manifest stays KB-sized at any tenant/tag cardinality; keys
+        outside the cap are estimated from the remainder bucket's
+        rows/distinct average. Tag counts are per-ROW carrying the tag
+        (exploded), which is exactly the union-bound numerator a
+        tags_any OR-filter needs."""
+        top_k = top_k or self._STATS_TOP_K
+        base = (
+            df if df is not None else self.spark.read.parquet(self._current_dir())
+        )
+        stats: dict = {"n": base.count(), "epoch": int(self._snapshot_epoch())}
+
+        def hist(col_df, key: str, out_key: str):
+            grouped = col_df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+            top = grouped.orderBy(F.desc("c"), key).limit(top_k).collect()
+            tot = grouped.agg(
+                F.sum("c").alias("rows"), F.count(F.lit(1)).alias("distinct")
+            ).first()
+            top_rows = sum(r.c for r in top)
+            stats[out_key] = {str(r[key]): r.c for r in top if r[key] is not None}
+            stats[f"{out_key}_other"] = [
+                int((tot.rows or 0) - top_rows),
+                int((tot.distinct or 0) - len(top)),
+            ]
+
+        cols = set(base.columns)
+        if "tenant" in cols:
+            hist(base.select("tenant"), "tenant", "tenant")
+        if "namespace" in cols:
+            hist(base.select("namespace"), "namespace", "namespace")
+        if "tags" in cols:
+            tags = base.select(F.explode("tags").alias("tag"))
+            hist(tags, "tag", "tag")
+            td = self.tag_dict()
+            if td is not None:
+                # resolve heavy-hitter tag ids to names once, so string
+                # tags_any estimates are manifest-only at query time
+                ids = [int(t) for t in stats["tag"]]
+                name_rows = td.filter(F.col("tag_id").isin(ids)).collect()
+                stats["tag_name"] = {
+                    r.tag: stats["tag"][str(r.tag_id)]
+                    for r in name_rows
+                    if str(r.tag_id) in stats["tag"]
+                }
+        self._meta_update(stats=stats)
+        return stats
+
+    def _estimate_selectivity(
+        self,
+        stats: dict,
+        tenant: str | None,
+        namespace: str | None,
+        tags_any: list[int | str] | None,
+        sample_p: float | None,
+    ) -> float | None:
+        """Filter selectivity from manifest stats — no Spark job. Returns
+        None when the stats can't answer (e.g. string tag with no name
+        map), signalling the caller to fall back to measuring."""
+        n = stats.get("n", 0)
+        if not n:
+            return 1.0
+
+        def dim_sel(key: str, value: str) -> float:
+            h = stats.get(key)
+            if h is None:
+                return 1.0  # column absent from stats → non-constraining
+            if value in h:
+                return h[value] / n
+            other_rows, other_distinct = stats.get(f"{key}_other", [0, 0])
+            if other_distinct > 0:
+                return (other_rows / other_distinct) / n
+            return 0.0
+
+        sel = 1.0
+        if tenant is not None:
+            sel *= dim_sel("tenant", tenant)
+        if namespace is not None:
+            sel *= dim_sel("namespace", namespace)
+        if tags_any:
+            # union bound over the OR-set: sum of per-tag row counts,
+            # clamped — exact when tags are disjoint, conservative
+            # (over-estimates survivors) when they overlap, which only
+            # ever steers toward POST, the strategy that stays correct
+            tag_rows = 0.0
+            for t in tags_any:
+                if isinstance(t, str):
+                    names = stats.get("tag_name")
+                    if names is None:
+                        return None  # unresolvable without the dict
+                    tag_rows += names.get(t, 0.0)
+                else:
+                    h = stats.get("tag", {})
+                    if str(t) in h:
+                        tag_rows += h[str(t)]
+                    else:
+                        other_rows, other_distinct = stats.get("tag_other", [0, 0])
+                        if other_distinct > 0:
+                            tag_rows += other_rows / other_distinct
+            sel *= min(1.0, tag_rows / n)
+        if sample_p is not None:
+            sel *= sample_p
+        return min(1.0, sel)
+
     def plan_filtered_strategy(
         self,
         tenant: str | None = None,
@@ -824,12 +969,13 @@ class VectorCollection:
         tags_any: list[int | str] | None = None,
         sample_p: float | None = None,
         pre_filter_threshold: float = 0.2,
+        use_stats: bool = True,
     ) -> tuple[str, float]:
         """Pick pre- vs post-filtering for a filtered ANN query from the
-        filter's measured selectivity — the planner decision every
-        filtered-search engine makes (the reference intersects filters in
-        the probe path, msg-buf.h:236-255, i.e. always-pre; at Spark
-        scale the right answer depends on selectivity):
+        filter's selectivity — the planner decision every filtered-search
+        engine makes (the reference intersects filters in the probe path,
+        msg-buf.h:236-255, i.e. always-pre; at Spark scale the right
+        answer depends on selectivity):
 
         - **selective filter** (few survivors): PRE-filter — semi-join
           the allowed ids into the pruned posting lists; the ANN scan
@@ -838,9 +984,21 @@ class VectorCollection:
           over-fetch k/selectivity candidates from the unfiltered index
           and filter after; skips the semi-join entirely.
 
-        Selectivity is measured with two count()s whose predicates push
-        into the Parquet scan (footer-stat cheap, no vector bytes read).
-        """
+        Selectivity comes from the manifest stats analyze() persisted at
+        the last compaction — a dictionary lookup, ZERO Spark jobs per
+        query. Only when stats are absent (never compacted) or can't
+        answer (string tag missing from the name map) does the planner
+        fall back to measuring with two pushed-down count()s — at 100 TB
+        the measured path costs two scans before the query even runs,
+        which is exactly what a planner must not do per query."""
+        if use_stats:
+            stats = self._meta().get("stats")
+            if stats:
+                sel = self._estimate_selectivity(
+                    stats, tenant, namespace, tags_any, sample_p
+                )
+                if sel is not None:
+                    return ("pre" if sel < pre_filter_threshold else "post"), sel
         total = self.current().count()
         kept = apply_query_filters(
             self.current(), tenant, namespace, tags_any, sample_p,

@@ -56,6 +56,22 @@ class LocalStorage:
             for f in files:
                 yield os.path.join(r, f)
 
+    def walk_files_with_size(self, root: str) -> Iterator[tuple[str, int]]:
+        """One recursive listing yielding (path, size) — sizes come from
+        the directory entries themselves (scandir stat), not a second
+        per-file metadata call."""
+        stack = [root]
+        while stack:
+            d = stack.pop()
+            if not os.path.isdir(d):
+                continue
+            with os.scandir(d) as it:
+                for e in it:
+                    if e.is_dir(follow_symlinks=False):
+                        stack.append(e.path)
+                    else:
+                        yield e.path, e.stat(follow_symlinks=False).st_size
+
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
 
@@ -137,6 +153,17 @@ class HadoopStorage:
         it = self._fs.listFiles(self._p(root), True)  # recursive
         while it.hasNext():
             yield it.next().getPath().toString()
+
+    def walk_files_with_size(self, root: str) -> Iterator[tuple[str, int]]:
+        """listFiles returns LocatedFileStatus — length rides along with
+        the listing, so byte accounting is one RPC stream, not one
+        getFileStatus round-trip per file."""
+        if not self.exists(root):
+            return
+        it = self._fs.listFiles(self._p(root), True)
+        while it.hasNext():
+            s = it.next()
+            yield s.getPath().toString(), s.getLen()
 
     def getsize(self, path: str) -> int:
         return self._fs.getFileStatus(self._p(path)).getLen()
