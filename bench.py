@@ -80,6 +80,7 @@ def main() -> None:
     from write_optimized_vector_database_spark.operators.changelog import synthetic_changelog
 
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    extra_metrics: dict = {}
     try:
         from pyspark.sql import functions as F
 
@@ -130,10 +131,21 @@ def main() -> None:
         t0 = time.time()
         coll.refresh_indexes()
         timings["refresh_indexes_incremental"] = round(time.time() - t0, 3)
+        # recovery: reopen the collection cold (fresh object, cleared
+        # file-listing caches — the single-JVM analog of kill→restart)
+        # and time the first correct read over snapshot ∪ un-compacted
+        # tail. Reference target: ≤30 s to first read (config.h:188-190).
+        spark.catalog.clearCache()
+        t0 = time.time()
+        reopened = VectorCollection(spark, tmp, metric="ip")
+        n_recovered = reopened.current().count()
+        recovery_s = round(time.time() - t0, 3)
+        assert n_recovered > 0
         wa = coll.write_amplification()
         extra_metrics = {
             "ingest_ops_per_s": round(n_ops / dt, 1),
             "write_amplification": wa["wa_now"],
+            "recovery_s": recovery_s,
         }
         print(
             f"ingested {n_ops} ops in {dt:.2f}s = {n_ops / dt:,.0f} ops/s; "
@@ -146,6 +158,93 @@ def main() -> None:
         timings["ingest_changelog"] = -1.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # recall telemetry: measured recall@10 of each ANN path vs the exact
+    # scan at SERVING settings (the tunable knob swept like the
+    # reference's auto-tune, config.h:138-147) — continuously witnessing
+    # the ≥0.95 target (types.h:140) instead of leaving it test-gated.
+    try:
+        from pyspark.sql import functions as F
+
+        from write_optimized_vector_database_spark.operators.ivf import (
+            assign_centroids,
+            ivf_topk,
+            recall_at_k,
+            train_centroids_kmeans,
+        )
+        from write_optimized_vector_database_spark.operators.ivfpq import (
+            ivfpq_encode,
+            ivfpq_two_phase_topk,
+            train_ivfpq_codebooks,
+        )
+        from write_optimized_vector_database_spark.operators.sq8 import (
+            sq8_two_phase_topk,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qdf = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = reg["vec_topk_ip_exact"].fn(spark, SF_DIR)
+
+        def avg_recall(approx):
+            r = recall_at_k(approx, exact, k=10).agg(F.avg("recall")).first()[0]
+            return round(float(r), 4)
+
+        recalls: dict = {}
+        nlist = 32
+        cents = train_centroids_kmeans(
+            emb, nlist=nlist, vec_col="embedding", id_col="vec_id", seed=42
+        )
+        ivf_index = assign_centroids(emb, cents, vec_col="embedding").persist()
+        ivf_index.count()
+        for nprobe in (4, 8, 16, nlist):
+            r = avg_recall(ivf_topk(ivf_index, qdf, cents, k=10, nprobe=nprobe))
+            if r >= 0.95:
+                break
+        recalls["ivf"] = r
+        recalls["ivf_nprobe"] = nprobe
+
+        cb = train_ivfpq_codebooks(
+            emb, cents, dim=64, m=8, nbits=8, vec_col="embedding", id_col="vec_id"
+        )
+        pq_index = ivfpq_encode(
+            emb, cents, cb, vec_col="embedding", id_col="vec_id"
+        ).persist()
+        pq_index.count()
+        for nprobe in (4, 8, 16, nlist):
+            r = avg_recall(
+                ivfpq_two_phase_topk(
+                    emb, pq_index, qdf, cents, cb, k=10, nprobe=nprobe, rerank_factor=4
+                )
+            )
+            if r >= 0.95:
+                break
+        recalls["ivfpq"] = r
+        recalls["ivfpq_nprobe"] = nprobe
+        ivf_index.unpersist()
+        pq_index.unpersist()
+
+        recalls["sq8"] = avg_recall(
+            sq8_two_phase_topk(emb, qdf, k=10, rerank_factor=4, metric="ip")
+        )
+        # SRP's dial is the table count (miss prob falls as (1-p^n)^r):
+        # sweep tables like nprobe, report the count that reached target
+        from write_optimized_vector_database_spark.operators.srp_lsh import (
+            multitable_planes_from_stride,
+            srp_multitable_topk,
+        )
+
+        for n_tables in (3, 6, 10, 16):
+            tables = multitable_planes_from_stride(emb, 7, 6, n_tables)
+            r = avg_recall(srp_multitable_topk(emb, qdf, tables, k=10, metric="ip"))
+            if r >= 0.95:
+                break
+        recalls["srp"] = r
+        recalls["srp_tables"] = n_tables
+        extra_metrics["recall_at_10"] = recalls
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in recall: {e}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if v >= 0]
@@ -165,10 +264,7 @@ def main() -> None:
         full["p95"] = p95
     # baseline-comparable telemetry (reference targets: 50k ops/s,
     # WA p50<=2.3 -- types.h:144-145), machine-readable beside the timings
-    try:
-        full.update(extra_metrics)
-    except NameError:
-        pass
+    full.update(extra_metrics)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
         with open(full_path, "w") as f:

@@ -118,3 +118,28 @@ def test_hadoop_storage_backend_roundtrip(spark, tmp_path):
 def test_local_storage_selected_for_bare_paths(spark, tmp_path):
     c = VectorCollection(spark, str(tmp_path / "lc"), metric="ip")
     assert isinstance(c.fs, LocalStorage)
+
+
+def test_recovery_time_within_target(spark, tmp_path):
+    """Kill mid-compaction, then measure kill→reopen→first-correct-read
+    wall time — the reference's recovery target is ≤30 s
+    (config.h:188-190). Recovery here is pointer-file resolution plus
+    the snapshot ∪ tail union; there is no replay loop to wait on."""
+    import time
+
+    path = str(tmp_path / "c")
+    c = VectorCollection(spark, path, metric="ip")
+    c.ingest(_batch(spark, range(20)))
+    c.compact()
+    c.ingest(_batch(spark, range(20, 40), epoch0=1000))
+    coll_mod.FAULT_INJECT_HOOK = lambda p: (_ for _ in ()).throw(_Boom(p))
+    with pytest.raises(_Boom):
+        c.compact()
+    coll_mod.FAULT_INJECT_HOOK = None
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    reopened = VectorCollection(spark, path, metric="ip")
+    assert reopened.current().count() == 40  # first correct read
+    dt = time.time() - t0
+    assert dt <= 30.0, f"recovery took {dt:.1f}s (> 30 s target)"
