@@ -10,11 +10,33 @@ end-to-end, not just a batch twin.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from write_optimized_vector_database_spark.queries import register
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Scope spark.sql.shuffle.partitions around a streaming start().
+
+    A stateful operator instantiates one state store per shuffle
+    partition, and each store pays init + commit + snapshot per
+    micro-batch. At fixture scale that fixed cost dominates the two
+    heaviest streaming entries, so local drains run with a handful of
+    stores. The setting is captured at query START and pinned in the
+    checkpoint; a 1000-executor deployment sizes it to the cluster
+    (state partitions ≈ cores) the same way — this is a deploy-time
+    dial, not a semantics change: results never depend on it."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture.
@@ -53,14 +75,15 @@ def evt_streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
 
     name = f"evt_stream_{int(time.time() * 1000)}"
     agg = windowed_event_counts(_events_stream(spark, sf_dir), window="1 hour")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).select(
         F.col("window.start").alias("window_start"),
         "event_type",
@@ -114,14 +137,15 @@ def evt_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .filter(F.col("n_events") >= 3)
@@ -167,14 +191,15 @@ def evt_streaming_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_occurrences"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .filter(F.col("n_occurrences") > 1)
@@ -217,9 +242,11 @@ def evt_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rate × window), not O(stream). availableNow drains the fixture in
     one batch, which makes the append-mode output deterministic and
     hash-comparable to the batch oracle."""
+    src = _events_stream(spark, sf_dir)  # ONE file source; both legs
+    # filter it (a supported stream self-join) so the fixture is scanned
+    # once per micro-batch instead of once per side
     clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        src.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user_id"),
             F.col("event_id").alias("click_id"),
@@ -228,8 +255,7 @@ def evt_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        src.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("event_id").alias("purchase_id"),
@@ -250,14 +276,15 @@ def evt_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
     )
     name = f"evt_ssjoin_{int(time.time() * 1000)}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -294,14 +321,15 @@ def evt_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .select(
@@ -340,15 +368,16 @@ def evt_streaming_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     name = f"evt_state_stream_{int(time.time() * 1000)}"
-    q = (
-        running_user_cents(_events_stream(spark, sf_dir))
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            running_user_cents(_events_stream(spark, sf_dir))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # n_events and total_cents grow monotonically per user, so the
     # final state is the per-user max of each
     return (
