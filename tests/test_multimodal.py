@@ -54,3 +54,116 @@ def test_sniff_mime():
     assert MM.sniff_mime(b"\xff\xd8\xffxx") == "image/jpeg"
     assert MM.sniff_mime(b"plain text") == "application/octet-stream"
     assert MM.sniff_mime(b"") == "application/octet-stream"
+
+
+class TestPngCodec:
+    """Real stdlib PNG codec: roundtrip plus every scanline filter."""
+
+    def test_roundtrip_rgb(self):
+        from write_optimized_vector_database_spark.operators.multimodal import (
+            decode_image,
+            decode_png,
+            encode_png,
+        )
+
+        pixels = [
+            [((x * 31 + y * 7) % 256, (x * 3) % 256, (y * 5) % 256) for x in range(9)]
+            for y in range(5)
+        ]
+        blob = encode_png(pixels)
+        assert blob.startswith(b"\x89PNG")
+        w, h, nch, px = decode_png(blob)
+        assert (w, h, nch) == (9, 5, 3)
+        flat = bytes(c for row in pixels for p in row for c in p)
+        assert px == flat
+        # decode_image dispatches to the stdlib decoder without PIL
+        assert decode_image(blob) == (9, 5, 3)
+
+    def test_all_filter_types_unfiltered_correctly(self):
+        """Hand-build IDAT streams using filters 1-4 (sub/up/average/
+        Paeth) and check the decoder reconstructs the same image the
+        filter-0 encoding represents."""
+        import struct
+        import zlib
+
+        from write_optimized_vector_database_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        pixels = [
+            [((x * 11 + y * 17) % 256, (x + y) % 256, (x * y) % 256) for x in range(6)]
+            for y in range(4)
+        ]
+        ref = decode_png(encode_png(pixels))[3]
+        w, h, nch = 6, 4, 3
+        stride = w * nch
+        rows = [ref[y * stride : (y + 1) * stride] for y in range(h)]
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        def filtered(ft, y):
+            cur = rows[y]
+            prev = rows[y - 1] if y else bytes(stride)
+            out = bytearray()
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                pred = {1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ft]
+                out.append((cur[x] - pred) & 0xFF)
+            return bytes([ft]) + bytes(out)
+
+        for ft in (1, 2, 3, 4):
+            raw = b"".join(filtered(ft, y) for y in range(h))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+            def chunk(tag, data):
+                return (
+                    struct.pack(">I", len(data))
+                    + tag
+                    + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+                )
+
+            blob = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+            dw, dh, dn, px = decode_png(blob)
+            assert (dw, dh, dn) == (w, h, nch)
+            assert px == ref, f"filter {ft} mis-decoded"
+
+    def test_grayscale_decode(self):
+        import struct
+        import zlib
+
+        from write_optimized_vector_database_spark.operators.multimodal import decode_png
+
+        w, h = 4, 3
+        rows = [bytes((x * 40 + y * 9) % 256 for x in range(w)) for y in range(h)]
+        raw = b"".join(b"\x00" + r for r in rows)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # grayscale
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        dw, dh, dn, px = decode_png(blob)
+        assert (dw, dh, dn) == (w, h, 1)
+        assert px == b"".join(rows)

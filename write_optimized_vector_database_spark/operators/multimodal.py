@@ -73,22 +73,118 @@ DECODED_META_SCHEMA = T.StructType(
 )
 
 
-def decode_image(blob: bytes) -> tuple[int, int, int]:
-    """REAL decode integration point — requires an image codec library.
+def encode_png(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal RGB8 PNG encoder (stdlib zlib only): IHDR + one
+    filter-0 IDAT + IEND. Exists so the REAL decode path below has
+    genuine PNG bytes to execute against in this codec-less container;
+    output opens in any standards-compliant viewer."""
+    import struct
+    import zlib
 
-    Stubbed per the build brief: the container ships no PIL/opencv, so
-    this raises; `fake_decode_meta` drives the pipeline in tests."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(
+        b"\x00" + bytes(c for px in row for c in px) for row in pixels
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode on stdlib only: chunk walk → IHDR dims → inflate
+    IDAT → reverse scanline filters (all five filter types per the PNG
+    spec) → raw interleaved samples. 8-bit non-interlaced images, any
+    color type. Returns (width, height, n_channels, pixel_bytes)."""
+    import struct
+    import zlib
+
+    if not blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG stream")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace:
+                raise ValueError("only 8-bit non-interlaced PNGs supported")
+            nch = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for x in range(stride):
+            a = line[x - nch] if x >= nch else 0  # left
+            b = prev[x]  # up
+            c = prev[x - nch] if x >= nch else 0  # up-left
+            if ft == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif ft == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif ft == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        out += line
+        prev = line
+    return width, height, nch, bytes(out)
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int]:
+    """REAL decode: PIL when importable, else the stdlib PNG decoder
+    above for PNG payloads. Non-PNG formats without PIL raise — JPEG et
+    al. genuinely need a codec library this container does not ship;
+    `fake_decode_meta` remains the deterministic stand-in for those."""
     try:
         import io
 
-        from PIL import Image  # noqa: F401 — not present in this container
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "use fake_decode_meta for plumbing tests"
-        ) from e
-    img = Image.open(io.BytesIO(blob))  # pragma: no cover
-    return img.width, img.height, len(img.getbands())  # pragma: no cover
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(blob))  # pragma: no cover - no PIL here
+        return img.width, img.height, len(img.getbands())  # pragma: no cover
+    except ImportError:
+        pass
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, nch, _px = decode_png(blob)
+        return w, h, nch
+    raise NotImplementedError(
+        "non-PNG decode requires PIL/opencv (not in this container); "
+        "use fake_decode_meta for plumbing tests"
+    )
 
 
 def fake_decode_meta(blob: bytes | None) -> tuple[str, int, int, int, int]:

@@ -162,3 +162,74 @@ def mm_feature_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumnRenamed("vec_id", "doc_id")
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+@register(
+    "mm_png_roundtrip_decode",
+    # The REAL codec path: executors synthesize a solid-color PNG per
+    # document (stdlib encoder), then DECODE it back — chunk walk,
+    # zlib inflate, scanline un-filtering (multimodal.decode_png). The
+    # decoded metadata and mean pixel values are arithmetic functions
+    # of (doc_id, byte length), so the roundtrip is fully
+    # oracle-checkable: any decoder bug breaks the hash.
+    oracle="""
+SELECT doc_id,
+       (8 + doc_id % 8)::INT AS width,
+       (8 + COALESCE(octet_length(encode(text)), 0) % 8)::INT AS height,
+       3::INT AS n_channels,
+       (doc_id % 256)::INT AS mean_r,
+       (doc_id * 7 % 256)::INT AS mean_g,
+       (doc_id * 13 % 256)::INT AS mean_b
+FROM documents ORDER BY doc_id
+""",
+    survey_ref="[EXT] multimodal real image decode (PNG, stdlib)",
+    tags=["multimodal", "decode"],
+)
+def mm_png_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode executed in executors — no codec library needed:
+    encode_png builds a genuine PNG stream per row, decode_png walks
+    chunks / inflates / un-filters it, and the emitted metadata + mean
+    channel values come from the DECODED pixel bytes (not passed
+    through), so the oracle match proves the codec is correct."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.octet_length("text"), F.lit(0)).alias("nbytes"),
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, nbytes in zip(pdf["doc_id"], pdf["nbytes"]):
+                w = 8 + int(doc_id) % 8
+                h = 8 + int(nbytes) % 8
+                color = (int(doc_id) % 256, int(doc_id) * 7 % 256, int(doc_id) * 13 % 256)
+                blob = MM.encode_png([[color] * w for _ in range(h)])
+                dw, dh, nch, px = MM.decode_png(blob)
+                n = dw * dh
+                means = [
+                    sum(px[c::nch]) // n for c in range(nch)
+                ]  # exact ints: solid color
+                rows.append((int(doc_id), dw, dh, nch, *means))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("mean_r", T.IntegerType()),
+            T.StructField("mean_g", T.IntegerType()),
+            T.StructField("mean_b", T.IntegerType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
