@@ -1576,3 +1576,125 @@ def mut_epoch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (1-bit) two-phase ANN — the modern BQ fast path:
+# 32× compression, Hamming phase-1 entirely on packed int64 halves.
+# ---------------------------------------------------------------------------
+
+_BQ_RERANK = 4
+
+# sign bits packed into two BIGINT halves (32 dims each) — a single
+# 64-bit pack would need shiftleft(1L, 63), whose overflow-wrap behavior
+# is not worth relying on cross-engine; two halves stay < 2^32.
+_BQ_PACK_SPARK = (
+    "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+    "IF(element_at({col}, i + {off} + 1) > 0, shiftleft(1L, i), 0L))"
+)
+_BQ_PACK_DUCK = (
+    "list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN {col}[i + {off} + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))"
+)
+
+
+@register(
+    "vec_binary_quant_two_phase",
+    oracle=f"""
+WITH packed AS (
+  SELECT vec_id, embedding,
+         {_BQ_PACK_DUCK.format(col="embedding", off=0)} AS h_lo,
+         {_BQ_PACK_DUCK.format(col="embedding", off=32)} AS h_hi
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, h_lo AS q_lo, h_hi AS q_hi
+  FROM packed WHERE vec_id < 8
+),
+ham AS (
+  SELECT q.query_id, p.vec_id,
+         (bit_count(xor(q.q_lo, p.h_lo)) + bit_count(xor(q.q_hi, p.h_hi)))::INT
+           AS hamming
+  FROM q CROSS JOIN packed p
+),
+cand AS (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC, vec_id ASC) AS r
+    FROM ham
+  ) WHERE r <= {10 * _BQ_RERANK}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+    survey_ref="Q4/Q5 binary quantization two-phase (1-bit codes, Hamming phase 1)",
+    tags=["vector", "quantization", "topk"],
+)
+def vec_binary_quant_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization ANN: sign bits packed into two int64
+    halves (32× smaller than float32), phase 1 ranks by Hamming distance
+    — bit_count(xor) on packed words, pure JVM integer ops, zero float
+    work until the bounded rerank — phase 2 reranks k·{_BQ_RERANK}
+    candidates exactly.
+
+    100 TB shape: the packed index is 16 bytes/vector + id; the Hamming
+    scan is a two-column int read with whole-stage codegen (no UDF, no
+    Arrow crossing), and the float vectors are touched only for the
+    ≤k·rerank·|queries| rerank fetch by id."""
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_BQ_PACK_SPARK.format(col="embedding", off=0)).alias("h_lo"),
+        F.expr(_BQ_PACK_SPARK.format(col="embedding", off=32)).alias("h_hi"),
+    )
+    q = packed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("h_lo").alias("q_lo"),
+        F.col("h_hi").alias("q_hi"),
+    )
+    ham = packed.select("vec_id", "h_lo", "h_hi").crossJoin(
+        F.broadcast(q.select("query_id", "q_lo", "q_hi"))
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.expr("q_lo ^ h_lo")) + F.bit_count(F.expr("q_hi ^ h_hi"))
+        ).cast("int").alias("hamming"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= 10 * _BQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q.select("query_id", "query_vec")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            dot_product("query_vec", "embedding").alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )

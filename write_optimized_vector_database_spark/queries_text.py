@@ -568,3 +568,304 @@ def doc_length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "doc_rare_bigram_fraction",
+    # integer-exact quality signal: corpus bigram counts, then per-doc
+    # fraction of bigrams whose corpus count ≤ 2. The only float op is
+    # ONE double division of two exact ints — IEEE-identical anywhere.
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+bgs AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+corpus AS (SELECT bg, COUNT(*) AS c FROM bgs GROUP BY bg),
+per_doc AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN corpus.c <= 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM bgs b JOIN corpus ON corpus.bg = b.bg
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(p.n_rare, 0)::BIGINT AS n_rare,
+       CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(p.n_rare AS DOUBLE) / p.n_bigrams END AS rare_frac
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    survey_ref="[EXT] n-gram LM quality scoring (rare-bigram fraction)",
+    tags=["text", "quality"],
+)
+def doc_rare_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gibberish/quality detector: fraction of a document's bigrams that
+    are rare in the corpus (count ≤ 2). High fraction → boilerplate
+    noise, OCR garbage, or code mis-tagged as prose — the cheap LM-score
+    proxy a training-data pipeline runs before a real model pass.
+
+    100 TB shape: one explode + one groupBy on the bigram string (the
+    corpus LM), one re-join of bigrams to counts (both sides partial-
+    aggregated), all JVM expressions — no Python, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    bgs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("bg"),
+    )
+    corpus = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        bgs.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_rare").cast("double") / F.col("n_bigrams"))
+            .alias("rare_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_ngram_contamination_frac",
+    # decontamination beyond exact match: per training doc, the fraction
+    # of its DISTINCT word 4-grams that appear anywhere in the benchmark
+    # probe set (docs 0-19) — the n-gram-overlap check stricter than
+    # exact hashing (4-grams chosen so the fixture corpus actually
+    # exercises the hit path; production dials to 8-13).
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_aggregate(list_slice(t, i, i + 3), 'string_agg', ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+),
+probe AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20),
+hits AS (
+  SELECT tr.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN probe.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM train tr LEFT JOIN probe ON probe.g = tr.g
+  GROUP BY tr.doc_id
+)
+SELECT doc_id, n_grams::BIGINT AS n_grams, n_hit::BIGINT AS n_hit,
+       CAST(n_hit AS DOUBLE) / n_grams AS contamination_frac
+FROM hits
+WHERE n_hit > 0
+ORDER BY doc_id
+""",
+    survey_ref="[EXT] n-gram-overlap decontamination",
+    tags=["text", "dedup", "decontamination"],
+)
+def doc_ngram_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by 4-gram overlap: a training document
+    is flagged with the fraction of its distinct 4-grams that occur in
+    the (broadcast-small) benchmark probe set — catching paraphrase-
+    level leakage exact-hash dedup misses.
+
+    100 TB shape: the probe side is tiny and broadcast; the training
+    side is one explode + distinct + broadcast-hash left join — the
+    train corpus never shuffles on anything wider than (doc_id, hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    grams = toks.filter(F.size("t") >= 4).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 3), "
+                "i -> concat_ws(' ', slice(t, i, 4)))"
+            )
+        ).alias("g"),
+    )
+    probe = grams.filter(F.col("doc_id") < 20).select("g").distinct()
+    train = grams.filter(F.col("doc_id") >= 20).distinct()
+    hits = (
+        train.join(F.broadcast(probe.withColumn("__hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        hits.filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (F.col("n_hit").cast("double") / F.col("n_grams")).alias(
+                "contamination_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_chunk_windows",
+    # RAG chunking: 64-token windows, stride 48 (16-token overlap),
+    # stable chunk ids, md5 fingerprint per chunk — md5 of the joined
+    # token string makes the whole fan-out hash-checkable.
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+chunks AS (
+  SELECT doc_id, j AS chunk_id,
+         least(64, n - j * 48)::INT AS n_tokens,
+         md5(list_aggregate(list_slice(t, j * 48 + 1, j * 48 + 64),
+                            'string_agg', ' ')) AS chunk_md5
+  FROM sized,
+       unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48)) AS u(j)
+)
+SELECT doc_id, chunk_id, n_tokens, chunk_md5
+FROM chunks ORDER BY doc_id, chunk_id
+""",
+    survey_ref="[EXT] RAG chunking (token windows, stride/overlap)",
+    tags=["text", "chunking"],
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RAG chunker: overlapping 64-token windows with
+    stride 48 and stable (doc_id, chunk_id) keys — the fan-out that
+    feeds embedding + ANN indexing. One narrow projection + one
+    generator expression per row; chunk count rides the token count, so
+    the output is data-proportional with no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+        )
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    chunks = sized.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, (greatest(n - 64, 0) + 47) div 48), "
+                "j -> struct(j AS chunk_id, "
+                "CAST(least(64, n - j * 48) AS INT) AS n_tokens, "
+                "md5(concat_ws(' ', slice(t, j * 48 + 1, 64))) AS chunk_md5))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_md5"
+    ).orderBy("doc_id", "chunk_id")
+
+
+_HLL_GROUP_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+hashed AS (
+  SELECT source,
+         ('0x' || substring(md5(CAST(term AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM toks
+),
+rhos AS (
+  SELECT source, h % {_HLL_M} AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN 25
+              ELSE bit_count(((h >> 8) & (-(h >> 8))) - 1) + 1 END AS rho
+  FROM hashed
+),
+regs AS (SELECT source, bucket, MAX(rho) AS m FROM rhos GROUP BY source, bucket),
+merged AS (SELECT '__merged__' AS source, bucket, MAX(m) AS m FROM regs GROUP BY bucket),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+acc AS (
+  SELECT source, COUNT(*) AS n_present,
+         SUM(CAST(pow(2.0, -m) AS DECIMAL(30,25))) AS s_present
+  FROM allregs GROUP BY source
+)
+SELECT source, n_present,
+       CAST({_HLL_ALPHA_M2!r}
+            / CAST(s_present + ({_HLL_M} - n_present) AS DOUBLE)
+         AS DOUBLE) AS hll_estimate
+FROM acc ORDER BY source
+"""
+
+
+@register(
+    "doc_hll_by_source_merged",
+    oracle=_HLL_GROUP_ORACLE,
+    survey_ref="[EXT] mergeable sketches — grouped HLL + register-level union",
+    tags=["text", "sketch", "agg"],
+)
+def doc_hll_by_source_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HLL distinct-token estimates PLUS the register-level
+    merge across sources ('__merged__' row) — the property that makes
+    sketches the 100 TB answer: per-partition/per-day registers are
+    tiny, and the global estimate is a MAX over them, never a re-scan.
+    The merged row's estimate is identical to what a single global pass
+    would produce (max is associative), and the whole register path is
+    integer-exact, so both levels hash-match the oracle."""
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    hashed = toks.select("source", portable_hash("term").alias("h"))
+    rest = F.shiftright("h", 8)
+    rho = F.when(rest == 0, F.lit(25)).otherwise(
+        F.bit_count(rest.bitwiseAND(-rest) - 1) + 1
+    )
+    regs = (
+        hashed.select("source", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("__merged__").alias("source"), "bucket", "m")
+    )
+    allregs = regs.unionByName(merged)
+    acc = allregs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m")).cast("decimal(30,25)")).alias("s_present"),
+    )
+    return acc.select(
+        "source",
+        "n_present",
+        (
+            F.lit(_HLL_ALPHA_M2)
+            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present"))).cast("double")
+        ).alias("hll_estimate"),
+    ).orderBy("source")
