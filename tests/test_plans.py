@@ -191,3 +191,36 @@ def test_repetition_stats_is_shuffle_free_until_sort(spark, sf_dir):
 
     q = registry()["doc_repetition_stats"].fn(spark, sf_dir)
     assert count_exchanges(q) <= 1, "per-row statistic must not shuffle the corpus"
+
+
+def test_binary_quant_phase1_is_jvm_integer_only(spark, sf_dir):
+    """BQ phase 1 (pack + Hamming) must stay in whole-stage codegen —
+    no Python/Arrow crossing anywhere in the plan, and the Hamming
+    ranking must not read the float vectors (column pruning: phase-1
+    scan reads only packed words + id)."""
+    from write_optimized_vector_database_spark.queries import registry
+
+    out = registry()["vec_binary_quant_two_phase"].fn(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "BQ path must not cross into Python"
+    assert "pythonUDF" not in plan
+
+
+def test_chunker_is_shuffle_free_until_sort(spark, sf_dir):
+    """doc_chunk_windows: projection + generator only — the single
+    exchange allowed is the final presentation ORDER BY."""
+    from write_optimized_vector_database_spark.plans.explain import count_exchanges
+    from write_optimized_vector_database_spark.queries import registry
+
+    out = registry()["doc_chunk_windows"].fn(spark, sf_dir)
+    assert count_exchanges(out) <= 1, "chunk fan-out must not shuffle data"
+
+
+def test_contamination_ngram_probe_broadcasts(spark, sf_dir):
+    """The 4-gram probe set joins broadcast — the training corpus never
+    shuffles on the gram string."""
+    from write_optimized_vector_database_spark.plans.explain import has_broadcast_join
+    from write_optimized_vector_database_spark.queries import registry
+
+    out = registry()["doc_ngram_contamination_frac"].fn(spark, sf_dir)
+    assert has_broadcast_join(out), "probe set must broadcast"

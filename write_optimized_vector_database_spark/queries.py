@@ -235,6 +235,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_lang_id",
     "doc_quality_scores",
     "doc_token_stats_by_source",
+    # round-3 additions (never checked — new this round)
+    "vec_binary_quant_two_phase",
+    "doc_rare_bigram_fraction",
+    "doc_ngram_contamination_frac",
+    "doc_chunk_windows",
+    "doc_hll_by_source_merged",
+    "mm_png_roundtrip_decode",
 ]
 
 
