@@ -242,6 +242,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_chunk_windows",
     "doc_hll_by_source_merged",
     "mm_png_roundtrip_decode",
+    "emb_centroid_outliers",
+    "doc_sequence_packing",
 ]
 
 

@@ -1698,3 +1698,75 @@ def vec_binary_quant_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "emb_centroid_outliers",
+    # embedding-quality filter: per-centroid top-10% by distance.
+    # Rank cutoffs are integer math (ceil via (cnt+9)/10) and the
+    # distance fold is bit-identical to list_distance, so membership is
+    # deterministic cross-engine.
+    oracle=f"""
+WITH cents AS (
+  SELECT (vec_id // {_IVF_STRIDE})::INT AS centroid_id,
+         embedding AS centroid
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_distance(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) AS dist
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY dist ASC, c.centroid_id ASC) = 1
+),
+ranked AS (
+  SELECT vec_id, centroid_id, dist,
+         row_number() OVER (PARTITION BY centroid_id
+                            ORDER BY dist DESC, vec_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY centroid_id) AS cnt
+  FROM assigned
+)
+SELECT vec_id, centroid_id, dist, r::BIGINT AS outlier_rank
+FROM ranked WHERE r <= (cnt + 9) // 10
+ORDER BY centroid_id, outlier_rank, vec_id
+""",
+    survey_ref="[EXT] embedding outlier detection (training-data quality filter)",
+    tags=["vector", "quality", "dedup"],
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detector: assign every vector to its
+    nearest (deterministic stride) centroid, then flag the top 10% by
+    distance within each cluster — the mis-embedded/garbage-content
+    screen a training pipeline runs before contrastive training.
+
+    100 TB shape: assignment is the IVF assign pass the index build
+    already pays; ranking is one window per centroid partition (state
+    bounded by cluster size); no global sort, no all-pairs."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import l2_distance
+    from write_optimized_vector_database_spark.operators.ivf import (
+        assign_centroids_exact,
+        centroids_from_stride,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, _IVF_STRIDE)
+    assigned = assign_centroids_exact(emb, cents).join(
+        F.broadcast(cents), "centroid_id"
+    ).select(
+        "vec_id",
+        "centroid_id",
+        l2_distance(F.col("embedding").cast("array<double>"), "centroid").alias("dist"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("dist"), F.asc("vec_id"))
+    wc = Window.partitionBy("centroid_id")
+    return (
+        assigned.withColumn("r", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("r") <= (F.col("cnt") + 9).cast("long") / 10)
+        .select(
+            "vec_id", "centroid_id", "dist", F.col("r").cast("long").alias("outlier_rank")
+        )
+        .orderBy("centroid_id", "outlier_rank", "vec_id")
+    )

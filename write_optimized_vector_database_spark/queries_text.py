@@ -869,3 +869,72 @@ def doc_hll_by_source_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present"))).cast("double")
         ).alias("hll_estimate"),
     ).orderBy("source")
+
+
+@register(
+    "doc_sequence_packing",
+    # sample packing for training: per source, docs are laid head-to-
+    # tail in doc_id order and cut into 2048-token bins (concat-then-
+    # split packing — boundary docs spill into the next bin, the
+    # streaming-packer semantics). Bin assignment is pure integer math
+    # on the running token offset.
+    oracle=r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS start_off
+  FROM toks
+)
+SELECT source, (start_off // 2048)::BIGINT AS bin_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS n_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM offs GROUP BY source, bin_id
+ORDER BY source, bin_id
+""",
+    survey_ref="[EXT] training sequence packing (token-budget binning)",
+    tags=["text", "packing", "training"],
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 2048-token training sequences: within each
+    source, docs are laid out in doc_id order and binned by the running
+    token offset — deterministic, restart-stable (no greedy global
+    state), and the per-source window is the only wide op.
+
+    100 TB shape: the window partitions by source (bounded state per
+    partition, AQE splits skew); packing never materializes token
+    arrays, only counts — the actual concat happens downstream in the
+    data loader."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = toks.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        offs.groupBy("source", F.expr("start_off div 2048").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("source", "bin_id")
+    )
