@@ -212,16 +212,28 @@ def main() -> None:
             emb, cents, cb, vec_col="embedding", id_col="vec_id"
         ).persist()
         pq_index.count()
-        for nprobe in (4, 8, 16, nlist):
+        # two knobs, swept like the reference's auto-tune: nprobe bounds the
+        # posting lists scanned, rerank_factor bounds the exact-rescore
+        # shortlist. At full nprobe the shortlist is the binding constraint,
+        # so sweep (nprobe, rerank_factor) jointly until target recall.
+        for nprobe, rerank in (
+            (4, 4),
+            (8, 4),
+            (16, 4),
+            (nlist, 4),
+            (nlist, 8),
+            (nlist, 16),
+        ):
             r = avg_recall(
                 ivfpq_two_phase_topk(
-                    emb, pq_index, qdf, cents, cb, k=10, nprobe=nprobe, rerank_factor=4
+                    emb, pq_index, qdf, cents, cb, k=10, nprobe=nprobe, rerank_factor=rerank
                 )
             )
             if r >= 0.95:
                 break
         recalls["ivfpq"] = r
         recalls["ivfpq_nprobe"] = nprobe
+        recalls["ivfpq_rerank_factor"] = rerank
         ivf_index.unpersist()
         pq_index.unpersist()
 

@@ -244,6 +244,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_png_roundtrip_decode",
     "emb_centroid_outliers",
     "doc_sequence_packing",
+    # round-3 session-B additions (never checked — fill the window to 50)
+    "vec_matryoshka_two_phase",
+    "doc_containment_near_supersets",
+    "rel_pareto_suppliers",
 ]
 
 

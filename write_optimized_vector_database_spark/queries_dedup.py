@@ -820,3 +820,124 @@ def doc_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-supersets (quotation / inclusion detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_SHINGLE_N = 12  # long shingles = word-trigram-ish rarity
+_CONTAIN_DF_CAP = 12  # shingles seen in more docs carry no pair evidence
+_CONTAIN_PCT = 80  # containment threshold, integer percent
+_CONTAIN_MIN_SET = 20  # pairs need a meaningful rare-shingle denominator
+
+
+@register(
+    "doc_containment_near_supersets",
+    # containment = |A∩B| / min(|A|,|B|) over RARE long shingles
+    # (char-12-grams ~ word trigrams on normalized text; document
+    # frequency <= cap). Catches snippet-inside-article inclusion that
+    # Jaccard misses (a 200-char quote of a 4k-char doc has Jaccard
+    # ~0.05 but containment ~1.0). The corpus gains a synthesized
+    # snippet (the first 240 chars of every 5th doc) so the gate has
+    # true positives to find. Threshold compare is integer-exact:
+    # shared*100 >= pct*min(n_a,n_b).
+    oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, substring(text, 1, 240) FROM documents
+  WHERE doc_id % 5 = 0
+),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i::INT, {_CONTAIN_SHINGLE_N}) AS shingle
+  FROM norm, range(1, 100001) r(i)
+  WHERE i <= greatest(length(t) - {_CONTAIN_SHINGLE_N - 1}, 1)
+),
+shh AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS s FROM sh
+),
+df AS (
+  SELECT s FROM shh GROUP BY s
+  HAVING COUNT(DISTINCT doc_id) <= {_CONTAIN_DF_CAP}
+),
+rare AS (SELECT shh.doc_id, shh.s FROM shh JOIN df ON df.s = shh.s),
+sizes AS (SELECT doc_id, COUNT(DISTINCT s) AS n FROM rare GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(DISTINCT a.s) AS n_shared
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(s.n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE s.n_shared * 100 >= {_CONTAIN_PCT} * least(sa.n, sb.n)
+  AND least(sa.n, sb.n) >= {_CONTAIN_MIN_SET}
+ORDER BY s.doc_a, s.doc_b
+""",
+    survey_ref="[EXT] containment near-supersets (asymmetric inclusion dedup)",
+    tags=["dedup", "text"],
+)
+def doc_containment_near_supersets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-superset detection: finds
+    documents whose rare-shingle set is >=80% contained in another's —
+    the quotation / boilerplate-inclusion case where symmetric Jaccard
+    stays tiny.
+
+    100 TB shape: candidate generation is the equality join on the
+    32-bit shingle hash, with the document-frequency cap (df <= 12) as
+    the blow-up control — a shingle shared by d docs contributes
+    O(d^2) candidate pairs, so stop-shingles (boilerplate seen
+    everywhere) are dropped BEFORE the join, exactly the df-capped
+    posting-list pruning web-dedup systems use. Everything downstream
+    runs on the surviving pair shortlist."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    snippets = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring("text", 1, 240).alias("text"),
+    )
+    corpus = docs.unionByName(snippets)
+    shh = D.shingle_hashes(corpus, n=_CONTAIN_SHINGLE_N)
+    df_ok = (
+        shh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .select("sh")
+    )
+    rare = shh.join(df_ok, "sh").select("doc_id", "sh").distinct()
+    sizes = rare.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("n_shared") * 100 >= _CONTAIN_PCT * F.least("n_a", "n_b"))
+            & (F.least("n_a", "n_b") >= _CONTAIN_MIN_SET)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared").cast("double") / F.least("n_a", "n_b")).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

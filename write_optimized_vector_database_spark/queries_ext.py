@@ -1770,3 +1770,104 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id", "outlier_rank", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) two-phase search — prefix-dim coarse scan, full-dim rerank
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16  # phase-1 prefix length (full dim = 64)
+_MRL_RERANK = 5  # phase-1 shortlist = k * rerank
+
+
+@register(
+    "vec_matryoshka_two_phase",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec,
+         embedding[1:{_MRL_DIMS}] AS query_prefix
+  FROM embeddings WHERE vec_id < 8
+),
+coarse AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(q.query_prefix::DOUBLE[],
+                            e.embedding[1:{_MRL_DIMS}]::DOUBLE[]) AS pscore
+  FROM q CROSS JOIN embeddings e
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pscore DESC, vec_id ASC) AS r
+    FROM coarse
+  ) WHERE r <= {10 * _MRL_RERANK}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+    survey_ref="Q4/Q5 two-phase search over Matryoshka prefix dims (MRL-style)",
+    tags=["vector", "quantization", "topk"],
+)
+def vec_matryoshka_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-phase ANN: phase 1 scores only the first
+    {_MRL_DIMS} of 64 dims (MRL-trained embeddings front-load signal, so
+    the prefix is a valid coarse metric), phase 2 reranks the bounded
+    k·rerank shortlist with the full vector. Both folds are the proven
+    bit-identical left-to-right double accumulation (distance.py), so
+    the whole pipeline is oracle-exact.
+
+    100 TB shape: at scale the prefix lives as its OWN column (written
+    by compact(), reference-style columnar layout), so phase 1 reads a
+    4x smaller column with whole-stage codegen and the full vectors are
+    fetched only for the ≤ k·rerank·|queries| rerank join by id — same
+    asymmetric read shape as the PQ/SQ8/BQ paths."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.slice("embedding", 1, _MRL_DIMS).alias("query_prefix"),
+    )
+    coarse = (
+        emb.select("vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("prefix"))
+        .crossJoin(F.broadcast(q.select("query_id", "query_prefix")))
+        .select(
+            "query_id",
+            "vec_id",
+            dot_product("query_prefix", "prefix").alias("pscore"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("pscore"), F.asc("vec_id"))
+    cand = (
+        coarse.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= 10 * _MRL_RERANK)
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q.select("query_id", "query_vec")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            dot_product("query_vec", "embedding").alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )

@@ -1298,3 +1298,136 @@ def evt_salted_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n_events", "total_cents", "min_user", "max_user"
     ).orderBy("event_type")
+
+
+@register(
+    "evt_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+weekly AS (
+  SELECT e.user_id, f.cohort_week,
+         date_diff('day', f.cohort_week,
+                   CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM weekly
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+    survey_ref="[EXT] cohort retention (first-seen week x offset matrix)",
+    tags=["events", "window", "analytics"],
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: each user joins the cohort of their
+    first-event week; the matrix counts distinct users active at each
+    week offset. Two shuffles total (per-user min, then the cohort
+    group-by) — the user->cohort map is keyed by the same user_id the
+    events already hash on, so AQE coalesces the join into the first
+    shuffle's layout.
+
+    100 TB shape: firsts is |users| rows (small vs events); the join is
+    an equality join on user_id that sort-merge/broadcasts by size, and
+    COUNT(DISTINCT user) per cell is a partial-aggregated two-stage
+    count, never a global collect."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    weekly = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.expr(
+            "datediff(CAST(date_trunc('week', ts) AS DATE), cohort_week) div 7"
+        ).alias("week_offset"),
+    )
+    return (
+        weekly.groupBy("cohort_week", F.col("week_offset").cast("long").alias("week_offset"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "rel_pareto_suppliers",
+    # 2-D skyline (pareto frontier) over exact integer measures. The
+    # oracle is the independent NOT-EXISTS dominance formulation; the
+    # Spark side is the O(n log n) single-sort window derivation.
+    oracle="""
+WITH agg AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1 - l_discount AS DECIMAL(18,4))) * 100 AS BIGINT)
+           AS revenue_cents,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT a.l_suppkey,
+       CAST(a.revenue_cents AS DOUBLE) / 100 AS revenue,
+       CAST(a.qty_cents AS DOUBLE) / 100 AS total_qty
+FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.revenue_cents >= a.revenue_cents AND b.qty_cents >= a.qty_cents
+    AND (b.revenue_cents > a.revenue_cents OR b.qty_cents > a.qty_cents)
+)
+ORDER BY a.l_suppkey
+""",
+    survey_ref="[EXT] skyline / pareto-frontier query (window derivation vs NOT EXISTS)",
+    tags=["relational", "window", "analytics"],
+)
+def rel_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of suppliers on (revenue, quantity), both
+    maximized. Rather than the O(n^2) NOT-EXISTS self-join (kept as the
+    oracle), the frontier falls out of ONE sort: a row is dominated iff
+    the max quantity among rows with strictly higher revenue reaches its
+    quantity, or a same-revenue row strictly beats its quantity. Both
+    maxima are window expressions over the same revenue ordering, so
+    the plan is agg -> single window sort -> filter.
+
+    100 TB shape: the skyline input is already one row per supplier
+    (the group-by crushed the fact table), and the window runs on that
+    reduced set; dominance on exact BIGINT cents keeps membership
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(28,4)")
+    agg = li.groupBy("l_suppkey").agg(
+        (F.sum(rev) * 100).cast("long").alias("revenue_cents"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("qty_cents"),
+    )
+    w_strict = (
+        Window.orderBy(F.col("revenue_cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_ties = Window.partitionBy("revenue_cents")
+    frontier = (
+        agg.withColumn("best_qty_higher_rev", F.max("qty_cents").over(w_strict))
+        .withColumn("best_qty_same_rev", F.max("qty_cents").over(w_ties))
+        .filter(
+            (
+                F.col("best_qty_higher_rev").isNull()
+                | (F.col("best_qty_higher_rev") < F.col("qty_cents"))
+            )
+            & (F.col("best_qty_same_rev") == F.col("qty_cents"))
+        )
+    )
+    return frontier.select(
+        "l_suppkey",
+        (F.col("revenue_cents").cast("double") / 100).alias("revenue"),
+        (F.col("qty_cents").cast("double") / 100).alias("total_qty"),
+    ).orderBy("l_suppkey")

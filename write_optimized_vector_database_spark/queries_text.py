@@ -938,3 +938,118 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+@register(
+    "doc_domain_quota_cap",
+    # per-domain quota: keep at most QUOTA docs per source, picked by
+    # deterministic hash order. The web-crawl cap rule ("no domain may
+    # exceed N pages in the mix") as one window.
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'quota'), 1, 8))::BIGINT
+           AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pick_rank
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM ranked WHERE pick_rank <= 30
+ORDER BY source, pick_rank
+""",
+    survey_ref="[EXT] per-domain quota sampling (crawl cap rule)",
+    tags=["text", "sampling", "pipeline"],
+)
+def doc_domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: at most 30 documents per source, the
+    winners chosen by content-stable hash order (not arrival order, so
+    the pick is unbiased and reproducible across engines and retries).
+
+    100 TB shape: one window sort per source partition — the shuffle
+    key is `source`, the same key the corpus is usually already laid
+    out by; heavy-skew domains cost one sort of their own rows, never a
+    global one. Output is bounded at quota x |domains| regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit("quota")))
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", h.alias("h"))
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= 30)
+        .select("doc_id", "source", "n_chars", "pick_rank")
+        .orderBy("source", "pick_rank")
+    )
+
+
+@register(
+    "doc_temperature_mix_sample",
+    # temperature-scaled source mixing (alpha = 0.5): keep probability
+    # p_s = min(1, 4/sqrt(N_s)) flattens the source distribution the way
+    # multilingual/multi-source LM mixes up-weight small sources. The
+    # keep rule h * sqrt(N_s) < 40000 is one double multiply + compare
+    # on a portable hash — reproducible cross-engine, no rand().
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+),
+keyed AS (
+  SELECT d.doc_id, d.source, c.n_total,
+         ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8))::BIGINT
+           % 10000 AS h
+  FROM documents d JOIN counts c ON c.source = d.source
+),
+kept AS (
+  SELECT doc_id, source, n_total FROM keyed
+  WHERE CAST(h AS DOUBLE) * sqrt(CAST(n_total AS DOUBLE)) < 40000.0
+)
+SELECT source,
+       MAX(n_total) AS n_total,
+       COUNT(*) AS n_kept,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM kept GROUP BY source ORDER BY source
+""",
+    survey_ref="[EXT] temperature-scaled source mixing (alpha=0.5 mix rule)",
+    tags=["text", "sampling", "pipeline"],
+)
+def doc_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing at alpha = 0.5: per-source keep probability
+    proportional to N_s^(alpha-1) = 1/sqrt(N_s), so post-sample source
+    mass is proportional to N_s^alpha — big sources flattened, small
+    sources kept whole. sqrt keeps the rule IEEE-identical in both
+    engines (no pow()).
+
+    100 TB shape: the per-source count is one tiny aggregate broadcast
+    back onto the scan; the keep predicate is then a scan-time filter
+    (hash + multiply + compare), so the sample never shuffles the
+    corpus itself."""
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit("temp"))) % 10000
+    keyed = docs.join(F.broadcast(counts), "source").select(
+        "doc_id", "source", "n_total", h.alias("h")
+    )
+    kept = keyed.filter(
+        F.col("h").cast("double") * F.sqrt(F.col("n_total").cast("double")) < 40000.0
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
