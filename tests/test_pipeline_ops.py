@@ -1,0 +1,192 @@
+"""Gates for the round-3 pipeline/analytics operators: pareto skyline,
+containment near-supersets, matryoshka two-phase, quota / temperature
+sampling, retention cohorts.
+
+Correctness vs the DuckDB oracle is the driver's job (driver_sim); these
+pin the PROPERTIES that make the operators right at scale — window
+derivation ≡ naive quadratic form, degeneration identities, bounds, and
+determinism — plus the plan shapes (broadcast, bounded output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.queries import registry
+
+REG = registry()
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline: the single-sort window derivation must equal the
+# O(n^2) NOT-EXISTS dominance definition.
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_window_matches_naive_dominance(spark, sf_dir):
+    from write_optimized_vector_database_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(28,4)")
+    agg = (
+        li.groupBy("l_suppkey")
+        .agg(
+            (F.sum(rev) * 100).cast("long").alias("rc"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("qc"),
+        )
+        .cache()
+    )
+    rows = agg.collect()
+    naive = {
+        r.l_suppkey
+        for r in rows
+        if not any(
+            o.rc >= r.rc and o.qc >= r.qc and (o.rc > r.rc or o.qc > r.qc)
+            for o in rows
+        )
+    }
+    got = {r.l_suppkey for r in REG["rel_pareto_suppliers"].fn(spark, sf_dir).collect()}
+    agg.unpersist()
+    assert got == naive, f"window skyline {got} != naive dominance {naive}"
+
+
+# ---------------------------------------------------------------------------
+# Containment: every synthesized snippet must be recovered as contained
+# in its parent, and containment is asymmetric evidence Jaccard misses.
+# ---------------------------------------------------------------------------
+
+
+def test_containment_recovers_snippet_parents(spark, sf_dir):
+    out = REG["doc_containment_near_supersets"].fn(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    parents = [r for (a, b), r in pairs.items() if b == a + 2000000]
+    # sf0.001 has 50 docs → 10 snippets; the snippet IS a verbatim prefix,
+    # so its rare-shingle set is ~fully contained in the parent.
+    assert len(parents) >= 8, f"only {len(parents)} parent-snippet pairs found"
+    for r in parents:
+        assert r.containment >= 0.8
+        # the snippet side is never the bigger set (at sf0.001 some
+        # docs are snippet-length, so equality is possible)
+        assert r.n_b <= r.n_a
+
+
+def test_containment_threshold_is_integer_exact(spark, sf_dir):
+    out = REG["doc_containment_near_supersets"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r.n_shared * 100 >= 80 * min(r.n_a, r.n_b)
+        assert min(r.n_a, r.n_b) >= 20
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka: dims = full vector ⇒ phase 1 IS the exact scan, so the
+# result must equal exact top-k bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_full_dims_degenerates_to_exact(spark, sf_dir):
+    from write_optimized_vector_database_spark.queries_ext import matryoshka_two_phase
+
+    full = matryoshka_two_phase(spark, sf_dir, dims=64, rerank=5).collect()
+    exact = REG["vec_topk_ip_exact"].fn(spark, sf_dir).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    f = {key(r): (r.vec_id, r.score) for r in full}
+    e = {key(r): (r.vec_id, r.score) for r in exact}
+    assert f == e
+
+
+def test_matryoshka_prefix_recall_is_useful(spark, sf_dir):
+    """The 16-dim prefix phase must recover most of the true top-10 —
+    the property that makes the 4x-cheaper coarse scan worth running."""
+    got = REG["vec_matryoshka_two_phase"].fn(spark, sf_dir).collect()
+    exact = REG["vec_topk_ip_exact"].fn(spark, sf_dir).collect()
+    by_q_got: dict = {}
+    by_q_exact: dict = {}
+    for r in got:
+        by_q_got.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(by_q_got[q] & by_q_exact[q]) / len(by_q_exact[q]) for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+# ---------------------------------------------------------------------------
+# Quota cap: hard per-source bound + hash-deterministic pick.
+# ---------------------------------------------------------------------------
+
+
+def test_quota_cap_bounds_and_determinism(spark, sf_dir):
+    fn = REG["doc_domain_quota_cap"].fn
+    a = fn(spark, sf_dir).collect()
+    per_source: dict = {}
+    for r in a:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        assert 1 <= r.pick_rank <= 30
+    assert all(c <= 30 for c in per_source.values())
+    b = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixing: flattening direction — keep RATIO never increases
+# with source size (p_s = min(1, 4/sqrt(N_s)) is monotone decreasing).
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_flattens_big_sources(spark, sf_dir):
+    rows = REG["doc_temperature_mix_sample"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_total
+    # expected keep probability per source; the realized ratio must sit
+    # within a wide deterministic-hash tolerance of it
+    for r in rows:
+        p = min(1.0, 4.0 / (r.n_total**0.5))
+        realized = r.n_kept / r.n_total
+        assert abs(realized - p) <= 0.35, (r.source, realized, p)
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: mass conservation — the matrix partitions all
+# events exactly once; offsets are non-negative.
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_matrix_partitions_all_events(spark, sf_dir):
+    from write_optimized_vector_database_spark.sources.tables import load_table
+
+    rows = REG["evt_retention_cohorts"].fn(spark, sf_dir).collect()
+    total_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total_events
+    assert all(r.week_offset >= 0 for r in rows)
+    # offset-0 cell of each cohort contains every cohort member
+    week0_users = sum(r.n_users for r in rows if r.week_offset == 0)
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert week0_users == n_users
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_broadcasts_source_counts(spark, sf_dir):
+    from write_optimized_vector_database_spark.plans.explain import has_broadcast_join
+
+    df = REG["doc_temperature_mix_sample"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), "per-source counts must broadcast onto the scan"
+
+
+def test_matryoshka_broadcasts_queries(spark, sf_dir):
+    from write_optimized_vector_database_spark.plans.explain import has_broadcast_join
+
+    df = REG["vec_matryoshka_two_phase"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), "query prefixes must broadcast, never shuffle vectors"

@@ -1831,6 +1831,15 @@ def vec_matryoshka_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x smaller column with whole-stage codegen and the full vectors are
     fetched only for the ≤ k·rerank·|queries| rerank join by id — same
     asymmetric read shape as the PQ/SQ8/BQ paths."""
+    return matryoshka_two_phase(spark, sf_dir, dims=_MRL_DIMS, rerank=_MRL_RERANK)
+
+
+def matryoshka_two_phase(
+    spark: SparkSession, sf_dir: str, dims: int, rerank: int
+) -> DataFrame:
+    """Parameterized core of vec_matryoshka_two_phase (dims = full
+    vector length degenerates phase 1 to the exact scan — the
+    equivalence tests pin that property)."""
     from pyspark.sql import Window
 
     from write_optimized_vector_database_spark.functions.distance import dot_product
@@ -1839,10 +1848,10 @@ def vec_matryoshka_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
-        F.slice("embedding", 1, _MRL_DIMS).alias("query_prefix"),
+        F.slice("embedding", 1, dims).alias("query_prefix"),
     )
     coarse = (
-        emb.select("vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("prefix"))
+        emb.select("vec_id", F.slice("embedding", 1, dims).alias("prefix"))
         .crossJoin(F.broadcast(q.select("query_id", "query_prefix")))
         .select(
             "query_id",
@@ -1853,7 +1862,7 @@ def vec_matryoshka_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = Window.partitionBy("query_id").orderBy(F.desc("pscore"), F.asc("vec_id"))
     cand = (
         coarse.withColumn("r", F.row_number().over(w1))
-        .filter(F.col("r") <= 10 * _MRL_RERANK)
+        .filter(F.col("r") <= 10 * rerank)
         .select("query_id", "vec_id")
     )
     rescored = (
