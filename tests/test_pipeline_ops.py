@@ -190,3 +190,13 @@ def test_matryoshka_broadcasts_queries(spark, sf_dir):
 
     df = REG["vec_matryoshka_two_phase"].fn(spark, sf_dir)
     assert has_broadcast_join(df), "query prefixes must broadcast, never shuffle vectors"
+
+
+def test_containment_posting_exchange_is_reused(spark, sf_dir):
+    """The df-capped posting lists feed three consumers (pair explosion
+    + both size joins); the expensive shingle->groupBy(sh) exchange must
+    be computed once and reused (AQE ReusedExchange), not re-shingled."""
+    df = REG["doc_containment_near_supersets"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, "posting exchange not reused"

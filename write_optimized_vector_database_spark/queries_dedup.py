@@ -903,22 +903,34 @@ def doc_containment_near_supersets(spark: SparkSession, sf_dir: str) -> DataFram
         F.substring("text", 1, 240).alias("text"),
     )
     corpus = docs.unionByName(snippets)
+    # (doc_id, sh) is distinct by construction (char_shingles dedups
+    # per doc), so ONE groupBy(sh) builds df-capped posting lists and
+    # every downstream count is a plain count — no countDistinct, no
+    # posting-table self-join. Pairs explode inline from the sorted
+    # ≤cap-sized list (bounded cap·(cap-1)/2 per shingle).
     shh = D.shingle_hashes(corpus, n=_CONTAIN_SHINGLE_N)
-    df_ok = (
+    posting = (
         shh.groupBy("sh")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= _CONTAIN_DF_CAP)
-        .select("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= _CONTAIN_DF_CAP)
     )
-    rare = shh.join(df_ok, "sh").select("doc_id", "sh").distinct()
-    sizes = rare.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
-    a = rare.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    # posting feeds both branches below; the shared groupBy(sh) exchange
+    # is deduplicated by ReusedExchange in the final plan, so no persist.
+    sizes = (
+        posting.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     shared = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        posting.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("sh").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
