@@ -200,3 +200,84 @@ def test_containment_posting_exchange_is_reused(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 1, "posting exchange not reused"
+
+
+# ---------------------------------------------------------------------------
+# Sequence / outlier / incremental-dedup operators
+# ---------------------------------------------------------------------------
+
+
+def test_markov_probabilities_normalize(spark, sf_dir):
+    rows = REG["evt_markov_transitions"].fn(spark, sf_dir).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for from_type, grp in by_from.items():
+        assert sum(r.n for r in grp) == grp[0].n_from
+        assert abs(sum(r.p for r in grp) - 1.0) < 1e-9, from_type
+
+
+def test_skipgram_pair_mass(spark, sf_dir):
+    """Total pairs = sum over users of (n-1) + (n-2) sequence slots."""
+    from write_optimized_vector_database_spark.sources.tables import load_table
+
+    rows = REG["evt_skipgram_pairs"].fn(spark, sf_dir).collect()
+    per_user = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    expected = sum(max(n - 1, 0) + max(n - 2, 0) for n in per_user.values())
+    assert sum(r.n_pairs for r in rows) == expected
+
+
+def test_zscore_outliers_are_extremes(spark, sf_dir):
+    """Every flagged value must sit outside 2 population sigma of its
+    type (float re-check), and the flag rate stays a small tail."""
+    import math
+
+    from write_optimized_vector_database_spark.sources.tables import load_table
+
+    flagged = REG["evt_zscore_outliers"].fn(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    stats = {}
+    for t, xs in by_type.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        var = sum((x - mu) ** 2 for x in xs) / n
+        stats[t] = (mu, math.sqrt(var))
+    n_events = len(ev)
+    assert 0 < len(flagged) < 0.2 * n_events
+    for r in flagged:
+        mu, sd = stats[r.event_type]
+        assert abs(r.value_cents - mu) > 2 * sd * (1 - 1e-9)
+
+
+def test_incremental_dedup_statuses(spark, sf_dir):
+    rows = REG["doc_incremental_dedup_delta"].fn(spark, sf_dir).collect()
+    statuses = {r.doc_id: r.status for r in rows}
+    # every re-submitted corpus doc (id >= 3000000) must be caught
+    resub = [s for d, s in statuses.items() if d >= 3000000]
+    assert resub and all(s == "dup_of_corpus" for s in resub)
+    assert any(s == "novel" for s in statuses.values())
+    # per fingerprint at most one non-dup_in_batch row that is 'novel'
+    by_fp: dict = {}
+    for r in rows:
+        by_fp.setdefault(r.fp, []).append(r.status)
+    for fp, ss in by_fp.items():
+        assert ss.count("novel") <= 1, fp

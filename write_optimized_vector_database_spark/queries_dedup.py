@@ -953,3 +953,90 @@ def doc_containment_near_supersets(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (the ingest-time shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_incremental_dedup_delta",
+    # classify each NEW document against the already-ingested corpus:
+    # dup_of_corpus (fingerprint already stored), dup_in_batch (another
+    # batch doc with the same fingerprint and a smaller id wins), or
+    # novel. corpus = doc_id % 10 != 0; batch = doc_id % 10 == 0 plus
+    # re-submissions of every 7th corpus doc (id + 3000000) so both dup
+    # classes have true positives.
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents
+  WHERE doc_id % 10 != 0 AND doc_id % 7 = 0
+),
+cfp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM corpus
+),
+bfp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT b.doc_id,
+       CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.rn > 1 THEN 'dup_in_batch'
+            ELSE 'novel' END AS status,
+       b.fp
+FROM bfp b LEFT JOIN cfp c ON c.fp = b.fp
+ORDER BY b.doc_id
+""",
+    survey_ref="[EXT] incremental ingest dedup (batch vs corpus, ingest-time filter)",
+    tags=["dedup", "text", "pipeline"],
+)
+def doc_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental dedup: classify a new batch against the
+    existing corpus WITHOUT reshuffling the corpus. The corpus side is
+    reduced to the set of its fingerprints hit by the batch (semi-join
+    with the batch fingerprints broadcast), which is then itself tiny
+    and broadcast back onto the batch — two broadcast joins, the 100 TB
+    corpus is scanned once map-side and never exchanged. Batch-internal
+    dups resolve by a window over the (small) batch only."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.operators.dedup import fingerprint
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 7 == 0)).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    bfp = batch.select("doc_id", fingerprint("text").alias("fp"))
+    hit_fps = (
+        corpus.select(fingerprint("text").alias("fp"))
+        .join(F.broadcast(bfp.select("fp").distinct()), "fp", "semi")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        bfp.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(hit_fps), "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            "fp",
+        )
+        .orderBy("doc_id")
+    )

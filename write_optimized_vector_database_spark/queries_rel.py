@@ -1431,3 +1431,193 @@ def rel_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue_cents").cast("double") / 100).alias("revenue"),
         (F.col("qty_cents").cast("double") / 100).alias("total_qty"),
     ).orderBy("l_suppkey")
+
+
+@register(
+    "evt_markov_transitions",
+    # first-order Markov transition matrix over per-user event-type
+    # sequences. Probabilities are ONE double division of two exact
+    # integer counts — IEEE-identical cross-engine.
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (SELECT from_type, SUM(n) AS n_from FROM trans GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n, o.n_from,
+       CAST(t.n AS DOUBLE) / o.n_from AS p
+FROM trans t JOIN tot o ON o.from_type = t.from_type
+ORDER BY t.from_type, t.to_type
+""",
+    survey_ref="[EXT] sequence analytics (Markov transition matrix)",
+    tags=["events", "window", "sequence"],
+)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    consecutive event pair in a user's timeline, count (from_type →
+    to_type) and normalize per from-state. The tie-break on event_id
+    makes the sequence — and therefore every count — deterministic.
+
+    100 TB shape: the window sorts per user_id partition (the natural
+    event log layout); the transition matrix is |types|^2 rows, so the
+    second aggregation and the normalizing join are driver-trivial and
+    broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "evt_skipgram_pairs",
+    # skip-gram (center, context) pair extraction with window=2 over
+    # per-user sequences — the behavioral-embedding (user2vec-style)
+    # training-set generator, aggregated to pair counts per offset.
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS next1,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS next2
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS center, next1 AS context, 1 AS offset_k
+  FROM seq WHERE next1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, next2, 2 FROM seq WHERE next2 IS NOT NULL
+)
+SELECT center, context, CAST(offset_k AS INT) AS offset_k,
+       COUNT(*) AS n_pairs
+FROM pairs GROUP BY center, context, offset_k
+ORDER BY center, context, offset_k
+""",
+    survey_ref="[EXT] training-pair generation (skip-gram window extraction)",
+    tags=["events", "window", "sequence", "pipeline"],
+)
+def evt_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram pair extraction (window = 2) from per-user event
+    sequences: the classic contrastive-training-data generator for
+    behavioral embeddings. Forward-only pairs (the symmetric set adds
+    the mirrored pair at train time) aggregated to (center, context,
+    offset) counts.
+
+    100 TB shape: ONE window sort per user yields both lead columns
+    (Spark collapses same-spec window functions into a single exec);
+    the stack/union fan-out is 2 rows per event BEFORE the partial
+    aggregation crushes it to |types|^2 x window cells — no raw-pair
+    shuffle ever materializes."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("next1"),
+        F.lead("event_type", 2).over(w).alias("next2"),
+    )
+    pairs = seq.select(
+        F.expr(
+            "stack(2, event_type, next1, 1, event_type, next2, 2)"
+        ).alias("center", "context", "offset_k")
+    ).filter(F.col("context").isNotNull())
+    return (
+        pairs.groupBy("center", "context", F.col("offset_k").cast("int").alias("offset_k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("center", "context", "offset_k")
+    )
+
+
+@register(
+    "evt_zscore_outliers",
+    # exact outlier detection: |x - mean| > 2*stddev evaluated WITHOUT
+    # floats via cross-multiplication on integer cents:
+    #   (n*x - s)^2 > 4 * (n*ssq - s^2)    [population variance, *n^2]
+    # HUGEINT/DECIMAL(38) intermediates keep it exact at any scale.
+    oracle="""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*)::HUGEINT AS n,
+         SUM(c::HUGEINT) AS s,
+         SUM(c::HUGEINT * c::HUGEINT) AS ssq
+  FROM cents GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.c AS value_cents
+FROM cents c JOIN stats t ON t.event_type = c.event_type
+WHERE (t.n * c.c::HUGEINT - t.s) * (t.n * c.c::HUGEINT - t.s)
+      > 4 * (t.n * t.ssq - t.s * t.s)
+ORDER BY c.event_id
+""",
+    survey_ref="[EXT] exact z-score outlier flagging (integer cross-multiplication)",
+    tags=["events", "agg", "quality"],
+)
+def evt_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags events whose value sits more than 2 population standard
+    deviations from their type's mean — with ZERO floating point: the
+    z-test is cross-multiplied to (n*x - s)^2 > 4*(n*ssq - s^2) on
+    integer cents, evaluated in DECIMAL(38,0) (HUGEINT in the oracle),
+    so the flag set is bit-deterministic across engines and partition
+    orders — the property float stddev aggregation cannot give.
+
+    100 TB shape: stats is |types| rows broadcast back onto the scan;
+    the flag is then a scan-time predicate. No second pass, no sort,
+    no float summation-order hazard."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c"),
+    )
+    d38 = "decimal(38,0)"
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("c").cast(d38)).cast(d38).alias("s"),
+        F.sum((F.col("c").cast(d38) * F.col("c").cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("ssq"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    lhs_root = (
+        F.col("n") * F.col("c").cast(d38) - F.col("s")
+    ).cast(d38)
+    rhs = (
+        F.lit(4).cast(d38)
+        * ((F.col("n") * F.col("ssq")).cast(d38) - (F.col("s") * F.col("s")).cast(d38))
+    ).cast(d38)
+    return (
+        joined.filter((lhs_root * lhs_root).cast(d38) > rhs)
+        .select("event_id", "event_type", F.col("c").alias("value_cents"))
+        .orderBy("event_id")
+    )
