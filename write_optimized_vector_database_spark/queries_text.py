@@ -1053,3 +1053,156 @@ def doc_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_vocab_coverage_curve",
+    # tokenizer-design analytics: what fraction of all token
+    # occurrences do the top-N terms cover? Cumulative coverage at
+    # checkpoints N in {10, 50, 100, 500}. Integer counts + one double
+    # division; rank ties break on the term string.
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+ranked AS (
+  SELECT term, c,
+         row_number() OVER (ORDER BY c DESC, term ASC) AS r,
+         SUM(c) OVER (ORDER BY c DESC, term ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS total
+  FROM counts
+)
+SELECT CAST(n.n AS BIGINT) AS top_n,
+       MAX(cum) AS covered,
+       MAX(total) AS total_tokens,
+       CAST(MAX(cum) AS DOUBLE) / MAX(total) AS coverage
+FROM ranked, (VALUES (10), (50), (100), (500)) n(n)
+WHERE r <= n.n
+GROUP BY n.n ORDER BY top_n
+""",
+    survey_ref="[EXT] vocabulary coverage curve (tokenizer sizing)",
+    tags=["text", "analytics", "pipeline"],
+)
+def doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: cumulative share of token mass covered
+    by the top-N most frequent terms, at N = 10/50/100/500 — the
+    plot that sizes a tokenizer vocabulary (where the curve flattens,
+    stop growing the vocab).
+
+    100 TB shape: term counts partial-aggregate map-side; only the
+    |vocab|-sized count table sorts (single ordering shared by rank and
+    running sum), and the checkpoint join multiplies by 4 fixed rows.
+    The corpus token stream itself is never sorted."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    checkpoints = spark.range(0).sparkSession.createDataFrame(
+        [(10,), (50,), (100,), (500,)], "n long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(checkpoints))
+        .filter(F.col("r") <= F.col("n"))
+        .groupBy(F.col("n").alias("top_n"))
+        .agg(
+            F.max("cum").alias("covered"),
+            F.max("total").alias("total_tokens"),
+            (F.max("cum").cast("double") / F.max("total")).alias("coverage"),
+        )
+        .orderBy("top_n")
+    )
+
+
+@register(
+    "emb_dimension_stats",
+    # embedding-health telemetry: per-dimension mean / spread / range.
+    # Values are floor-quantized to integer micro-units FIRST, so every
+    # aggregate is an exact integer sum (float summation order never
+    # leaks into the result) — same discipline as the cents columns.
+    oracle="""
+WITH cells AS (
+  SELECT u.i - 1 AS dim,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS v
+  FROM embeddings, unnest(range(1, 65)) u(i)
+),
+agg AS (
+  SELECT dim, COUNT(*) AS n, SUM(v) AS s,
+         SUM(v::HUGEINT * v::HUGEINT) AS ssq,
+         MIN(v) AS vmin, MAX(v) AS vmax
+  FROM cells GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(s AS DOUBLE) / n / 1000000.0 AS mean,
+       CAST(n * ssq - s::HUGEINT * s::HUGEINT AS DOUBLE)
+         / (CAST(n AS DOUBLE) * n) / 1000000000000.0 AS variance,
+       CAST(vmin AS DOUBLE) / 1000000.0 AS vmin,
+       CAST(vmax AS DOUBLE) / 1000000.0 AS vmax
+FROM agg ORDER BY dim
+""",
+    survey_ref="[EXT] embedding column health (per-dimension stats, M4-style telemetry)",
+    tags=["vector", "analytics", "quality"],
+)
+def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean, population variance,
+    min/max) — the drift/dead-dimension monitor for an embedding
+    column. Quantizing to integer micro-units before aggregating makes
+    the result independent of partitioning and summation order;
+    variance comes from the exact (n*ssq - s^2)/n^2 identity in
+    DECIMAL(38)/HUGEINT, divided back to float once at the end.
+
+    100 TB shape: posexplode fans out 64x but partial aggregation
+    collapses each partition to 64 rows before the single tiny
+    shuffle; the output is |dims| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d38 = "decimal(38,0)"
+    cells = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000.0 + 0.5).cast("long").alias("v"),
+    )
+    agg = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum((F.col("v").cast(d38) * F.col("v").cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("ssq"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    var_num = (
+        F.col("n").cast(d38) * F.col("ssq")
+        - F.col("s").cast(d38) * F.col("s").cast(d38)
+    ).cast(d38)
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("s").cast("double") / F.col("n") / 1000000.0).alias("mean"),
+        (
+            var_num.cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+            / 1e12
+        ).alias("variance"),
+        (F.col("vmin").cast("double") / 1000000.0).alias("vmin"),
+        (F.col("vmax").cast("double") / 1000000.0).alias("vmax"),
+    ).orderBy("dim")
