@@ -1092,11 +1092,15 @@ def doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     plot that sizes a tokenizer vocabulary (where the curve flattens,
     stop growing the vocab).
 
-    100 TB shape: term counts partial-aggregate map-side; only the
-    |vocab|-sized count table sorts (single ordering shared by rank and
-    running sum), and the checkpoint join multiplies by 4 fixed rows.
-    The corpus token stream itself is never sorted."""
+    100 TB shape: term counts partial-aggregate map-side; the global
+    ordering is taken ONLY over the top max(N) = 500 rows
+    (TakeOrderedAndProject heaps, via ranked_top_n) and the running sum
+    runs over those 500 — the full |vocab| table is never sorted or
+    single-partitioned. The denominator is a separate scalar aggregate
+    broadcast back."""
     from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -1106,17 +1110,18 @@ def doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("term"))
-    ranked = counts.select(
-        "c",
-        F.row_number().over(w).alias("r"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+    total = counts.agg(F.sum("c").alias("total"))
+    top = ranked_top_n(
+        counts, [F.col("c").desc(), F.col("term").asc()], 500, rank_col="r"
     )
+    ranked = top.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy(F.desc("c"), F.asc("term")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    ).crossJoin(F.broadcast(total))
     checkpoints = spark.range(0).sparkSession.createDataFrame(
         [(10,), (50,), (100,), (500,)], "n long"
     )
