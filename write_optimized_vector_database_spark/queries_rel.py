@@ -1410,22 +1410,34 @@ def rel_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qty_cents"),
     )
-    w_strict = (
-        Window.orderBy(F.col("revenue_cents").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_ties = Window.partitionBy("revenue_cents")
-    frontier = (
-        agg.withColumn("best_qty_higher_rev", F.max("qty_cents").over(w_strict))
-        .withColumn("best_qty_same_rev", F.max("qty_cents").over(w_ties))
-        .filter(
-            (
-                F.col("best_qty_higher_rev").isNull()
-                | (F.col("best_qty_higher_rev") < F.col("qty_cents"))
-            )
-            & (F.col("best_qty_same_rev") == F.col("qty_cents"))
+    def skyline_filter(df, *partition_cols):
+        w_strict = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(F.col("revenue_cents").desc())
+            .rangeBetween(Window.unboundedPreceding, -1)
         )
-    )
+        w_ties = Window.partitionBy(*partition_cols, "revenue_cents")
+        return (
+            df.withColumn("best_qty_higher_rev", F.max("qty_cents").over(w_strict))
+            .withColumn("best_qty_same_rev", F.max("qty_cents").over(w_ties))
+            .filter(
+                (
+                    F.col("best_qty_higher_rev").isNull()
+                    | (F.col("best_qty_higher_rev") < F.col("qty_cents"))
+                )
+                & (F.col("best_qty_same_rev") == F.col("qty_cents"))
+            )
+            .drop("best_qty_higher_rev", "best_qty_same_rev")
+        )
+
+    # two-level skyline: a hash-bucketed LOCAL pass first (any globally
+    # non-dominated row survives its bucket, so the union of bucket
+    # skylines is a superset of the answer), then the global single-task
+    # window runs over the pruned survivor set only — never over all
+    # |suppliers| rows.
+    bucketed = agg.withColumn("b", F.pmod(F.xxhash64("l_suppkey"), F.lit(32)))
+    survivors = skyline_filter(bucketed, "b").drop("b")
+    frontier = skyline_filter(survivors)
     return frontier.select(
         "l_suppkey",
         (F.col("revenue_cents").cast("double") / 100).alias("revenue"),
