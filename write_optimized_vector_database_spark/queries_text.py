@@ -969,21 +969,29 @@ def doc_domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners chosen by content-stable hash order (not arrival order, so
     the pick is unbiased and reproducible across engines and retries).
 
-    100 TB shape: one window sort per source partition — the shuffle
-    key is `source`, the same key the corpus is usually already laid
-    out by; heavy-skew domains cost one sort of their own rows, never a
-    global one. Output is bounded at quota x |domains| regardless of
-    corpus size."""
+    100 TB shape: a heavy-skew domain never sorts all its rows in one
+    task — a salted LOCAL top-quota runs first (the global winners are
+    a subset of the union of salt-local winners), so the per-source
+    window only sees ≤ quota x n_salts survivor rows per domain. Output
+    is bounded at quota x |domains| regardless of corpus size."""
     from pyspark.sql import Window
 
     from write_optimized_vector_database_spark.functions.hashing import portable_hash
 
     docs = load_table(spark, sf_dir, "documents")
     h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit("quota")))
+    keyed = docs.select("doc_id", "source", "n_chars", h.alias("h")).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(32))
+    )
+    w_local = Window.partitionBy("source", "salt").orderBy(F.asc("h"), F.asc("doc_id"))
+    survivors = (
+        keyed.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= 30)
+        .drop("lr", "salt")
+    )
     w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
     return (
-        docs.select("doc_id", "source", "n_chars", h.alias("h"))
-        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("pick_rank") <= 30)
         .select("doc_id", "source", "n_chars", "pick_rank")
         .orderBy("source", "pick_rank")
