@@ -281,3 +281,29 @@ def test_incremental_dedup_statuses(spark, sf_dir):
         by_fp.setdefault(r.fp, []).append(r.status)
     for fp, ss in by_fp.items():
         assert ss.count("novel") <= 1, fp
+
+
+def test_vocab_coverage_is_monotone_and_bounded(spark, sf_dir):
+    rows = REG["doc_vocab_coverage_curve"].fn(spark, sf_dir).collect()
+    assert [r.top_n for r in rows] == sorted(r.top_n for r in rows)
+    cov = [r.coverage for r in rows]
+    assert all(0 < c <= 1.0 for c in cov)
+    assert cov == sorted(cov), "coverage must be monotone in N"
+    assert len({r.total_tokens for r in rows}) == 1
+
+
+def test_dimension_stats_match_float_recompute(spark, sf_dir):
+    """The integer-identity variance must agree with a float re-check
+    on the quantized values, for every dimension."""
+    from write_optimized_vector_database_spark.sources.tables import load_table
+
+    rows = REG["emb_dimension_stats"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    embs = [r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()]
+    for r in rows[:8]:
+        xs = [round(float(e[r.dim]) * 1e6) / 1e6 for e in embs]
+        mu = sum(xs) / len(xs)
+        var = sum((x - mu) ** 2 for x in xs) / len(xs)
+        assert abs(r.mean - mu) < 1e-9
+        assert abs(r.variance - var) < 1e-6
+        assert r.vmin <= r.mean <= r.vmax
