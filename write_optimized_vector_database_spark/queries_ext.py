@@ -1880,3 +1880,92 @@ def matryoshka_two_phase(
         .filter(F.col("rank") <= 10)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "emb_source_similarity_matrix",
+    # dataset-similarity analytics: cosine between per-label centroid
+    # SUM vectors (labels stand in for dataset sources). Everything up
+    # to the final division is exact integer arithmetic on micro-unit
+    # sums (HUGEINT / DECIMAL(38)), so the matrix is bit-deterministic:
+    # cos(a,b) = Σ_d sa_d·sb_d / (sqrt(Σ sa_d²)·sqrt(Σ sb_d²)).
+    oracle="""
+WITH cells AS (
+  SELECT label, u.i - 1 AS dim,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS v
+  FROM embeddings, unnest(range(1, 65)) u(i)
+),
+sums AS (
+  SELECT label, dim, SUM(v)::HUGEINT AS s
+  FROM cells GROUP BY label, dim
+),
+norms AS (SELECT label, SUM(s * s) AS nrm FROM sums GROUP BY label),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.s * b.s) AS num
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT p.label_a, p.label_b,
+       CAST(p.num AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE))
+                                * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+FROM pairs p
+JOIN norms na ON na.label = p.label_a
+JOIN norms nb ON nb.label = p.label_b
+ORDER BY p.label_a, p.label_b
+""",
+    survey_ref="[EXT] dataset similarity matrix (integer-exact centroid cosines)",
+    tags=["vector", "analytics", "pipeline"],
+)
+def emb_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between dataset slices (label groups)
+    of the embedding table — the "how close are these two sources"
+    matrix used to pick training-mix ratios. Per-dimension micro-unit
+    sums are exact integers; norms and dot products stay in
+    DECIMAL(38)/HUGEINT; ONE sqrt+division at the end produces the
+    float — so the matrix is identical across engines and partitioning.
+
+    100 TB shape: the corpus collapses to |labels| x |dims| integer sums
+    with map-side partials; the pairwise join runs on that tiny sum
+    table (never on the corpus), keyed by dim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d38 = "decimal(38,0)"
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000.0 + 0.5).cast("long").alias("v"),
+    )
+    sums = cells.groupBy("label", "dim").agg(
+        F.sum("v").cast(d38).alias("s")
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast(d38)).cast(d38).alias("nrm")
+    )
+    a = sums.select(F.col("label").alias("label_a"), "dim", F.col("s").alias("sa"))
+    b = sums.select(F.col("label").alias("label_b"), "dim", F.col("s").alias("sb"))
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum((F.col("sa") * F.col("sb")).cast(d38)).cast(d38).alias("num"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -1219,3 +1219,73 @@ def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vmin").cast("double") / 1000000.0).alias("vmin"),
         (F.col("vmax").cast("double") / 1000000.0).alias("vmax"),
     ).orderBy("dim")
+
+
+@register(
+    "doc_token_budget_fill",
+    # token-budget mix construction: per source, admit docs in
+    # content-hash order until the running n_chars total passes the
+    # budget (the first doc to CROSS the line is still admitted, so
+    # every source with data gets at least one doc). Pure integer
+    # cumulative sums — deterministic everywhere.
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'budget'), 1, 8))::BIGINT
+           AS h
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running_chars
+  FROM keyed
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       MAX(running_chars) AS chars_admitted,
+       MIN(doc_id) AS min_doc_id
+FROM runs
+WHERE running_chars - n_chars < 30000
+GROUP BY source ORDER BY source
+""",
+    survey_ref="[EXT] token-budget mix fill (per-source budget cutoff)",
+    tags=["text", "sampling", "pipeline"],
+)
+def doc_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus fill: each source contributes documents in
+    deterministic hash order until ~30k chars are admitted (the
+    token-budget analog of the doc-count quota). The admit rule
+    `running - own < budget` is the standard knapsack-prefix cut: the
+    doc that crosses the line is kept, everything after is dropped.
+
+    100 TB shape: one cumulative-sum window per source over integer
+    n_chars; the same salt-local pre-prune as the quota cap applies
+    when a source is pathologically hot (here the admitted prefix is
+    budget-bounded, so the window input can be pre-filtered by any
+    upper doc-size bound)."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit("budget")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = docs.select("doc_id", "source", "n_chars", h.alias("h")).withColumn(
+        "running_chars", F.sum("n_chars").over(w)
+    )
+    return (
+        runs.filter(F.col("running_chars") - F.col("n_chars") < 30000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("running_chars").alias("chars_admitted"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
