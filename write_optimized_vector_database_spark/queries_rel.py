@@ -1633,3 +1633,77 @@ def evt_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.col("c").alias("value_cents"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "evt_bottomk_quantile_sketch",
+    # mergeable bottom-k sample sketch: the k rows with the smallest
+    # content hash are a uniform sample of the stream (and the union of
+    # two sketches' bottom-k is the sketch of the union — mergeability
+    # for free). Quantiles estimated off the sample, reported next to
+    # the exact ones. percentile ≡ quantile_cont (linear interpolation
+    # on integer cents) cross-engine.
+    oracle="""
+WITH cents AS (
+  SELECT event_id,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'bk'), 1, 8))::BIGINT
+           AS h
+  FROM events
+),
+sk AS (
+  SELECT c FROM cents ORDER BY h, event_id LIMIT 256
+),
+sketch AS (
+  SELECT quantile_cont(c, 0.5) AS sketch_p50,
+         quantile_cont(c, 0.9) AS sketch_p90,
+         COUNT(*) AS k FROM sk
+),
+exact AS (
+  SELECT quantile_cont(c, 0.5) AS exact_p50,
+         quantile_cont(c, 0.9) AS exact_p90,
+         COUNT(*) AS n FROM cents
+)
+SELECT s.k, s.sketch_p50, s.sketch_p90, e.n, e.exact_p50, e.exact_p90
+FROM sketch s, exact e
+""",
+    survey_ref="[EXT] bottom-k sample sketch (mergeable uniform sample, quantile estimates)",
+    tags=["events", "sketch", "agg"],
+)
+def evt_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch over the event-value stream: the 256 rows with
+    the smallest portable hash form a deterministic uniform sample
+    (hash-min order is content-defined, so the same sketch emerges from
+    any partitioning, any engine, and merges by union+re-truncate).
+    Median and p90 estimated from the sample sit next to the exact
+    values so the error is part of the result.
+
+    100 TB shape: the selection compiles to TakeOrderedAndProject
+    (per-partition 256-row heaps, O(k) rows to the driver-side merge) —
+    the exact quantiles beside it are the expensive full-sort path the
+    sketch replaces; at scale you would keep only the sketch branch."""
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c"),
+        portable_hash(
+            F.concat(F.col("event_id").cast("string"), F.lit("bk"))
+        ).alias("h"),
+    )
+    sk = ev.orderBy("h", "event_id").limit(256)
+    sketch = sk.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.percentile("c", F.lit(0.5)).alias("sketch_p50"),
+        F.percentile("c", F.lit(0.9)).alias("sketch_p90"),
+    )
+    exact = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("c", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("c", F.lit(0.9)).alias("exact_p90"),
+    )
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        "k", "sketch_p50", "sketch_p90", "n", "exact_p50", "exact_p90"
+    )

@@ -1289,3 +1289,122 @@ def doc_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Bloom filter sketch: m = 4096 bits, k = 3 affine probes off ONE md5
+# hash (the same trick the CMS uses: products < 2^48, exact BIGINT both
+# engines). The filter is a SET of set-bit indices (rows), so build and
+# probe are both relational ops.
+_BLOOM_M = 4096
+_BLOOM_P = 2_147_483_647
+_BLOOM_BITS = "((h * (2 * r.r + 3) + (7 * r.r + 1)) % " + str(_BLOOM_P) + ") % " + str(_BLOOM_M)
+
+
+@register(
+    "doc_bloom_membership",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE doc_id >= 5
+),
+hashed AS (
+  SELECT term, ('0x' || substring(md5(CAST(term AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM toks
+),
+bits AS (
+  SELECT DISTINCT {_BLOOM_BITS} AS bit
+  FROM hashed, range(3) r(r)
+),
+probe_terms AS (
+  SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE doc_id < 5
+  UNION
+  SELECT 'zzzneg' || CAST(r.r AS VARCHAR) FROM range(25) r(r)
+),
+probes AS (
+  SELECT term, ('0x' || substring(md5(CAST(term AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM probe_terms
+),
+probe_bits AS (
+  SELECT p.term, {_BLOOM_BITS} AS bit FROM probes p, range(3) r(r)
+),
+hits AS (
+  SELECT pb.term,
+         SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+  FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
+  GROUP BY pb.term
+)
+SELECT h.term,
+       (h.n_set = 3) AS bloom_hit,
+       (t.term IS NOT NULL) AS exact_in
+FROM hits h LEFT JOIN toks t ON t.term = h.term
+ORDER BY h.term
+""",
+    survey_ref="[EXT] Bloom-filter membership sketch (set-bit relation, k=3 affine probes)",
+    tags=["text", "sketch"],
+)
+def doc_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership: build a 4096-bit filter over the corpus
+    vocabulary (docs 5+), probe it with the held-out docs' terms plus 25
+    known-absent strings, and report bloom_hit next to ground truth —
+    false-positive behavior included, bit-for-bit reproducible (the k
+    probe positions derive from one md5 via the affine family).
+
+    100 TB shape: the built filter is at most m = 4096 rows no matter
+    the corpus (DISTINCT on a 12-bit value), i.e. broadcastable; probes
+    join against it broadcast. Build is one map-side-combined DISTINCT
+    — the same shuffle budget as the HLL/CMS siblings."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("doc_id") >= 5)
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        )
+        .distinct()
+    )
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    def bloom_bits(df):
+        hashed = df.select("term", portable_hash("term").alias("h"))
+        return hashed.select(
+            "term",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            (F.col("h") * (2 * r + 3) + (7 * r + 1)) % _BLOOM_P
+                        )
+                        % _BLOOM_M
+                        for r in range(3)
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    bits = bloom_bits(toks).select("bit").distinct()
+    neg = docs.sparkSession.range(25).select(
+        F.concat(F.lit("zzzneg"), F.col("id").cast("string")).alias("term")
+    )
+    probe_terms = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        )
+        .union(neg)
+        .distinct()
+    )
+    hits = (
+        bloom_bits(probe_terms)
+        .join(F.broadcast(bits.withColumn("set_", F.lit(1))), "bit", "left")
+        .groupBy("term")
+        .agg(F.sum(F.coalesce("set_", F.lit(0))).alias("n_set"))
+    )
+    return (
+        hits.join(toks.withColumn("in_", F.lit(True)), "term", "left")
+        .select(
+            "term",
+            (F.col("n_set") == 3).alias("bloom_hit"),
+            F.coalesce("in_", F.lit(False)).alias("exact_in"),
+        )
+        .orderBy("term")
+    )
