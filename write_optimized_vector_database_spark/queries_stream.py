@@ -389,3 +389,66 @@ def evt_streaming_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "evt_streaming_sliding_windows",
+    oracle="""
+WITH hops AS (
+  SELECT e.event_type, e.value,
+         time_bucket(INTERVAL 30 MINUTE, e.ts::TIMESTAMP)
+           - k.k * INTERVAL 30 MINUTE AS window_start
+  FROM events e, range(4) k(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM hops
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    survey_ref="[EXT] sliding/hopping windows under Structured Streaming state",
+    tags=["streaming", "events", "window"],
+)
+def evt_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming sliding windows (2 h length, 30 min hop): each
+    event updates FOUR overlapping window states — the overlapping-
+    window state-store shape, distinct from tumbling (1 state/row) and
+    session (dynamic-gap) already covered. Drained via availableNow;
+    hash-equal to the batch hop-expansion oracle because event-time
+    windows are replay-deterministic.
+
+    100 TB shape: state rows = |windows in watermark| x |types|, not
+    |events|; the 4x row expansion happens map-side before the partial
+    aggregate, so the shuffle carries window x type partials only."""
+    name = f"evt_stream_slide_{int(time.time() * 1000)}"
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
