@@ -8,6 +8,13 @@ super-linear (driver loop, O(n²) join, unsampled training) shows up
 as e >> 1. Results land in docs/SCALE.md's appendix.
 
 Usage: python tools/soak.py [--lo 160] [--hi 1600]
+       python tools/soak.py --corpus [--lo 1] [--hi 10]
+
+--corpus soaks the heavy CORPUS operators instead: the documents table
+is grown by replication with per-replica perturbed text (distinct docs,
+the realistic growth mode), written to a temp sf_dir, and the SHIPPED
+registry queries (exact dedup, MinHash-LSH, containment, incremental
+dedup, vocab coverage) run against it unmodified.
 """
 
 from __future__ import annotations
@@ -83,21 +90,82 @@ def run_scale(spark, rep: int) -> dict[str, float]:
     return {k: round(v, 3) for k, v in t.items()}
 
 
+CORPUS_QUERIES = [
+    "doc_exact_dedup",
+    "doc_minhash_lsh_near_dup",
+    "doc_containment_near_supersets",
+    "doc_incremental_dedup_delta",
+    "doc_vocab_coverage_curve",
+]
+
+
+def run_corpus_scale(spark, rep: int) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from write_optimized_vector_database_spark.queries import registry
+
+    reg = registry()
+    tmp = tempfile.mkdtemp(prefix=f"soak_corpus_{rep}_")
+    t: dict[str, float] = {}
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        big = (
+            docs.crossJoin(spark.range(rep).select(F.col("id").alias("__rep")))
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 100_000)
+            # per-replica perturbation: replicas are DISTINCT documents
+            # (corpus growth), not byte-identical copies — identical
+            # copies measure the dup-cluster workload, not op scaling
+            .withColumn(
+                "text",
+                F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" replica "),
+                        F.col("__rep").cast("string"),
+                    )
+                ),
+            )
+            .drop("__rep")
+        )
+        big.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        t["n_docs"] = spark.read.parquet(f"{tmp}/documents.parquet").count()
+        for qname in CORPUS_QUERIES:
+            t0 = time.time()
+            reg[qname].fn(spark, tmp).count()
+            t[qname] = time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {k: round(v, 3) for k, v in t.items()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lo", type=int, default=160)
     ap.add_argument("--hi", type=int, default=1600)
+    ap.add_argument("--corpus", action="store_true")
     args = ap.parse_args()
 
     from write_optimized_vector_database_spark.session import get_spark
 
     spark = get_spark("soak")
-    lo = run_scale(spark, args.lo)
-    hi = run_scale(spark, args.hi)
-    factor = hi["n_ops"] / lo["n_ops"]
-    out = {"sf_dir": SF_DIR, "rep_lo": args.lo, "rep_hi": args.hi, "lo": lo, "hi": hi}
+    if args.corpus:
+        lo_rep = args.lo if args.lo != 160 else 1
+        hi_rep = args.hi if args.hi != 1600 else 10
+        lo = run_corpus_scale(spark, lo_rep)
+        hi = run_corpus_scale(spark, hi_rep)
+        factor = hi["n_docs"] / lo["n_docs"]
+        keys = CORPUS_QUERIES
+        out = {"sf_dir": SF_DIR, "rep_lo": lo_rep, "rep_hi": hi_rep, "lo": lo, "hi": hi}
+        size_key = "n_docs"
+    else:
+        lo = run_scale(spark, args.lo)
+        hi = run_scale(spark, args.hi)
+        factor = hi["n_ops"] / lo["n_ops"]
+        keys = ["ingest", "compact", "build_indexes", "two_phase_search", "refresh_indexes"]
+        out = {"sf_dir": SF_DIR, "rep_lo": args.lo, "rep_hi": args.hi, "lo": lo, "hi": hi}
+        size_key = "n_ops"
     exps = {}
-    for k in ("ingest", "compact", "build_indexes", "two_phase_search", "refresh_indexes"):
+    for k in keys:
         if lo[k] > 0 and hi[k] > 0:
             exps[k] = round(math.log(hi[k] / lo[k]) / math.log(factor), 3)
     out["scale_factor"] = round(factor, 2)
