@@ -1707,3 +1707,76 @@ def evt_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.crossJoin(F.broadcast(exact)).select(
         "k", "sketch_p50", "sketch_p90", "n", "exact_p50", "exact_p90"
     )
+
+
+@register(
+    "evt_equidepth_histogram",
+    # equi-depth (quantile-bucketed) histogram: boundaries from exact
+    # quartiles of integer cents (percentile ≡ quantile_cont), then
+    # per-bucket counts/min/max. Boundary comparisons happen on the
+    # exact interpolated DOUBLE, identical cross-engine.
+    oracle="""
+WITH cents AS (
+  SELECT event_id,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+bounds AS (
+  SELECT quantile_cont(c, 0.25) AS q1,
+         quantile_cont(c, 0.5) AS q2,
+         quantile_cont(c, 0.75) AS q3
+  FROM cents
+),
+bucketed AS (
+  SELECT c,
+         CASE WHEN c <= b.q1 THEN 0
+              WHEN c <= b.q2 THEN 1
+              WHEN c <= b.q3 THEN 2
+              ELSE 3 END AS bucket
+  FROM cents, bounds b
+)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+       MIN(c) AS c_min, MAX(c) AS c_max
+FROM bucketed GROUP BY bucket ORDER BY bucket
+""",
+    survey_ref="[EXT] equi-depth histogram (quantile-bounded buckets)",
+    tags=["events", "agg", "analytics"],
+)
+def evt_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of event values: bucket boundaries are the
+    exact quartiles (so each bucket holds ~25% of rows — the optimizer-
+    statistics shape), counts and ranges per bucket.
+
+    100 TB shape: one exact-percentile aggregate produces 3 boundary
+    scalars broadcast back onto the scan; bucketing is then a scan-time
+    CASE with map-side partial counts. (At extreme scale the exact
+    percentile swaps for the bottom-k sketch registered alongside.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c"),
+    )
+    bounds = ev.agg(
+        F.percentile("c", F.lit(0.25)).alias("q1"),
+        F.percentile("c", F.lit(0.5)).alias("q2"),
+        F.percentile("c", F.lit(0.75)).alias("q3"),
+    )
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "c",
+        F.when(F.col("c") <= F.col("q1"), 0)
+        .when(F.col("c") <= F.col("q2"), 1)
+        .when(F.col("c") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("c_min"),
+            F.max("c").alias("c_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -1408,3 +1408,69 @@ def doc_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@register(
+    "doc_leakage_safe_split",
+    # train/val/test split where DUPLICATES CO-TRAVEL: the split key is
+    # the hash of the duplicate-group representative (min doc_id of the
+    # fingerprint group), not of the doc — so a train/test leak through
+    # a near-copy is impossible by construction. Corpus includes the
+    # synthesized every-3rd-doc copies so the property is exercised.
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+),
+fps AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM corpus
+),
+reps AS (SELECT fp, MIN(doc_id) AS rep FROM fps GROUP BY fp),
+assigned AS (
+  SELECT f.doc_id, f.fp, r.rep,
+         ('0x' || substring(md5(CAST(r.rep AS VARCHAR) || 'lsplit'), 1, 8))::BIGINT
+           % 10 AS h
+  FROM fps f JOIN reps r ON r.fp = f.fp
+)
+SELECT doc_id, rep,
+       CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END
+         AS split
+FROM assigned ORDER BY doc_id
+""",
+    survey_ref="[EXT] leakage-safe split (duplicate groups co-travel)",
+    tags=["text", "sampling", "dedup", "pipeline"],
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on the duplicate-group REPRESENTATIVE: every
+    doc sharing a fingerprint gets the same split, so near-copies can
+    never straddle train and test — the contamination mode a per-doc
+    hash split cannot prevent.
+
+    100 TB shape: one fingerprint group-by (the dedup shuffle the
+    pipeline already pays) and a same-key join back; the split rule is
+    then a pure hash function of the representative id, no extra state.
+    At scale the group key generalizes to the near-dup cluster id from
+    doc_dedup_clusters."""
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+    from write_optimized_vector_database_spark.operators.dedup import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    fps = corpus.select("doc_id", fingerprint("text").alias("fp"))
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    h = portable_hash(F.concat(F.col("rep").cast("string"), F.lit("lsplit"))) % 10
+    return (
+        fps.join(reps, "fp")
+        .select(
+            "doc_id",
+            "rep",
+            F.when(h < 8, "train").when(h < 9, "val").otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
