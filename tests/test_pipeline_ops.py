@@ -307,3 +307,29 @@ def test_dimension_stats_match_float_recompute(spark, sf_dir):
         assert abs(r.mean - mu) < 1e-9
         assert abs(r.variance - var) < 1e-6
         assert r.vmin <= r.mean <= r.vmax
+
+
+def test_equidepth_buckets_balance(spark, sf_dir):
+    rows = REG["evt_equidepth_histogram"].fn(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == [0, 1, 2, 3]
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert 0.15 <= r.n / total <= 0.35, (r.bucket, r.n, total)
+    # ranges must be disjoint and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.c_max <= b.c_min
+
+
+def test_leakage_safe_split_cotravel(spark, sf_dir):
+    rows = REG["doc_leakage_safe_split"].fn(spark, sf_dir).collect()
+    by_rep: dict = {}
+    for r in rows:
+        by_rep.setdefault(r.rep, set()).add(r.split)
+    # every duplicate group lands in exactly one split
+    assert all(len(s) == 1 for s in by_rep.values())
+    # the synthesized copies exist (groups with >1 member) and co-travel
+    sizes: dict = {}
+    for r in rows:
+        sizes[r.rep] = sizes.get(r.rep, 0) + 1
+    assert any(n > 1 for n in sizes.values())
+    assert {r.split for r in rows} == {"train", "val", "test"}
