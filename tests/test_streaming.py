@@ -148,3 +148,92 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == expected
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics, witnessed end to end: a row
+    arriving AFTER the watermark passed its window is dropped, an
+    equally-old row arriving in the same batch as its window stays.
+
+    Two micro-batches (maxFilesPerTrigger=1, file mtime order):
+      batch 1: events at 10:00 and 20:00 → eviction watermark advances
+               to 19:00; the 10:00 window closes and emits (total 1).
+      batch 2: a fresh 19:30 event aggregates; the FILTER watermark
+               (one batch behind eviction) reaches 19:00.
+      batch 3: a late 10:30 event (window end 11:00 < filter watermark)
+               must be DROPPED — otherwise it would resurrect the
+               already-emitted 10:00 window.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = "2024-03-01 {h}:{m}:00"
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1)
+        df.write.mode("overwrite").parquet(str(tmp_path / "late_src" / name))
+
+    # file source streams a directory of files; stage two parquet FILES
+    # with controlled order via distinct subdir staging + move
+    import shutil
+    from datetime import datetime
+
+    def ts(h, m=0):
+        return datetime(2024, 3, 1, h, m)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def stage(rows, name):
+        tmp = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / name))
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    # three batches: Spark's two-watermark model uses the PREVIOUS
+    # batch's final watermark for late-record filtering (filtering lags
+    # eviction by one batch), so the late row goes in batch 3 where the
+    # filter watermark is already 19:00.
+    stage([(ts(10), 1), (ts(20), 1)], "b1.parquet")
+    stage([(ts(19, 30), 7)], "b2.parquet")
+    stage([(ts(10, 30), 100)], "b3.parquet")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("total"))
+    )
+    name = "late_drop_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    collected = spark.table(name).collect()
+    rows = {r.w.start.hour: r.total for r in collected}
+    assert len(collected) == len(rows), f"duplicate window emission: {collected}"
+    # the 10:00 window emitted with total 1 — the late v=100 row was
+    # dropped, not resurrected into a duplicate emission; append mode
+    # may not have flushed the later windows yet.
+    assert rows.get(10) == 1, rows
+    assert 100 not in rows.values(), f"late row leaked into {rows}"
+    # and the drop is visible in the stream metrics
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
