@@ -1969,3 +1969,82 @@ def emb_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "vec_knn_classify",
+    # kNN classification as pure relational ops: exact top-10 neighbors
+    # among the labeled reference set (vec_id >= 16), then majority
+    # vote with deterministic tie-break (higher count, then smaller
+    # label). Integer votes → bit-stable predictions.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec, label AS true_label
+  FROM embeddings WHERE vec_id < 16
+),
+ref AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 16),
+scored AS (
+  SELECT q.query_id, q.true_label, r.vec_id, r.label,
+         list_inner_product(q.query_vec::DOUBLE[], r.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN ref r
+),
+knn AS (
+  SELECT query_id, true_label, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+  FROM knn GROUP BY query_id, true_label, label
+)
+SELECT query_id, true_label, label AS predicted, n_votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+ORDER BY query_id
+""",
+    survey_ref="[EXT] kNN classification (top-k join + majority vote)",
+    tags=["vector", "topk", "analytics"],
+)
+def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction, fully relational: the scored top-10 join
+    (query side broadcast, reference side scanned once) feeds an
+    integer vote count and a deterministic argmax — no model object,
+    no UDF, bit-stable predictions next to the true label.
+
+    100 TB shape: identical to every exact top-k here (broadcast
+    bounded queries x map-side partial top-k); the vote is a
+    |queries| x |labels| aggregate."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("true_label"),
+    )
+    ref = emb.filter(F.col("vec_id") >= 16)
+    scored = ref.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "vec_id",
+        "label",
+        dot_product("query_vec", "embedding").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    votes = knn.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("label").alias("predicted"), "n_votes")
+        .orderBy("query_id")
+    )

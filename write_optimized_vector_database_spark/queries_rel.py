@@ -1780,3 +1780,80 @@ def evt_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "evt_association_rules",
+    # market-basket association over per-user event-type baskets:
+    # support / confidence / lift for every ordered type pair, each a
+    # single double division of exact integer counts.
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n_users AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+singles AS (
+  SELECT event_type, COUNT(*) AS c FROM baskets GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS lhs, b.event_type AS rhs, COUNT(*) AS c_both
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type != b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.lhs, p.rhs, p.c_both, sa.c AS c_lhs, sb.c AS c_rhs,
+       CAST(p.c_both AS DOUBLE) / u.n AS support,
+       CAST(p.c_both AS DOUBLE) / sa.c AS confidence,
+       (CAST(p.c_both AS DOUBLE) * u.n) / (CAST(sa.c AS DOUBLE) * sb.c) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.lhs
+JOIN singles sb ON sb.event_type = p.rhs
+CROSS JOIN n_users u
+ORDER BY p.lhs, p.rhs
+""",
+    survey_ref="[EXT] association rules (support/confidence/lift over user baskets)",
+    tags=["events", "analytics"],
+)
+def evt_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over user behavior: for every ordered pair of
+    event types, support (both in a user's basket), confidence
+    (P(rhs|lhs)) and lift — all from exact integer basket counts, one
+    double division each.
+
+    100 TB shape: baskets collapse the event log to |users| x |types|
+    distinct rows first (map-side combine); the self-join then runs on
+    baskets, not events, and fans out at most |types|^2 rows per user
+    — bounded by the fixed type vocabulary, never by event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("n"))
+    singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("user_id", F.col("event_type").alias("lhs"))
+    b = baskets.select("user_id", F.col("event_type").alias("rhs"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("lhs") != F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("c_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("lhs"), F.col("c").alias("c_lhs"))
+    sb = singles.select(F.col("event_type").alias("rhs"), F.col("c").alias("c_rhs"))
+    return (
+        pairs.join(F.broadcast(sa), "lhs")
+        .join(F.broadcast(sb), "rhs")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "lhs",
+            "rhs",
+            "c_both",
+            "c_lhs",
+            "c_rhs",
+            (F.col("c_both").cast("double") / F.col("n")).alias("support"),
+            (F.col("c_both").cast("double") / F.col("c_lhs")).alias("confidence"),
+            (
+                (F.col("c_both").cast("double") * F.col("n"))
+                / (F.col("c_lhs").cast("double") * F.col("c_rhs"))
+            ).alias("lift"),
+        )
+        .orderBy("lhs", "rhs")
+    )
