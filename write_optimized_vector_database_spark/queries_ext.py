@@ -2048,3 +2048,93 @@ def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "true_label", F.col("label").alias("predicted"), "n_votes")
         .orderBy("query_id")
     )
+
+
+@register(
+    "emb_hard_negative_mining",
+    # contrastive-training data: for each anchor, the hardest negatives
+    # are the highest-scoring vectors with a DIFFERENT label (plus the
+    # top positive for the triplet). Deterministic ranks, exact folds.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS anchor_id, embedding AS query_vec, label AS anchor_label
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.anchor_id, q.anchor_label, e.vec_id, e.label,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.anchor_id
+),
+negs AS (
+  SELECT anchor_id, vec_id, label, score, 'hard_negative' AS kind, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored WHERE label != anchor_label
+  ) WHERE rn <= 5
+),
+pos AS (
+  SELECT anchor_id, vec_id, label, score, 'positive' AS kind, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored WHERE label = anchor_label
+  ) WHERE rn <= 1
+)
+SELECT anchor_id, vec_id, label, score, kind, CAST(rn AS BIGINT) AS rn
+FROM (SELECT * FROM negs UNION ALL SELECT * FROM pos)
+ORDER BY anchor_id, kind, rn
+""",
+    survey_ref="[EXT] hard-negative mining (contrastive triplet construction)",
+    tags=["vector", "topk", "pipeline"],
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training: per anchor, the top
+    same-label neighbor (positive) and the 5 highest-scoring
+    OTHER-label vectors (hard negatives — the ones that actually move
+    the loss). One scored scan feeds both label-partitioned rank
+    windows.
+
+    100 TB shape: the scan is the standard broadcast-anchors top-k
+    shape; both windows run per anchor on the same scored stream, so
+    mining the training set costs one pass over the corpus."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            dot_product("query_vec", "embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    negs = (
+        scored.filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .withColumn("kind", F.lit("hard_negative"))
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1)
+        .withColumn("kind", F.lit("positive"))
+    )
+    return (
+        negs.unionByName(pos)
+        .select(
+            "anchor_id", "vec_id", "label", "score", "kind", F.col("rn").cast("long").alias("rn")
+        )
+        .orderBy("anchor_id", "kind", "rn")
+    )

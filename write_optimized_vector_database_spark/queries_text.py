@@ -1474,3 +1474,86 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_pii_scan_redact",
+    # PII scrubbing pre-training: count and redact email-like,
+    # SSN-like, and phone-like patterns. The corpus gains synthesized
+    # contact lines on every 11th doc so the scrubber has true
+    # positives. Patterns use only portable regex constructs
+    # (char classes, counted repetition) — identical RE2/Java
+    # semantics; the redacted text is witnessed by md5.
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com ssn 123-45-6789 tel 555-867-5309'
+              ELSE text END AS text
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+'))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))::BIGINT AS n_ssn,
+         len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+  FROM corpus
+)
+SELECT doc_id, n_email, n_ssn, n_phone, redacted_fp
+FROM scanned
+WHERE n_email + n_ssn + n_phone > 0
+ORDER BY doc_id
+""",
+    survey_ref="[EXT] PII scan + redaction (pattern counts, witnessed rewrite)",
+    tags=["text", "quality", "pipeline"],
+)
+def doc_pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: per-document counts of email/SSN/phone-shaped
+    spans and the fingerprint of the REDACTED text (so the rewrite
+    itself — not just the detection — is hash-witnessed cross-engine).
+    Only documents with at least one hit are returned.
+
+    100 TB shape: scan-time regex inside whole-stage codegen, no
+    shuffle at all until the final (tiny) ordered output; redaction
+    rewrites the column in the same projection. The SSN pattern is
+    matched before phone so overlapping digit runs resolve
+    deterministically in both engines (identical rewrite order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ssn 123-45-6789 tel 555-867-5309"),
+        ),
+    ).otherwise(F.col("text"))
+    email = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+"
+    ssn = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    phone = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    scanned = docs.withColumn("t", text).select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(t, '{email}', 0)")).cast("long").alias("n_email"),
+        F.size(F.expr(f"regexp_extract_all(t, '{ssn}', 0)")).cast("long").alias("n_ssn"),
+        F.size(F.expr(f"regexp_extract_all(t, '{phone}', 0)")).cast("long").alias("n_phone"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("t"), email, "<EMAIL>"),
+                    ssn,
+                    "<SSN>",
+                ),
+                phone,
+                "<PHONE>",
+            )
+        ).alias("redacted_fp"),
+    )
+    return (
+        scanned.filter(F.col("n_email") + F.col("n_ssn") + F.col("n_phone") > 0)
+        .orderBy("doc_id")
+    )
