@@ -2138,3 +2138,135 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "kind", "rn")
     )
+
+
+@register(
+    "vec_range_search_radius",
+    # range search (FAISS range_search semantics): ALL vectors whose
+    # score clears the per-metric threshold (tau = 0.25 on normalized IP), not a fixed k. Result size
+    # is data-dependent, so each query also reports its hit count.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+),
+hits AS (SELECT * FROM scored WHERE score >= 0.25)
+SELECT h.query_id, h.vec_id, h.score, c.n_hits
+FROM hits h
+JOIN (SELECT query_id, COUNT(*) AS n_hits FROM hits GROUP BY query_id) c
+  ON c.query_id = h.query_id
+ORDER BY h.query_id, h.vec_id
+""",
+    survey_ref="Q2-adjacent range search (radius query, FAISS range_search semantics)",
+    tags=["vector", "topk"],
+)
+def vec_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius/range search: every vector scoring >= tau against each
+    query — the similarity-threshold retrieval mode (dedup candidate
+    pull, recall-first retrieval) where top-k's fixed cutoff is wrong.
+    Returns hits plus the per-query hit count.
+
+    100 TB shape: same broadcast-queries scan as exact top-k but with a
+    scan-time threshold predicate instead of a rank window — cheaper
+    than top-k (no sort at all until the output ordering); the same
+    IVF/PQ phase-1 pruning applies when an index exists (probe lists,
+    threshold on ADC bound)."""
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            dot_product("query_vec", "embedding").alias("score"),
+        )
+        .filter(F.col("score") >= 0.25)
+    )
+    counts = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        hits.join(F.broadcast(counts), "query_id")
+        .select("query_id", "vec_id", "score", "n_hits")
+        .orderBy("query_id", "vec_id")
+    )
+
+
+@register(
+    "emb_ivf_balance_stats",
+    # index-health telemetry: posting-list size distribution of the
+    # stride-centroid IVF assignment — the imbalance factor
+    # (max/mean, scaled x100 integer) that predicts probe-cost skew.
+    oracle=f"""
+WITH cents AS (
+  SELECT (vec_id // {_IVF_STRIDE})::INT AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_inner_product(e.embedding::DOUBLE[],
+                                       c.centroid::DOUBLE[]) DESC,
+                    c.centroid_id ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+lists AS (
+  SELECT centroid_id, COUNT(*) AS list_size
+  FROM assigned WHERE rn = 1 GROUP BY centroid_id
+)
+SELECT COUNT(*) AS n_lists,
+       MIN(list_size) AS min_size,
+       MAX(list_size) AS max_size,
+       SUM(list_size) AS n_vectors,
+       (MAX(list_size) * 100 * COUNT(*)) // SUM(list_size) AS imbalance_x100
+FROM lists
+""",
+    survey_ref="M1/M3-adjacent index telemetry (posting-list balance)",
+    tags=["vector", "analytics", "index"],
+)
+def emb_ivf_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF posting-list balance report: list-count, size extremes, and
+    the integer imbalance factor (max/mean x100) — the number that says
+    whether nprobe costs are uniform or one hot list dominates (the
+    rebalance/re-train trigger, reference M3).
+
+    100 TB shape: assignment is the standard broadcast-centroid argmax
+    scan; the report aggregates |nlist| rows. Integer imbalance avoids
+    float division until nothing is left to divide."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+        .select(
+            (F.col("vec_id") / _IVF_STRIDE).cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        dot_product("embedding", "centroid").alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("centroid_id"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    lists = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("list_size"))
+    return lists.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.min("list_size").alias("min_size"),
+        F.max("list_size").alias("max_size"),
+        F.sum("list_size").alias("n_vectors"),
+        (
+            (F.max("list_size") * 100 * F.count(F.lit(1))) / F.sum("list_size")
+        ).cast("long").alias("imbalance_x100"),
+    )
