@@ -143,3 +143,58 @@ def test_recovery_time_within_target(spark, tmp_path):
     assert reopened.current().count() == 40  # first correct read
     dt = time.time() - t0
     assert dt <= 30.0, f"recovery took {dt:.1f}s (> 30 s target)"
+
+
+def test_kill_mid_refresh_recovers(spark, tmp_path):
+    """Kill between the posting-list overwrite and the epoch advance —
+    the torn state unique to incremental refresh. Reads must stay
+    correct (folded rows are ALSO still in the delta window, and the
+    two-phase merge dedups), and a refresh re-run must converge."""
+    from write_optimized_vector_database_spark.operators.topk import exact_topk
+
+    c = VectorCollection(spark, str(tmp_path / "r"), metric="ip")
+    c.ingest(_batch(spark, range(40)))
+    c.compact()
+    c.build_indexes(nlist=4, m=2, nbits=4)
+    c.ingest(_batch(spark, range(40, 60), epoch0=1000))
+
+    def hook(point):
+        if point == "index_rewritten":
+            raise _Boom(point)
+
+    coll_mod.FAULT_INJECT_HOOK = hook
+    with pytest.raises(_Boom):
+        c.refresh_indexes()
+    coll_mod.FAULT_INJECT_HOOK = None
+
+    # torn: index holds the folded rows but the epoch did not advance
+    q = (
+        c.current()
+        .filter(F.col("id") < 4)
+        .select(
+            F.col("id").alias("query_id"), F.col("vector").alias("query_vec")
+        )
+    )
+    expected = {
+        (r.query_id, r.vec_id)
+        for r in exact_topk(
+            c.current(), q, k=5, metric="ip", vec_id_col="id", vec_col="vector"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in c.topk_two_phase(q, k=5, nprobe=4, rerank_factor=8).collect()
+    }
+    assert got == expected, "torn refresh state served wrong results"
+
+    # re-run converges: re-folds the same delta idempotently, advances
+    # the epoch, results unchanged
+    stats = c.refresh_indexes()
+    assert stats["n_touched"] == 20
+    got2 = {
+        (r.query_id, r.vec_id)
+        for r in c.topk_two_phase(q, k=5, nprobe=4, rerank_factor=8).collect()
+    }
+    assert got2 == expected
+    # and the next refresh is a no-op
+    assert c.refresh_indexes()["n_touched"] == 0

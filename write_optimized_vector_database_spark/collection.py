@@ -644,6 +644,11 @@ class VectorCollection:
         # the session caches file listings per path; the overwrite just
         # replaced files under it — stale entries 404 later reads
         spark.catalog.refreshByPath(f"{self.path}/index_stable")
+        # torn state: posting lists rewritten, epoch not yet advanced —
+        # reads stay correct because the delta scan re-covers the folded
+        # rows and the two-phase merge dedups by (query, id); a re-run
+        # re-folds idempotently (crash-tested at this point)
+        _fault("index_rewritten")
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0]
         touched.unpersist()
         new_rows.unpersist()
