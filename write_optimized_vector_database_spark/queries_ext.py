@@ -2270,3 +2270,166 @@ def emb_ivf_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("list_size") * 100 * F.count(F.lit(1))) / F.sum("list_size")
         ).cast("long").alias("imbalance_x100"),
     )
+
+
+@register(
+    "vec_recall_frontier",
+    # the nprobe -> recall@10 frontier AS A QUERY RESULT: one plan ranks
+    # centroids per query once, then every nprobe level reuses that
+    # ranking (probe set = centroid_rank <= nprobe). Recall is exact
+    # integer hit-counting against the exact top-10 — the auto-tune
+    # curve (Q15) as oracle-checked data instead of opaque telemetry.
+    oracle=f"""
+WITH cents AS (
+  SELECT (vec_id // {_IVF_STRIDE})::INT AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8
+),
+cranks AS (
+  SELECT q.query_id, c.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_distance(q.query_vec::DOUBLE[], c.centroid) ASC,
+                                     c.centroid_id ASC) AS crank
+  FROM q CROSS JOIN cents c
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.query_vec::DOUBLE[],
+                                                          e.embedding::DOUBLE[]) DESC,
+                                       e.vec_id ASC) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= 10
+),
+levels AS (SELECT n.n AS nprobe FROM (VALUES (1), (2), (4), (8)) n(n)),
+approx AS (
+  SELECT l.nprobe, s.query_id, s.vec_id FROM levels l, LATERAL (
+    SELECT query_id, vec_id FROM (
+      SELECT q.query_id, a.vec_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY list_inner_product(q.query_vec::DOUBLE[],
+                                                            a.embedding::DOUBLE[]) DESC,
+                                         a.vec_id ASC) AS rank
+      FROM q
+      JOIN cranks cr ON cr.query_id = q.query_id AND cr.crank <= l.nprobe
+      JOIN assigned a ON a.centroid_id = cr.centroid_id
+    ) WHERE rank <= 10
+  ) s
+)
+SELECT CAST(l.nprobe AS INT) AS nprobe,
+       COUNT(e.vec_id) AS n_hits,
+       COUNT(*) AS n_possible,
+       (COUNT(e.vec_id) * 100) // COUNT(*) AS recall_x100
+FROM levels l
+JOIN exact x ON TRUE
+LEFT JOIN approx e
+  ON e.nprobe = l.nprobe AND e.query_id = x.query_id AND e.vec_id = x.vec_id
+GROUP BY l.nprobe ORDER BY l.nprobe
+""",
+    survey_ref="Q15 auto-tune curve (nprobe -> recall frontier as data)",
+    tags=["vector", "ivf", "analytics", "index"],
+)
+def vec_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe → recall@10 frontier, computed in one plan: centroid
+    ranks per query are computed ONCE and every nprobe level is a
+    filter over them (crank <= nprobe), so sweeping the knob costs one
+    extra join, not one extra scan per level. Recall is exact integer
+    hit counting against the exact top-10 — the calibration curve the
+    auto-tuner (Q15) consumes, now an oracle-checked result.
+
+    100 TB shape: the expensive pieces (assignment, exact baseline) are
+    each ONE pass; the per-level candidate scans share the probed-list
+    pruning; |levels| multiplies only bounded per-query work."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import (
+        dot_product,
+        squared_l2_distance,
+    )
+    from write_optimized_vector_database_spark.operators.ivf import (
+        assign_centroids_exact,
+        centroids_from_stride,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, _IVF_STRIDE)
+    assigned = assign_centroids_exact(emb, cents)  # keeps embedding
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    cranks = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "centroid_id",
+            squared_l2_distance(
+                F.col("query_vec").cast("array<double>"), F.col("centroid")
+            ).alias("d"),
+        )
+        .withColumn("crank", F.row_number().over(wc))
+        .select("query_id", "centroid_id", "crank")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", dot_product("query_vec", "embedding").alias("score"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    levels = emb.sparkSession.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe int")
+    wl = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    approx = (
+        cranks.crossJoin(F.broadcast(levels))
+        .filter(F.col("crank") <= F.col("nprobe"))
+        .join(assigned.select("centroid_id", "vec_id", "embedding"), "centroid_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "nprobe",
+            "query_id",
+            "vec_id",
+            dot_product("query_vec", "embedding").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 10)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    ex = levels.crossJoin(exact)
+    ap = approx.select(
+        F.col("nprobe").alias("a_nprobe"),
+        F.col("query_id").alias("a_qid"),
+        F.col("vec_id").alias("a_vid"),
+    )
+    hits = ex.join(
+        ap,
+        (F.col("nprobe") == F.col("a_nprobe"))
+        & (F.col("query_id") == F.col("a_qid"))
+        & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return (
+        hits.groupBy("nprobe")
+        .agg(
+            F.count("a_vid").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_possible"),
+            ((F.count("a_vid") * 100) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("recall_x100"),
+        )
+        .orderBy("nprobe")
+    )
