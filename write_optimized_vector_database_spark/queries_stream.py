@@ -452,3 +452,112 @@ def evt_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "evt_streaming_hll_distinct",
+    # streaming sketch maintenance: the HLL register table (p=8, 256
+    # buckets) is maintained BY THE STREAM as a groupBy MAX — registers
+    # only ever grow, so streaming MAX in complete mode converges to
+    # exactly the batch registers; the estimate and the exact distinct
+    # count sit side by side per event_type. Same integer-exact
+    # register derivation as the batch doc_hll_distinct.
+    oracle=f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+rhos AS (
+  SELECT event_type, h % 256 AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN 25
+              ELSE bit_count(((h >> 8) & (-(h >> 8))) - 1) + 1 END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m FROM rhos GROUP BY event_type, bucket
+),
+acc AS (
+  SELECT event_type, COUNT(*) AS n_present,
+         SUM(1::BIGINT << (25 - m)) AS s_scaled
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_exact, acc.n_present,
+       {(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0!r}
+            / CAST(acc.s_scaled + (256 - acc.n_present) * 33554432 AS DOUBLE)
+         AS hll_estimate
+FROM acc JOIN ex ON ex.event_type = acc.event_type
+ORDER BY ex.event_type
+""",
+    survey_ref="[EXT] streaming sketch maintenance (HLL registers as streaming MAX)",
+    tags=["streaming", "events", "sketch"],
+)
+def evt_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming run maintaining distinct-user HLL sketches per
+    event type: registers are a streaming groupBy MAX (monotone state —
+    the reason HLL suits streams), drained via availableNow; the final
+    estimate is computed over the 256-row-per-type register sink.
+    Hash-equal to the batch register construction because MAX is
+    order- and batching-insensitive.
+
+    100 TB shape: state is |types| x 256 integer rows FOREVER — the
+    whole point vs streaming COUNT(DISTINCT), whose state grows with
+    the key universe."""
+    name = f"evt_stream_hll_{int(time.time() * 1000)}"
+    src = _events_stream(spark, sf_dir)
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    h = portable_hash(F.col("user_id"))
+    hv = F.shiftright(h, 8)
+    rho = F.when(hv == 0, F.lit(25)).otherwise(
+        F.bit_count((hv.bitwiseAND(-hv)) - 1) + 1
+    )
+    regs = (
+        src.select("event_type", (h % 256).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    with _state_partitions(spark):
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sink = spark.table(name)
+    # integer-exact accumulator: registers are <= 25, so 2^-m scaled by
+    # 2^25 is the exact integer 2^(25-m) — ONE float division at the end
+    alpha_scaled = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * float(1 << 25)
+    acc = sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).alias("s_scaled"),
+    )
+    from write_optimized_vector_database_spark.sources.tables import load_table
+
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        ex.join(acc, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_present",
+            (
+                F.lit(alpha_scaled)
+                / (
+                    F.col("s_scaled")
+                    + (F.lit(256) - F.col("n_present")) * (1 << 25)
+                ).cast("double")
+            ).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )

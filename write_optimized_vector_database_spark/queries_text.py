@@ -379,6 +379,9 @@ def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # injected into both twins so the float formula is bit-identical.
 _HLL_M = 256
 _HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+# numerator pre-scaled by 2^25 to pair with the integer register sum
+# (2^-m scaled to the exact BIGINT 2^(25-m); one float division total)
+_HLL_ALPHA_SCALED = _HLL_ALPHA_M2 * float(1 << 25)
 
 _HLL_ORACLE = f"""
 WITH toks AS (
@@ -398,14 +401,14 @@ rhos AS (
 regs AS (SELECT bucket, MAX(rho) AS m FROM rhos GROUP BY bucket),
 acc AS (
   SELECT COUNT(*) AS n_present,
-         SUM(CAST(pow(2.0, -m) AS DECIMAL(30,25))) AS s_present
+         SUM(1::BIGINT << (25 - m)) AS s_scaled
   FROM regs
 ),
 ex AS (SELECT COUNT(DISTINCT term) AS n_exact FROM toks)
 SELECT ex.n_exact,
        acc.n_present,
-       CAST({_HLL_ALPHA_M2!r}
-            / CAST(acc.s_present + ({_HLL_M} - acc.n_present) AS DOUBLE)
+       CAST({_HLL_ALPHA_SCALED!r}
+            / CAST(acc.s_scaled + ({_HLL_M} - acc.n_present) * 33554432 AS DOUBLE)
          AS DOUBLE) AS hll_estimate
 FROM acc, ex
 """
@@ -446,15 +449,17 @@ def doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     acc = regs.agg(
         F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("m")).cast("decimal(30,25)")).alias("s_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).alias("s_scaled"),
     )
     ex = toks.agg(F.countDistinct("term").alias("n_exact"))
     return ex.crossJoin(acc).select(
         "n_exact",
         "n_present",
         (
-            F.lit(_HLL_ALPHA_M2)
-            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present"))).cast("double")
+            F.lit(_HLL_ALPHA_SCALED)
+            / (
+                F.col("s_scaled") + (F.lit(_HLL_M) - F.col("n_present")) * (1 << 25)
+            ).cast("double")
         ).alias("hll_estimate"),
     )
 
@@ -809,12 +814,12 @@ merged AS (SELECT '__merged__' AS source, bucket, MAX(m) AS m FROM regs GROUP BY
 allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
 acc AS (
   SELECT source, COUNT(*) AS n_present,
-         SUM(CAST(pow(2.0, -m) AS DECIMAL(30,25))) AS s_present
+         SUM(1::BIGINT << (25 - m)) AS s_scaled
   FROM allregs GROUP BY source
 )
 SELECT source, n_present,
-       CAST({_HLL_ALPHA_M2!r}
-            / CAST(s_present + ({_HLL_M} - n_present) AS DOUBLE)
+       CAST({_HLL_ALPHA_SCALED!r}
+            / CAST(s_scaled + ({_HLL_M} - n_present) * 33554432 AS DOUBLE)
          AS DOUBLE) AS hll_estimate
 FROM acc ORDER BY source
 """
@@ -859,14 +864,16 @@ def doc_hll_by_source_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     allregs = regs.unionByName(merged)
     acc = allregs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("m")).cast("decimal(30,25)")).alias("s_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).alias("s_scaled"),
     )
     return acc.select(
         "source",
         "n_present",
         (
-            F.lit(_HLL_ALPHA_M2)
-            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present"))).cast("double")
+            F.lit(_HLL_ALPHA_SCALED)
+            / (
+                F.col("s_scaled") + (F.lit(_HLL_M) - F.col("n_present")) * (1 << 25)
+            ).cast("double")
         ).alias("hll_estimate"),
     ).orderBy("source")
 
