@@ -233,3 +233,85 @@ def mm_png_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "mm_png_patch_grid",
+    # ViT-style patch extraction over REALLY decoded pixels: each doc
+    # gets a synthesized 16x16 GRADIENT image (r = base + x, g = y,
+    # b = x + y with base = doc_id % 240, so no channel ever wraps),
+    # the stdlib decoder reconstructs the pixel bytes, and 4x4-patch
+    # integer sums are computed from the DECODED buffer. The oracle is
+    # the closed form — a stride, interleave, or filter bug anywhere in
+    # the codec shifts some patch sum and breaks the hash (solid-color
+    # fixtures cannot catch x/y-dependent bugs).
+    oracle="""
+WITH px AS (SELECT u.i AS p FROM range(4) u(i)),
+grid AS (
+  SELECT d.doc_id, (d.doc_id % 240)::INT AS base, a.p AS px, b.p AS py
+  FROM documents d, px a, px b
+  WHERE d.doc_id < 100
+)
+SELECT doc_id, px, py,
+       (16 * base + 64 * px + 24)::BIGINT AS sum_r,
+       (64 * py + 24)::BIGINT AS sum_g,
+       (64 * px + 24 + 64 * py + 24)::BIGINT AS sum_b
+FROM grid ORDER BY doc_id, py, px
+""",
+    survey_ref="[EXT] multimodal patch extraction (ViT 4x4 grid from decoded pixels)",
+    tags=["multimodal", "decode"],
+)
+def mm_png_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid feature extraction through the real PNG codec:
+    encode a per-doc gradient image, decode it back (chunk walk, zlib,
+    un-filter), and emit integer 4x4-patch channel sums computed from
+    the decoded buffer — the patching layout every ViT-style pipeline
+    needs, with the decode step actually executed.
+
+    100 TB shape: Arrow-batched mapInPandas, 1 -> 16 row fan-out per
+    image in the executor; blobs never leave their partition and the
+    output is fixed 16 rows per image."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                base = int(doc_id) % 240
+                pixels = [
+                    [(base + x, y, x + y) for x in range(16)] for y in range(16)
+                ]
+                blob = MM.encode_png(pixels)
+                w, h, nch, raw = MM.decode_png(blob)
+                assert (w, h, nch) == (16, 16, 3)
+                for py in range(4):
+                    for px_ in range(4):
+                        sums = [0, 0, 0]
+                        for y in range(py * 4, py * 4 + 4):
+                            for x in range(px_ * 4, px_ * 4 + 4):
+                                off = (y * 16 + x) * 3
+                                for c in range(3):
+                                    sums[c] += raw[off + c]
+                        rows.append((int(doc_id), px_, py, *sums))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "px", "py", "sum_r", "sum_g", "sum_b"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("px", T.IntegerType()),
+            T.StructField("py", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id", "py", "px")

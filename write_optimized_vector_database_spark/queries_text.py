@@ -1564,3 +1564,103 @@ def doc_pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         scanned.filter(F.col("n_email") + F.col("n_ssn") + F.col("n_phone") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_span_corruption_masks",
+    # T5-style span corruption: ~15% of token positions selected by
+    # content hash, consecutive picks merged into spans. Pure window
+    # arithmetic — the mask layout is a deterministic function of
+    # (doc_id, position), reproducible across engines and epochs.
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, u.i AS pos,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(u.i AS VARCHAR)), 1, 8))::BIGINT
+           % 100 < 15 AS masked
+  FROM (
+    SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS n
+    FROM documents
+  ) d, unnest(range(0, d.n)) u(i)
+),
+runs AS (
+  SELECT doc_id, pos, masked,
+         SUM(CASE WHEN masked THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, run_id, MIN(pos) AS span_start, COUNT(*) AS span_len
+  FROM runs WHERE masked GROUP BY doc_id, run_id
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       SUM(span_len) AS n_masked,
+       MIN(span_start) AS first_span,
+       MAX(span_len) AS max_span_len
+FROM spans GROUP BY doc_id ORDER BY doc_id
+""",
+    survey_ref="[EXT] span-corruption mask generation (T5-style pretraining layout)",
+    tags=["text", "pipeline", "training"],
+)
+def doc_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption layout for denoising pretraining: each token
+    position is masked with p = 0.15 by content hash, and adjacent
+    masked positions merge into spans (the run-id trick: the running
+    count of UNmasked positions is constant exactly within a masked
+    run). Per-doc span statistics come out; the same layout regenerates
+    anywhere because nothing is random.
+
+    100 TB shape: positions explode from a per-doc sequence (no join),
+    the run-id window sorts within each doc only, and the output is one
+    row per doc."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) - 1,
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            portable_hash(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+                )
+            )
+            % 100
+            < 15
+        ).alias("masked"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = toks.withColumn(
+        "run_id", F.sum(F.when(F.col("masked"), 0).otherwise(1)).over(w)
+    )
+    spans = (
+        runs.filter(F.col("masked"))
+        .groupBy("doc_id", "run_id")
+        .agg(F.min("pos").alias("span_start"), F.count(F.lit(1)).alias("span_len"))
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").alias("n_masked"),
+            F.min("span_start").alias("first_span"),
+            F.max("span_len").alias("max_span_len"),
+        )
+        .orderBy("doc_id")
+    )
