@@ -1857,3 +1857,81 @@ def evt_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lhs", "rhs")
     )
+
+
+@register(
+    "rel_integrity_audit",
+    # data-quality audit: orphan counts for every FK edge of the star
+    # schema plus row totals — the "is this snapshot ingestible"
+    # gate a pipeline runs before training. Anti-join per edge.
+    oracle="""
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'supplier->nation',
+       (SELECT COUNT(*) FROM supplier),
+       (SELECT COUNT(*) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = s.s_nationkey))
+UNION ALL
+SELECT 'nation->region',
+       (SELECT COUNT(*) FROM nation),
+       (SELECT COUNT(*) FROM nation na
+        WHERE NOT EXISTS (SELECT 1 FROM region r
+                          WHERE r.r_regionkey = na.n_regionkey))
+ORDER BY fk_edge
+""",
+    survey_ref="[EXT] referential-integrity audit (pre-ingest data-quality gate)",
+    tags=["relational", "quality", "join"],
+)
+def rel_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema:
+    row totals and orphan counts (rows whose parent key is missing),
+    one anti-join per edge. The pre-ingest gate that catches a truncated
+    dimension upload before it silently drops fact rows downstream.
+
+    100 TB shape: each edge is one broadcast/SMJ anti-join chosen by
+    size; the five edges run as independent subtrees of one plan and
+    the output is five rows."""
+
+    def edge(name, child, child_key, parent, parent_key):
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(parent_key)
+        return (
+            c.select(F.col(child_key).alias(parent_key))
+            .join(p, parent_key, "anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_rows")))
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+
+    edges = [
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk_edge")
