@@ -333,3 +333,21 @@ def test_leakage_safe_split_cotravel(spark, sf_dir):
         sizes[r.rep] = sizes.get(r.rep, 0) + 1
     assert any(n > 1 for n in sizes.values())
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_streaming_hll_estimate_accuracy(spark, sf_dir):
+    """The stream-maintained registers must estimate distinct users
+    within standard HLL error once the small-range (linear counting)
+    correction applies — the query reports the raw estimator plus
+    n_present so consumers pick the regime, exactly like the original
+    HLL paper; the registers themselves are what the oracle certifies."""
+    import math
+
+    m = 256
+    rows = REG["evt_streaming_hll_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        est = r.hll_estimate
+        if est <= 2.5 * m and r.n_present < m:
+            est = m * math.log(m / (m - r.n_present))
+        assert abs(est - r.n_exact) / r.n_exact < 0.2, (r, est)
