@@ -1935,3 +1935,69 @@ def rel_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out.orderBy("fk_edge")
+
+
+@register(
+    "rel_shipping_priority",
+    # TPC-H Q3 family: unshipped revenue per order for one market
+    # segment around a cutoff date, top 10. Revenue in exact DECIMAL;
+    # deterministic tiebreak on orderkey.
+    oracle="""
+WITH j AS (
+  SELECT l.l_orderkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS rev,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority, rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rev DESC, l_orderkey ASC) AS rank
+  FROM j
+) WHERE rank <= 10
+ORDER BY rank
+""",
+    survey_ref="§2.4 joins (TPC-H Q3 shipping priority)",
+    tags=["relational", "join", "topk"],
+)
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: revenue still to ship for BUILDING-segment orders
+    placed before the cutoff, top 10 by revenue. The segment dimension
+    filter broadcasts; the order/lineitem join carries the date
+    predicates to both scans (pushdown-gated family); the global top-10
+    takes the TakeOrdered path via ranked_top_n."""
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
+
+    cutoff = "1998-06-01"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    top = ranked_top_n(j, [F.col("rev").desc(), F.col("l_orderkey").asc()], 10)
+    return top.select(
+        "l_orderkey",
+        F.col("rev").cast("double").alias("revenue"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("rank")

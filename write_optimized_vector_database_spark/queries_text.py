@@ -1664,3 +1664,74 @@ def doc_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_code_vs_prose",
+    # corpus-curation classifier: separate code from prose with
+    # integer character-class evidence (braces/semicolons/operators vs
+    # sentence punctuation). The corpus gains synthesized pseudo-code
+    # docs (every 13th doc id + 5000000) so both classes exist; the
+    # decision rule is pure integer arithmetic on counts.
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000,
+         'def fn_' || CAST(doc_id AS VARCHAR)
+         || '(x) { if (x > 0) { return x * 2; } else { return 0; } } '
+         || '// auto-generated variant ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 0
+),
+feats AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^{}();=<>*]', '', 'g'))::BIGINT AS n_code_chars,
+         length(regexp_replace(text, '[^.!?,]', '', 'g'))::BIGINT AS n_prose_punct
+  FROM corpus
+)
+SELECT doc_id, n_chars, n_code_chars, n_prose_punct,
+       (n_code_chars * 50 > n_chars) AS is_code
+FROM feats ORDER BY doc_id
+""",
+    survey_ref="[EXT] code-vs-prose classification (curation gate)",
+    tags=["text", "quality", "pipeline"],
+)
+def doc_code_vs_prose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code/prose separation for corpus curation: code-character density
+    (braces, semicolons, comparison/assignment operators) over total
+    length, thresholded at 2% with an integer cross-multiplication —
+    the cheap router that keeps code out of a prose mix (or routes it
+    to a code tokenizer).
+
+    100 TB shape: two regexp_replace character-class counts inside
+    whole-stage codegen, zero shuffle until the ordered output."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    code = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(
+            F.lit("def fn_"),
+            F.col("doc_id").cast("string"),
+            F.lit("(x) { if (x > 0) { return x * 2; } else { return 0; } } "),
+            F.lit("// auto-generated variant "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(code)
+    feats = corpus.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"[^{}();=<>*]", "")).cast("long").alias(
+            "n_code_chars"
+        ),
+        F.length(F.regexp_replace("text", r"[^.!?,]", "")).cast("long").alias(
+            "n_prose_punct"
+        ),
+    )
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_code_chars",
+        "n_prose_punct",
+        (F.col("n_code_chars") * 50 > F.col("n_chars")).alias("is_code"),
+    ).orderBy("doc_id")
