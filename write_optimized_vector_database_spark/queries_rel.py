@@ -2001,3 +2001,58 @@ def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("rank").cast("long").alias("rank"),
     ).orderBy("rank")
+
+
+@register(
+    "rel_brand_revenue_rollup",
+    # star join on the one fixture dimension no query touched yet:
+    # lineitem fact x part dimension (broadcast), brand x type rollup
+    # with exact DECIMAL revenue and a distinct-part count.
+    oracle="""
+SELECT p.p_brand,
+       COALESCE(p.p_type, '(all)') AS p_type,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT l.l_partkey) AS n_parts,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY ROLLUP (p.p_brand, p.p_type)
+HAVING p.p_brand IS NOT NULL
+ORDER BY p.p_brand, p_type
+""",
+    survey_ref="§2.4 joins/rollup (fact x part dimension star join)",
+    tags=["relational", "join", "rollup"],
+)
+def rel_brand_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand x type revenue rollup over the part dimension: the star
+    join broadcasts the dimension onto the fact scan, and ROLLUP gives
+    the per-brand subtotal rows in the same single aggregation pass.
+
+    100 TB shape: dimension broadcast (parts are always tiny vs
+    lineitem), map-side partial aggregation on the rollup groups; the
+    only wide thing is COUNT(DISTINCT partkey), which Spark expands to
+    a two-stage exact distinct on the already-reduced group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .rollup("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .filter(F.col("p_brand").isNotNull())
+        .select(
+            "p_brand",
+            F.coalesce("p_type", F.lit("(all)")).alias("p_type"),
+            "n_lines",
+            "n_parts",
+            "revenue",
+        )
+        .orderBy("p_brand", "p_type")
+    )

@@ -561,3 +561,119 @@ def evt_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SCMS_P = 2_147_483_647
+_SCMS_D, _SCMS_W = 4, 256
+_SCMS_HASH = (
+    "((h * (2 * r.r + 3) + (7 * r.r + 1)) % " + str(_SCMS_P) + ") % " + str(_SCMS_W)
+)
+
+
+@register(
+    "evt_streaming_cms_heavy_hitters",
+    # streaming Count-Min maintenance: the d x w counter table is a
+    # streaming groupBy SUM (additive state — mergeable across batches
+    # in any order), so complete-mode drain converges to exactly the
+    # batch counters. Probes run batch-side against the sink: top-20
+    # users by CMS estimate (min over rows) next to their exact counts.
+    oracle=f"""
+WITH hashed AS (
+  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+         user_id
+  FROM events
+),
+counters AS (
+  SELECT r.r AS row, {_SCMS_HASH} AS bucket, COUNT(*)::BIGINT AS c
+  FROM hashed, range({_SCMS_D}) r(r)
+  GROUP BY 1, 2
+),
+users AS (SELECT DISTINCT user_id, h FROM hashed),
+probes AS (
+  SELECT u.user_id, r.r AS row, {_SCMS_HASH.replace("h *", "u.h *")} AS bucket
+  FROM users u, range({_SCMS_D}) r(r)
+),
+est AS (
+  SELECT p.user_id, MIN(c.c) AS cms_count
+  FROM probes p JOIN counters c ON c.row = p.row AND c.bucket = p.bucket
+  GROUP BY p.user_id
+),
+exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id)
+SELECT e.user_id, e.cms_count, x.n_exact, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY cms_count DESC, user_id ASC) AS rank
+  FROM est
+) e JOIN exact x ON x.user_id = e.user_id
+WHERE rank <= 20 ORDER BY rank
+""",
+    survey_ref="[EXT] streaming sketch maintenance (CMS counters as streaming SUM)",
+    tags=["streaming", "events", "sketch"],
+)
+def evt_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming run maintaining Count-Min counters over the
+    event stream (top users by activity): counters are additive, so the
+    streaming SUM state is exactly the batch counter table regardless
+    of micro-batching; heavy hitters come from probing the drained sink
+    and are reported with exact counts alongside (over-estimates
+    visible by construction).
+
+    100 TB shape: state is d x w = 1024 integer rows FOREVER; the probe
+    phase touches |distinct keys| x d rows of a tiny table. CMS is the
+    streaming answer to 'top users' when exact per-key state would grow
+    with the key universe."""
+    name = f"evt_stream_cms_{int(time.time() * 1000)}"
+    src = _events_stream(spark, sf_dir)
+    from write_optimized_vector_database_spark.functions.hashing import portable_hash
+    from write_optimized_vector_database_spark.operators.topk import ranked_top_n
+    from write_optimized_vector_database_spark.sources.tables import load_table
+
+    h = portable_hash(F.col("user_id"))
+    rows_ = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    (((F.col("h") * (2 * r + 3) + (7 * r + 1)) % _SCMS_P) % _SCMS_W).alias(
+                        "bucket"
+                    ),
+                )
+                for r in range(_SCMS_D)
+            ]
+        )
+    )
+    counters = (
+        src.select(h.alias("h"))
+        .select(rows_.alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    with _state_partitions(spark):
+        q = (
+            counters.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sink = spark.table(name)
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().withColumn("h", portable_hash(F.col("user_id")))
+    probes = users.select("user_id", rows_.alias("rb")).select(
+        "user_id", "rb.row", "rb.bucket"
+    )
+    est = (
+        probes.join(sink, ["row", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = ranked_top_n(
+        est, [F.col("cms_count").desc(), F.col("user_id").asc()], 20
+    )
+    return (
+        top.join(exact, "user_id")
+        .select("user_id", "cms_count", "n_exact", F.col("rank").cast("long").alias("rank"))
+        .orderBy("rank")
+    )
