@@ -351,3 +351,22 @@ def test_streaming_hll_estimate_accuracy(spark, sf_dir):
         if est <= 2.5 * m and r.n_present < m:
             est = m * math.log(m / (m - r.n_present))
         assert abs(est - r.n_exact) / r.n_exact < 0.2, (r, est)
+
+
+def test_shipping_priority_pushes_date_filters(spark, sf_dir):
+    from write_optimized_vector_database_spark.plans.explain import (
+        has_broadcast_join,
+        pushed_filters,
+    )
+
+    df = REG["rel_shipping_priority"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "o_orderdate" in pf, pf
+    assert has_broadcast_join(df), "segment dimension must broadcast"
+
+
+def test_brand_rollup_broadcasts_dimension(spark, sf_dir):
+    from write_optimized_vector_database_spark.plans.explain import has_broadcast_join
+
+    df = REG["rel_brand_revenue_rollup"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), "part dimension must broadcast"
