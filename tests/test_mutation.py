@@ -147,3 +147,40 @@ def test_time_travel_at_head_equals_visible(spark, sf_dir):
     a = {tuple(r) for r in visible(log).select("id", "epoch", "op").collect()}
     b = {tuple(r) for r in visible_as_of(log, head).select("id", "epoch", "op").collect()}
     assert a == b
+
+
+def test_fence_records_are_epoch_barriers_not_data(spark):
+    """WAL FENCE records (wal-record.fbs:6) delimit consistent prefixes;
+    they carry no vector and must never shadow, resurrect, or count as
+    id-keyed state — interleave fences with upserts/deletes and the
+    visible view must be identical to the fence-free changelog."""
+    from pyspark.sql import functions as F
+
+    from write_optimized_vector_database_spark.operators.compaction import (
+        visible,
+        visible_as_of,
+    )
+
+    rows = [
+        ("UPSERT", 1, "t", "ns", [1.0, 0.0], [1], 0),
+        ("UPSERT", 2, "t", "ns", [0.0, 1.0], [1], 1),
+        ("FENCE", 1, "t", "ns", None, None, 2),  # fence sharing id 1
+        ("DELETE", 2, "t", "ns", None, None, 3),
+        ("FENCE", 2, "t", "ns", None, None, 4),  # fence AFTER the delete
+        ("UPSERT", 3, "t", "ns", [1.0, 1.0], [2], 5),
+    ]
+    ddl = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    log = spark.createDataFrame(rows, ddl)
+    vis = {r.id: r.op for r in visible(log).collect()}
+    # id 1 alive (fence at epoch 2 must not shadow the epoch-0 upsert),
+    # id 2 deleted (fence at epoch 4 must not resurrect it), id 3 alive
+    assert vis == {1: "UPSERT", 3: "UPSERT"}
+    # time travel at the fence epoch = the consistent prefix it delimits
+    cut = {r.id for r in visible_as_of(log, 2).collect()}
+    assert cut == {1, 2}
+    # fence-free changelog produces the identical view
+    no_fence = log.filter(F.col("op") != "FENCE")
+    assert {r.id: r.op for r in visible(no_fence).collect()} == vis

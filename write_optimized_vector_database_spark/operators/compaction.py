@@ -34,12 +34,18 @@ def latest_by_id(
     the write path, so a tie only occurs on replay of an identical
     changelog — where this rule makes the outcome deterministic. The
     tests' dict model encodes the same upsert-wins rule.
+
+    FENCE records (the WAL's epoch barriers, wal-record.fbs:6 — group
+    commit boundaries, never data) are dropped up front: a fence must
+    not shadow or resurrect the id-keyed state it may be interleaved
+    with on replay.
     """
     w = Window.partitionBy(id_col).orderBy(
         F.col(epoch_col).desc(), F.col("op").desc()
     )
     return (
-        changelog.withColumn("__rn", F.row_number().over(w))
+        changelog.filter(F.col("op") != "FENCE")
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
