@@ -88,3 +88,38 @@ def test_mixed_filter_batch(coll, qvecs):
     g1 = [r for r in out if r.query_id == 1]
     assert all(r.id % 2 == 0 for r in g0) and len(g0) == 3
     assert all(r.id % 2 == 1 for r in g1) and len(g1) == 3
+
+
+def test_run_upsert_caps_and_ingests(spark, tmp_path):
+    from write_optimized_vector_database_spark.api import run_upsert
+    from write_optimized_vector_database_spark.collection import VectorCollection
+
+    ddl = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    rows = [("UPSERT", i, "t", "ns", [float(i), 1.0], [1], i) for i in range(5)]
+    c = VectorCollection(spark, str(tmp_path / "u"), metric="ip")
+    n = run_upsert(c, spark.createDataFrame(rows, ddl))
+    assert n == 5 and c.current().count() == 5
+
+    import pytest as _pytest
+
+    from write_optimized_vector_database_spark.config import (
+        DEFAULT_CONFIG,
+        EngineConfig,
+    )
+    from dataclasses import replace
+
+    tiny = replace(
+        DEFAULT_CONFIG, limits=replace(DEFAULT_CONFIG.limits, max_upsert_batch=3)
+    )
+    with _pytest.raises(ValueError, match="max_upsert_batch"):
+        run_upsert(c, spark.createDataFrame(rows, ddl), config=tiny)
+    with _pytest.raises(ValueError, match="unknown op"):
+        run_upsert(
+            c,
+            spark.createDataFrame(
+                [("NOPE", 9, "t", "ns", [0.0, 0.0], [1], 9)], ddl
+            ),
+        )

@@ -126,3 +126,35 @@ def run_batch(
     return out.join(tags_map, "vec_id", "left").select(
         "query_id", F.col("vec_id").alias("id"), "score", "rank", "tags"
     )
+
+
+def run_upsert(
+    collection: VectorCollection,
+    changelog: DataFrame,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> int:
+    """Write-side API twin of run_batch: validate and ingest one upsert/
+    delete batch through the collection's changelog path, enforcing the
+    reference's max_upsert_batch cap (config.h:179). Returns the number
+    of operations ingested.
+
+    The cap is a REQUEST limit, not a throughput limit — bulk loads
+    issue multiple capped requests (or go straight to streaming ingest,
+    which has no request framing)."""
+    n = changelog.count()
+    if n == 0:
+        raise ValueError("empty upsert batch")
+    if n > config.limits.max_upsert_batch:
+        raise ValueError(
+            f"batch of {n} exceeds max_upsert_batch="
+            f"{config.limits.max_upsert_batch}"
+        )
+    bad_ops = (
+        changelog.filter(~F.col("op").isin("UPSERT", "DELETE", "FENCE"))
+        .limit(1)
+        .count()
+    )
+    if bad_ops:
+        raise ValueError("unknown op in batch (expected UPSERT/DELETE/FENCE)")
+    collection.ingest(changelog)
+    return int(n)

@@ -28,7 +28,13 @@ class IvfConfig:
     nprobe_stable: int = 12  # config.h:86
     sample_p: float = 0.25  # delta posting-list sampling, config.h:78
     global_centroids: bool = True  # config.h:80
-    rebuild_interval_hours: int = 24  # config.h:79 — scheduled job cadence
+    rebuild_interval_hours: int = 24  # config.h:81 — scheduled job cadence
+    # list_cap=2000 (config.h:79) bounds per-list delta scan cost in the
+    # reference; here the delta generation is exact and small BY
+    # CONSTRUCTION (everything since the last build/refresh, bounded by
+    # the compaction/refresh cadence), so the cap is subsumed — a list
+    # can never outgrow the tail it is built from.
+    list_cap: int = 2000
 
 
 @dataclass(frozen=True)
@@ -52,6 +58,7 @@ class QueryLimits:
 
     max_top_k: int = 100  # types.h:69, config.h:130
     max_batch_queries: int = 100  # config.h:180
+    max_upsert_batch: int = 10_000  # config.h:179 — enforced in api.run_upsert
     max_candidates: int = 10_000  # config.h:129
     two_phase_enabled: bool = True  # config.h:132
     buffer_scan_enabled: bool = True  # RYW union, config.h:133
