@@ -2056,3 +2056,191 @@ def rel_brand_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "p_type")
     )
+
+
+@register(
+    "rel_window_frame_battery",
+    # every frame spec in one query: running (rows unbounded->current),
+    # centered (rows 1-1), lookahead (rows 1 following -> 2 following),
+    # range-by-value (value cents within +/-500), and whole-partition.
+    # All sums in exact cents.
+    oracle="""
+WITH cents AS (
+  SELECT event_id, user_id,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE user_id < 20
+)
+SELECT event_id, user_id, c,
+       SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+       SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS centered,
+       SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS lookahead,
+       SUM(c) OVER (PARTITION BY user_id ORDER BY c
+                    RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS near_value,
+       SUM(c) OVER (PARTITION BY user_id) AS user_total
+FROM cents ORDER BY user_id, event_id
+""",
+    survey_ref="§2.4 window (frame-spec battery: rows/range/following/partition)",
+    tags=["events", "window"],
+)
+def rel_window_frame_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specifications, exhaustively: running, centered,
+    forward-only lookahead, value-range (RANGE +/-500 cents on the
+    value ordering), and whole-partition totals — all over one
+    per-user sort, all in exact integer cents.
+
+    100 TB shape: Spark computes the four row-frame functions over ONE
+    per-user sort; the RANGE frame orders by value (second sort of the
+    same partition); nothing leaves its user partition."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    by_id = Window.partitionBy("user_id").orderBy("event_id")
+    by_val = Window.partitionBy("user_id").orderBy("c")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "c",
+        F.sum("c").over(by_id.rowsBetween(Window.unboundedPreceding, 0)).alias("running"),
+        F.sum("c").over(by_id.rowsBetween(-1, 1)).alias("centered"),
+        F.sum("c").over(by_id.rowsBetween(1, 2)).alias("lookahead"),
+        F.sum("c").over(by_val.rangeBetween(-500, 500)).alias("near_value"),
+        F.sum("c").over(Window.partitionBy("user_id")).alias("user_total"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "evt_activity_streaks",
+    # gaps-and-islands: longest run of CONSECUTIVE active days per
+    # user. The island key is date - row_number() days (constant within
+    # a consecutive run) — one distinct, two windows, zero joins.
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS len,
+         MIN(d) AS streak_start, MAX(d) AS streak_end
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+       streak_start, streak_end
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, streak_start ASC) AS rn
+  FROM streaks
+) WHERE rn = 1
+ORDER BY user_id
+""",
+    survey_ref="[EXT] gaps-and-islands (longest consecutive-day streak)",
+    tags=["events", "window", "analytics"],
+)
+def evt_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user via the
+    gaps-and-islands identity: within a consecutive run, date minus
+    row-number is constant, so runs fall out of one group-by — no
+    self-join, no recursion.
+
+    100 TB shape: the distinct (user, day) set is tiny vs the event log
+    (map-side combine), and both windows sort only within a user."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("longest_streak"),
+            "streak_start",
+            "streak_end",
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "rel_median_absolute_deviation",
+    # robust spread: MAD = median(|x - median(x)|) per group, both
+    # medians exact interpolated quantiles on integer cents
+    # (percentile ≡ quantile_cont cross-engine).
+    oracle="""
+WITH cents AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS m FROM cents GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, abs(c.c - d.m) AS ad
+  FROM cents c JOIN med d ON d.event_type = c.event_type
+)
+SELECT d.event_type, m.m AS median_cents,
+       quantile_cont(d.ad, 0.5) AS mad_cents
+FROM dev d JOIN med m ON m.event_type = d.event_type
+GROUP BY d.event_type, m.m
+ORDER BY d.event_type
+""",
+    survey_ref="[EXT] robust statistics (median absolute deviation per group)",
+    tags=["events", "agg", "quality"],
+)
+def rel_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD per event type — the outlier-robust spread measure the
+    z-score flagger's sigma is not. Two exact percentile passes: the
+    group median broadcasts back onto the scan, absolute deviations
+    aggregate to the second median.
+
+    100 TB shape: pass 1 reduces to |types| scalars broadcast; pass 2
+    is one more percentile aggregate — no sort of the full table, no
+    self-join (the join key is the tiny med table)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c"),
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("c", F.lit(0.5)).alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "m", F.abs(F.col("c") - F.col("m")).alias("ad")
+    )
+    return (
+        dev.groupBy("event_type", F.col("m").alias("median_cents"))
+        .agg(F.percentile("ad", F.lit(0.5)).alias("mad_cents"))
+        .orderBy("event_type")
+    )
