@@ -2244,3 +2244,125 @@ def rel_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.percentile("ad", F.lit(0.5)).alias("mad_cents"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "evt_last_touch_attribution",
+    # marketing attribution without a join: one per-user event-time
+    # sort where last_value(click_ts IGNORE NULLS) carries the most
+    # recent click forward onto every purchase row.
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_id
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id, cents, last_click_id
+FROM seq WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+    survey_ref="[EXT] last-touch attribution (ignore-nulls window carry)",
+    tags=["events", "window", "analytics"],
+)
+def evt_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent preceding click, carried by last_value(... IGNORE
+    NULLS) over one event-time sort — the join-free formulation of the
+    clicks-to-purchases attribution that the streaming interval join
+    answers with state (purchases with no prior click keep NULL: organic).
+
+    100 TB shape: one window sort per user partition, no join, no
+    second scan — compare with the stream-stream interval join
+    (evt_streaming_interval_join) that computes the bounded-window
+    variant online."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    ).withColumn(
+        "last_click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "cents",
+            "last_click_id",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "evt_cumulative_distinct_users",
+    # running COUNT(DISTINCT) without distinct-state: a user counts on
+    # their FIRST day only, so the cumulative distinct curve is the
+    # running sum of first-appearances — O(users) state, not O(days x users).
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day AS d, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+),
+all_days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+)
+SELECT a.d, COALESCE(p.new_users, 0) AS new_users,
+       SUM(COALESCE(p.new_users, 0))
+         OVER (ORDER BY a.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cumulative_users
+FROM all_days a LEFT JOIN per_day p ON p.d = a.d
+ORDER BY a.d
+""",
+    survey_ref="[EXT] cumulative distinct (first-appearance decomposition)",
+    tags=["events", "window", "agg", "analytics"],
+)
+def evt_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative distinct-user curve via the first-appearance
+    decomposition: running COUNT(DISTINCT) over an ever-growing set is
+    replaced by min-day per user + a running SUM over |days| rows —
+    the exact result at O(users) intermediate state instead of a
+    distinct aggregation per day.
+
+    100 TB shape: the per-user min collapses the log map-side; the
+    final running sum windows over |days| rows (hundreds), trivially
+    single-task by design."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    all_days = ev.select(day.alias("d")).distinct()
+    joined = all_days.join(per_day, "d", "left").select(
+        "d", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn(
+        "cumulative_users", F.sum("new_users").over(w)
+    ).orderBy("d")
