@@ -1040,3 +1040,109 @@ def doc_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: candidate precision/recall vs planted pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_lsh_eval_pr",
+    # evaluation-as-data: plant a near-duplicate for every 4th doc
+    # (same text + a short tail -> high but non-1.0 Jaccard), run the
+    # standard MinHash-LSH candidate generation, and report integer
+    # precision/recall of the candidate set against the planted truth.
+    oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 6000000, text || ' tail variant ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 4 = 0
+),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i::INT, {_SHINGLE_N}) AS shingle
+  FROM norm, range(1, 100001) r(i)
+  WHERE i <= greatest(length(t) - {_SHINGLE_N - 1}, 1)
+),
+shh AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS s FROM sh
+),
+sig AS (SELECT doc_id, {_SIG_SELECT} FROM shh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.b::INT AS band, CASE b.b {_BAND_CASE} END AS key
+  FROM sig, range({_BANDS}) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT doc_id AS doc_a, doc_id + 6000000 AS doc_b
+  FROM documents WHERE doc_id % 4 = 0
+),
+hits AS (
+  SELECT c.doc_a, c.doc_b FROM cand c JOIN truth t
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       (SELECT COUNT(*) FROM hits) * 100 // (SELECT COUNT(*) FROM cand)
+         AS precision_x100,
+       (SELECT COUNT(*) FROM hits) * 100 // (SELECT COUNT(*) FROM truth)
+         AS recall_x100
+""",
+    survey_ref="[EXT] LSH candidate-quality evaluation (precision/recall vs planted pairs)",
+    tags=["dedup", "text", "lsh", "analytics"],
+)
+def doc_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set quality of the MinHash-LSH pipeline, measured as
+    data: every 4th document gets a planted near-duplicate (same text
+    plus a short tail), the SHIPPED signature/banding code generates
+    candidates, and integer precision/recall against the planted pairs
+    come out as one row. The banding tradeoff (2 bands x 8 rows:
+    selective, recall < 100% by design at this Jaccard) becomes a
+    number the operator's consumers can regression-watch.
+
+    100 TB shape: identical to the production LSH path (band-bucket
+    join only); truth and hit joins run on the planted-pair list, which
+    is corpus/4 rows."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" tail variant "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    sig = D.minhash_signatures(corpus, _NUM_HASHES, _SHINGLE_N)
+    cand = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS).select("doc_a", "doc_b")
+    truth = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 6000000).alias("doc_b"),
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"], "semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.floor(F.col("n_hits") * 100 / F.col("n_candidates"))
+            .cast("long")
+            .alias("precision_x100"),
+            F.floor(F.col("n_hits") * 100 / F.col("n_truth"))
+            .cast("long")
+            .alias("recall_x100"),
+        )
+    )
