@@ -2433,3 +2433,107 @@ def vec_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+@register(
+    "emb_ks_drift_test",
+    # two-sample Kolmogorov-Smirnov drift statistic, integer-exact: at
+    # every merged observation point, |F1 - F2| = |c1*n2 - c2*n1| /
+    # (n1*n2) — cross-multiplied so the sup is found on BIGINTs and
+    # only the final reported statistic divides. Detects distribution
+    # drift between dataset slices (here: vector-norm distributions of
+    # label 0 vs label 1).
+    oracle="""
+WITH norms AS (
+  SELECT label,
+         CAST(floor(sqrt(list_inner_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                    * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings WHERE label IN (0, 1)
+),
+sizes AS (
+  SELECT SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n2
+  FROM norms
+),
+merged AS (
+  SELECT v,
+         SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS d1,
+         SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS d2
+  FROM norms GROUP BY v
+),
+cdf AS (
+  SELECT v,
+         SUM(d1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c1,
+         SUM(d2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c2
+  FROM merged
+)
+SELECT s.n1, s.n2,
+       MAX(abs(c.c1 * s.n2 - c.c2 * s.n1)) AS ks_num,
+       s.n1 * s.n2 AS ks_den,
+       CAST(MAX(abs(c.c1 * s.n2 - c.c2 * s.n1)) AS DOUBLE)
+         / (s.n1 * s.n2) AS ks_stat
+FROM cdf c, sizes s
+GROUP BY s.n1, s.n2
+""",
+    survey_ref="[EXT] two-sample KS drift test (integer-exact sup of ECDF gap)",
+    tags=["vector", "analytics", "quality"],
+)
+def emb_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between the vector-norm distributions of
+    two dataset slices — the drift alarm for an embedding column. The
+    ECDF gap is maximized in cross-multiplied integers (c1*n2 - c2*n1),
+    so the sup — and therefore any threshold decision on it — is
+    bit-deterministic; only the reported statistic divides.
+
+    100 TB shape: norms quantize at scan time, the merged ECDF is one
+    group-by on the quantized value plus one ordered window over
+    |distinct values| rows (bounded by the quantization grid, not the
+    table), and the sup is a single MAX."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
+    norms = emb.select(
+        "label",
+        F.floor(
+            F.sqrt(dot_product("embedding", "embedding")) * 1000000.0 + 0.5
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    sizes = norms.agg(
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    merged = norms.groupBy("v").agg(
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("d2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = merged.select(
+        "v",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(sizes))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias(
+                "ks_num"
+            )
+        )
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            (F.col("n1") * F.col("n2")).alias("ks_den"),
+            (F.col("ks_num").cast("double") / (F.col("n1") * F.col("n2"))).alias(
+                "ks_stat"
+            ),
+        )
+    )
