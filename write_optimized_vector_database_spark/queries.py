@@ -244,10 +244,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_png_roundtrip_decode",
     "emb_centroid_outliers",
     "doc_sequence_packing",
-    # round-3 session-B additions (never checked — fill the window to 50)
+    # round-3 session-B addition — fills the window to EXACTLY 50 (the
+    # driver checks the first 50 registry entries; every slot must be a
+    # never-witnessed query). The other session-B queries register in
+    # insertion order right after and rotate into the round-4 window.
     "vec_matryoshka_two_phase",
-    "doc_containment_near_supersets",
-    "rel_pareto_suppliers",
 ]
 
 
