@@ -1146,3 +1146,124 @@ def doc_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_x100"),
         )
     )
+
+
+@register(
+    "emb_exact_vector_dedup",
+    # exact embedding dedup: byte-identical vectors (after micro-unit
+    # quantization) collapse to one representative — the cheap pass
+    # that runs BEFORE cosine near-dup, catching re-embedded copies.
+    # Corpus plants exact duplicates (every 6th vector re-registered).
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 7000000, embedding FROM embeddings WHERE vec_id % 6 = 0
+),
+keyed AS (
+  SELECT vec_id,
+         md5(CAST(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+             AS VARCHAR)) AS vfp
+  FROM corpus
+)
+SELECT vfp, MIN(vec_id) AS representative, COUNT(*) AS group_size
+FROM keyed GROUP BY vfp
+HAVING COUNT(*) > 1
+ORDER BY representative
+""",
+    survey_ref="[EXT] exact embedding dedup (quantized byte-identity groups)",
+    tags=["dedup", "vector"],
+)
+def emb_exact_vector_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (quantized byte-identity) embedding dedup: vectors hashing
+    to the same micro-unit fingerprint collapse to the min-id
+    representative — the cheap first pass of embedding-space dedup,
+    before the bucketed cosine near-dup handles the near-misses.
+
+    100 TB shape: one md5 per vector at scan time, one group-by on the
+    32-hex key — the same single-shuffle shape as text exact-dedup."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = emb.filter(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") + 7000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dupes)
+    vfp = F.md5(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+        ).cast("string")
+    )
+    return (
+        corpus.select("vec_id", vfp.alias("vfp"))
+        .groupBy("vfp")
+        .agg(
+            F.min("vec_id").alias("representative"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("representative")
+    )
+
+
+@register(
+    "doc_shingle_df_histogram",
+    # diagnostics-as-data for the dedup family: the document-frequency
+    # distribution of long shingles, log-bucketed — the histogram that
+    # justifies (and tunes) the df cap protecting candidate generation.
+    oracle=rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i::INT, {_CONTAIN_SHINGLE_N}) AS shingle
+  FROM norm, range(1, 100001) r(i)
+  WHERE i <= greatest(length(t) - {_CONTAIN_SHINGLE_N - 1}, 1)
+),
+df AS (SELECT shingle, COUNT(DISTINCT doc_id) AS c FROM sh GROUP BY shingle)
+SELECT CASE WHEN c = 1 THEN 0 WHEN c = 2 THEN 1 WHEN c <= 4 THEN 2
+            WHEN c <= 8 THEN 3 WHEN c <= 16 THEN 4 WHEN c <= 64 THEN 5
+            ELSE 6 END AS df_bucket,
+       COUNT(*) AS n_shingles,
+       SUM(c) AS n_postings,
+       SUM(c * (c - 1) // 2) AS pair_mass
+FROM df GROUP BY df_bucket ORDER BY df_bucket
+""",
+    survey_ref="[EXT] shingle df histogram (df-cap tuning for candidate generation)",
+    tags=["dedup", "text", "analytics"],
+)
+def doc_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of the long shingles the
+    containment pipeline joins on, with each bucket's PAIR MASS
+    (sum of c*(c-1)/2) — the number that shows exactly how much
+    candidate-join work each df stratum would generate, i.e. the
+    evidence behind the df <= cap pruning rule.
+
+    100 TB shape: one shingle group-by (the pipeline pays it anyway)
+    then a 7-row aggregate; pair mass is integer arithmetic on the
+    counts, no pair ever materializes."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    shh = D.shingle_hashes(docs, n=_CONTAIN_SHINGLE_N)
+    df = shh.groupBy("sh").agg(F.countDistinct("doc_id").alias("c"))
+    bucket = (
+        F.when(F.col("c") == 1, 0)
+        .when(F.col("c") == 2, 1)
+        .when(F.col("c") <= 4, 2)
+        .when(F.col("c") <= 8, 3)
+        .when(F.col("c") <= 16, 4)
+        .when(F.col("c") <= 64, 5)
+        .otherwise(6)
+    )
+    return (
+        df.select(bucket.alias("df_bucket"), "c")
+        .groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("c").alias("n_postings"),
+            F.sum(F.floor(F.col("c") * (F.col("c") - 1) / 2).cast("long")).alias(
+                "pair_mass"
+            ),
+        )
+        .orderBy("df_bucket")
+    )
