@@ -101,3 +101,37 @@ def test_portable_hash_py_twin_bounds(s):
     assert 0 <= h < 2**32
     h2 = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
     assert h == h2
+
+
+def test_candidate_budget_clamps_adversarial_requests():
+    """k x rerank must never exceed max_candidates across branches —
+    the config.h:129 guard against a rerank-join blowup."""
+    from write_optimized_vector_database_spark.config import (
+        QueryLimits,
+        candidate_budget,
+    )
+
+    limits = QueryLimits()
+    assert candidate_budget(10, 4) == 40
+    assert candidate_budget(100, 1000) == limits.max_candidates
+    assert candidate_budget(100, 1000, n_branches=2) == limits.max_candidates // 2
+    assert candidate_budget(1, 1) == 1
+    assert candidate_budget(0, 0) == 1  # degenerate request still scans something
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=4),
+)
+def test_candidate_budget_invariants(k, rf, branches):
+    from write_optimized_vector_database_spark.config import (
+        QueryLimits,
+        candidate_budget,
+    )
+
+    limits = QueryLimits()
+    b = candidate_budget(k, rf, n_branches=branches)
+    assert 1 <= b <= limits.max_candidates // branches or b == 1
+    assert b <= max(1, k * rf)
