@@ -2537,3 +2537,69 @@ def emb_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "mut_filtered_range_count",
+    # count-only filtered radius query over the LIVE collection state:
+    # per (query, tenant), how many visible vectors score >= tau — the
+    # "how many matches" API mode that needs no top-k, no sort, and no
+    # result rows proportional to matches.
+    oracle=_VISIBLE_CTE
+    + """,
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, v.tenant,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS s
+  FROM q
+  CROSS JOIN visible v
+  JOIN embeddings e ON e.vec_id = v.id
+)
+SELECT query_id, tenant,
+       SUM(CASE WHEN s >= 0.2 THEN 1 ELSE 0 END) AS n_in_radius,
+       COUNT(*) AS n_visible
+FROM scored GROUP BY query_id, tenant
+ORDER BY query_id, tenant
+""",
+    survey_ref="Q2/Q7-adjacent filtered range COUNT (aggregate-only query mode)",
+    tags=["mutation", "vector", "filter", "agg"],
+)
+def mut_filtered_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered radius COUNT over the compacted visible state: per
+    query and tenant, the number of live vectors within the similarity
+    radius — the match-count API mode (pagination sizing, pre-flight
+    cost estimates) that never materializes matches.
+
+    100 TB shape: the scan aggregates in place (map-side partial
+    counts per query x tenant); there is no rank window, no sort, and
+    the output is |queries| x |tenants| rows regardless of how many
+    vectors fall inside the radius."""
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+    from write_optimized_vector_database_spark.operators.changelog import (
+        synthetic_changelog,
+    )
+    from write_optimized_vector_database_spark.operators.compaction import visible
+
+    log = synthetic_changelog(spark, sf_dir)
+    vis = visible(log).select("id", "tenant")
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = vis.join(emb, vis.id == emb.vec_id).select("id", "tenant", "embedding")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = live.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "tenant",
+        dot_product("query_vec", "embedding").alias("s"),
+    )
+    return (
+        scored.groupBy("query_id", "tenant")
+        .agg(
+            F.sum(F.when(F.col("s") >= 0.2, 1).otherwise(0)).alias("n_in_radius"),
+            F.count(F.lit(1)).alias("n_visible"),
+        )
+        .orderBy("query_id", "tenant")
+    )
