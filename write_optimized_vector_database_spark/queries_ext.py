@@ -2603,3 +2603,112 @@ def mut_filtered_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "tenant")
     )
+
+
+_PQD_M = 4  # subspaces for the distortion report (dim 64 -> 16 dims each)
+_PQD_STRIDE = 61  # deterministic codebook: every 61st vector -> 9 codewords
+
+
+@register(
+    "emb_pq_distortion_stats",
+    # quantization-quality telemetry: per-subspace reconstruction error
+    # of PQ against deterministic stride codebooks. Assignment is the
+    # argmin L2 codeword (rank tiebreak on code); the per-vector error
+    # quantizes to integer micro-units BEFORE the cross-vector sum, so
+    # the report is order-independent and bit-identical cross-engine.
+    oracle=f"""
+WITH cb AS (
+  SELECT s.s AS subspace, (vec_id // {_PQD_STRIDE})::INT AS code,
+         embedding[s.s * 16 + 1 : s.s * 16 + 16] AS cvec
+  FROM embeddings, (SELECT unnest(range({_PQD_M})) AS s) s
+  WHERE vec_id % {_PQD_STRIDE} = 0
+),
+sub AS (
+  SELECT vec_id, s.s AS subspace,
+         embedding[s.s * 16 + 1 : s.s * 16 + 16] AS svec
+  FROM embeddings, (SELECT unnest(range({_PQD_M})) AS s) s
+),
+assigned AS (
+  SELECT vec_id, subspace, code, err FROM (
+    SELECT v.vec_id, v.subspace, c.code,
+           list_distance(v.svec::DOUBLE[], c.cvec::DOUBLE[]) AS err,
+           row_number() OVER (PARTITION BY v.vec_id, v.subspace
+                              ORDER BY list_distance(v.svec::DOUBLE[],
+                                                     c.cvec::DOUBLE[]) ASC,
+                                       c.code ASC) AS rn
+    FROM sub v JOIN cb c ON c.subspace = v.subspace
+  ) WHERE rn = 1
+),
+quant AS (
+  SELECT subspace,
+         CAST(floor(err * err * 1000000.0 + 0.5) AS BIGINT) AS se_u
+  FROM assigned
+)
+SELECT CAST(subspace AS INT) AS subspace,
+       COUNT(*) AS n_vectors,
+       SUM(se_u) AS total_sq_err_u,
+       SUM(se_u) // COUNT(*) AS mean_sq_err_u,
+       MAX(se_u) AS max_sq_err_u
+FROM quant GROUP BY subspace ORDER BY subspace
+""",
+    survey_ref="Q4 quantization-quality telemetry (per-subspace PQ distortion)",
+    tags=["vector", "pq", "analytics", "index"],
+)
+def emb_pq_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction error — the codebook-quality
+    report that decides when to retrain (a drifting corpus shows up as
+    rising distortion in specific subspaces before recall visibly
+    drops). Per-vector squared error quantizes to integer micro-units
+    before aggregation, so the telemetry is bit-stable across
+    partitionings and engines.
+
+    100 TB shape: assignment is the codewords-broadcast argmin scan the
+    encode path already does; the report adds one |m|-row aggregate on
+    top — distortion telemetry is free relative to encoding."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import l2_distance
+    from write_optimized_vector_database_spark.operators.pq import (
+        codebooks_from_stride,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebooks_from_stride(emb, dim=64, m=_PQD_M, stride=_PQD_STRIDE)
+    subspaces = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice("embedding", s * 16 + 1, 16)
+                .cast("array<double>")
+                .alias("svec"),
+            )
+            for s in range(_PQD_M)
+        ]
+    )
+    sub = emb.select("vec_id", F.explode(subspaces).alias("e")).select(
+        "vec_id", "e.subspace", "e.svec"
+    )
+    scored = sub.join(F.broadcast(cb), "subspace").select(
+        "vec_id",
+        "subspace",
+        "code",
+        l2_distance("svec", "cvec").alias("err"),
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy(F.asc("err"), F.asc("code"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    quant = assigned.select(
+        "subspace",
+        F.floor(F.col("err") * F.col("err") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("se_u"),
+    )
+    return (
+        quant.groupBy(F.col("subspace").cast("int").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("se_u").alias("total_sq_err_u"),
+            F.floor(F.sum("se_u") / F.count(F.lit(1))).cast("long").alias("mean_sq_err_u"),
+            F.max("se_u").alias("max_sq_err_u"),
+        )
+        .orderBy("subspace")
+    )
