@@ -2366,3 +2366,77 @@ def evt_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.withColumn(
         "cumulative_users", F.sum("new_users").over(w)
     ).orderBy("d")
+
+
+@register(
+    "rel_monthly_revenue_growth",
+    # month-over-month revenue growth per nation: exact cents totals,
+    # lag window per nation, growth as ONE double division of two
+    # exact integers (NULL for each nation's first month).
+    oracle="""
+WITH monthly AS (
+  SELECT n.n_name,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+),
+laged AS (
+  SELECT n_name, month, rev_cents,
+         lag(rev_cents) OVER (PARTITION BY n_name ORDER BY month) AS prev_cents
+  FROM monthly
+)
+SELECT n_name, month, rev_cents, prev_cents,
+       CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+            ELSE CAST(rev_cents - prev_cents AS DOUBLE) / prev_cents END
+         AS growth
+FROM laged ORDER BY n_name, month
+""",
+    survey_ref="§2.4 window (month-over-month growth per dimension)",
+    tags=["relational", "window", "analytics"],
+)
+def rel_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the BI trend query:
+    exact integer cents through the dimension joins and the monthly
+    rollup, one lag window per nation, growth as a single division of
+    two exact integers.
+
+    100 TB shape: dimensions broadcast onto the order scan; the lag
+    window runs over |nations| x |months| rows — the fact table never
+    sorts."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    laged = monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    return laged.select(
+        "n_name",
+        "month",
+        "rev_cents",
+        "prev_cents",
+        F.when(
+            F.col("prev_cents").isNull() | (F.col("prev_cents") == 0), F.lit(None)
+        )
+        .otherwise(
+            (F.col("rev_cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents")
+        )
+        .alias("growth"),
+    ).orderBy("n_name", "month")
