@@ -167,3 +167,53 @@ class TestPngCodec:
         dw, dh, dn, px = decode_png(blob)
         assert (dw, dh, dn) == (w, h, 1)
         assert px == b"".join(rows)
+
+
+class TestHeaderParsers:
+    """parse_media_header: the dimensions-only codec seam (PNG/JPEG/GIF)."""
+
+    def test_jpeg_marker_walk(self):
+        from write_optimized_vector_database_spark.operators.multimodal import (
+            encode_jpeg_stub,
+            parse_media_header,
+        )
+
+        # SOF0 sits after APP0 and COM segments — the walk must skip by
+        # length fields, not scan for 0xFFC0 (which can occur in payloads)
+        assert parse_media_header(encode_jpeg_stub(641, 479, 3)) == (
+            "image/jpeg", 641, 479, 3,
+        )
+        assert parse_media_header(encode_jpeg_stub(1, 1, 1)) == (
+            "image/jpeg", 1, 1, 1,
+        )
+
+    def test_gif_little_endian_dims(self):
+        from write_optimized_vector_database_spark.operators.multimodal import (
+            encode_gif_stub,
+            parse_media_header,
+        )
+
+        # 300 = 0x012C exercises both bytes of the LE u16
+        assert parse_media_header(encode_gif_stub(300, 513)) == (
+            "image/gif", 300, 513, 3,
+        )
+
+    def test_png_ihdr(self):
+        from write_optimized_vector_database_spark.operators.multimodal import (
+            encode_png,
+            parse_media_header,
+        )
+
+        blob = encode_png([[(0, 0, 0)] * 7 for _ in range(2)])
+        assert parse_media_header(blob) == ("image/png", 7, 2, 3)
+
+    def test_unknown_and_truncated(self):
+        from write_optimized_vector_database_spark.operators.multimodal import (
+            parse_media_header,
+        )
+
+        assert parse_media_header(None)[0] == "application/octet-stream"
+        assert parse_media_header(b"")[0] == "application/octet-stream"
+        assert parse_media_header(b"plain text")[0] == "application/octet-stream"
+        # JPEG magic but no SOF → jpeg with zero dims, no crash
+        assert parse_media_header(b"\xff\xd8\xff\xe0") == ("image/jpeg", 0, 0, 0)

@@ -372,22 +372,30 @@ def test_brand_rollup_broadcasts_dimension(spark, sf_dir):
     assert has_broadcast_join(df), "part dimension must broadcast"
 
 
-def test_driver_window_is_exactly_the_priority_list(spark, sf_dir):
-    """The driver checks the FIRST 50 registry entries; the priority
-    list must (a) name only real queries — a typo silently wastes a
-    witness slot — and (b) fill all 50 slots, so every driver-checked
-    entry this round is one that has never had a CORRECTNESS row."""
+def test_driver_window_policy(spark, sf_dir):
+    """The driver checks the FIRST 50 registry entries; the derived
+    ordering must enforce the tier rule: (1) every red driver row from
+    CORRECTNESS_r*.json re-enters the window and stays until green,
+    (2) never-checked queries fill the remaining slots (hints first),
+    (3) green-witnessed queries only after all reds and nevers."""
     from write_optimized_vector_database_spark.queries import (
-        _DRIVER_WINDOW_PRIORITY,
+        _NEVER_CHECKED_HINTS,
+        _driver_row_status,
         registry,
     )
 
     reg = registry()
-    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in reg]
-    assert not missing, f"priority names not in registry: {missing}"
-    assert len(_DRIVER_WINDOW_PRIORITY) == 50
-    assert len(set(_DRIVER_WINDOW_PRIORITY)) == 50
-    assert list(reg)[:50] == _DRIVER_WINDOW_PRIORITY
+    status = _driver_row_status()
+    names = list(reg)
+    missing = [n for n in _NEVER_CHECKED_HINTS if n not in reg]
+    assert not missing, f"hint names not in registry: {missing}"
+
+    reds = [n for n in names if status.get(n) == "red"]
+    assert reds == names[: len(reds)], "red rows must head the window"
+    assert len(reds) <= 50, "more reds than window slots"
+
+    tiers = [{"red": 0, "green": 2}.get(status.get(n), 1) for n in names]
+    assert tiers == sorted(tiers), "tier order violated (red < never < green)"
 
 
 def test_registry_contract_complete(spark, sf_dir):

@@ -28,6 +28,23 @@ TABLES = (
 ).split()
 
 
+def _pandas_to_py(v):
+    """numpy scalar → Python scalar, preserving the dtype class (int64→int,
+    float64→float — so a HUGEINT-gone-float64 still canonicalizes as 53.0)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if v is pd.NaT:
+        return None
+    return v
+
+
 def canon_value(v) -> str:
     if v is None:
         return "∅"
@@ -90,9 +107,16 @@ def main() -> int:
             print(f"weak  {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch via pandas to mirror the real driver: DuckDB HUGEINT
+            # (e.g. SUM(BIGINT)) becomes float64 here, so an oracle that
+            # forgets a ::BIGINT cast fails locally the same way it fails
+            # in CORRECTNESS_r{N}.json (53.0 vs 53).
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [
+                tuple(_pandas_to_py(v) for v in row)
+                for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1

@@ -187,6 +187,88 @@ def decode_image(blob: bytes) -> tuple[int, int, int]:
     )
 
 
+def encode_jpeg_stub(width: int, height: int, n_channels: int = 3) -> bytes:
+    """Structurally valid JPEG header stream (stdlib only): SOI, APP0/JFIF,
+    a COM segment, SOF0 with the real dimensions, EOI. No entropy-coded
+    scan data — enough for any spec-conforming marker walk to recover
+    (width, height, n_channels), which is exactly what the header parser
+    below does. Exists so the mixed-magic metadata path executes against
+    genuine JPEG marker structure in this codec-less container."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"woved-stub"
+    sof0 = struct.pack(">BHHB", 8, height, width, n_channels) + bytes(
+        b for c in range(n_channels) for b in (c + 1, 0x11, 0)
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, app0)
+        + seg(0xFE, com)
+        + seg(0xC0, sof0)
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def encode_gif_stub(width: int, height: int) -> bytes:
+    """Minimal GIF89a stream: header + logical screen descriptor +
+    trailer. Dimensions are little-endian u16 per the GIF spec."""
+    import struct
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x70, 0, 0)
+        + b"\x3b"
+    )
+
+
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def parse_media_header(blob: bytes | None) -> tuple[str, int, int, int]:
+    """REAL header parse, stdlib only, magic-dispatched: PNG IHDR, JPEG
+    marker walk to SOFn, GIF logical screen descriptor. Returns
+    (mime, width, height, n_channels); unknown magic → octet-stream
+    with zero dims. This is the dimensions-only slice of the codec seam:
+    pixel decode still needs PIL for non-PNG (decode_image), but
+    metadata extraction — the 100 TB scan path — never does."""
+    import struct
+
+    if not blob:
+        return ("application/octet-stream", 0, 0, 0)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 26:
+        width, height = struct.unpack(">II", blob[16:24])
+        color = blob[25]
+        return ("image/png", width, height, _PNG_CHANNELS.get(color, 0))
+    if blob[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                break
+            marker = blob[pos + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2  # standalone marker, no length field
+                continue
+            (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+            if marker in _JPEG_SOF_MARKERS and pos + 9 <= len(blob):
+                _prec, height, width, ncomp = struct.unpack(
+                    ">BHHB", blob[pos + 4 : pos + 10]
+                )
+                return ("image/jpeg", width, height, ncomp)
+            pos += 2 + length
+        return ("image/jpeg", 0, 0, 0)
+    if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+        width, height = struct.unpack("<HH", blob[6:10])
+        return ("image/gif", width, height, 3)  # palette resolves to RGB
+    return ("application/octet-stream", 0, 0, 0)
+
+
 def fake_decode_meta(blob: bytes | None) -> tuple[str, int, int, int, int]:
     """Deterministic stand-in decode: metadata derived from the payload
     hash — stable across runs/engines, exercises the exact schema and

@@ -187,69 +187,63 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 registry entries in
-# insertion order. Rounds 1-2 witnessed 50 queries green (CORRECTNESS_r01/
-# r02.json); the queries below have no driver row yet (23 never checked +
-# 18 checked only in round 1), so they register first to rotate coverage —
-# strictly more evidence, since the other 50 already have green rows.
-_DRIVER_WINDOW_PRIORITY = [
-    # never driver-checked (added round 2, after the 50-entry cutoff)
-    "evt_incident_range_join",
-    "evt_hypertable_rollup_merge",
-    "rel_grouping_sets",
-    "evt_asof_tolerance_join",
-    "evt_session_funnel",
-    "rel_market_share",
-    "rel_correlated_exists",
-    "rel_zorder_layout",
-    "rel_table_profile",
-    "evt_sliding_window_counts",
-    "evt_salted_user_agg",
-    "evt_streaming_sessionization",
-    "evt_streaming_dedup_keep_first",
-    "evt_streaming_interval_join",
-    "evt_streaming_static_enrichment",
-    "evt_streaming_running_user_stats",
-    "doc_fingerprints",
-    "doc_training_set_selection",
-    "doc_cms_heavy_hitters",
-    "doc_stratified_split",
-    "doc_hll_distinct",
-    "doc_repetition_stats",
-    "doc_length_weighted_sample",
-    # green in round 1 only (lost their row to round-2 insertions)
-    "rel_set_ops",
-    "rel_pivot_status_flag",
-    "rel_rollup_revenue",
-    "rel_window_analytics",
-    "rel_outer_join_coverage",
-    "rel_scalar_subquery",
-    "rel_cube_avg_price",
-    "evt_tumbling_hourly",
-    "evt_sessionization",
-    "evt_user_topk_by_value",
-    "evt_asof_join",
-    "rel_exact_percentiles",
-    "rel_scalar_function_battery",
-    "evt_json_props_extract",
-    "evt_streaming_tumbling_hourly",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "doc_token_stats_by_source",
-    # round-3 additions (never checked — new this round)
-    "vec_binary_quant_two_phase",
-    "doc_rare_bigram_fraction",
-    "doc_ngram_contamination_frac",
-    "doc_chunk_windows",
-    "doc_hll_by_source_merged",
-    "mm_png_roundtrip_decode",
-    "emb_centroid_outliers",
-    "doc_sequence_packing",
-    # round-3 session-B addition — fills the window to EXACTLY 50 (the
-    # driver checks the first 50 registry entries; every slot must be a
-    # never-witnessed query). The other session-B queries register in
-    # insertion order right after and rotate into the round-4 window.
-    "vec_matryoshka_two_phase",
+# insertion order, so registration order IS the per-round check window.
+# The ordering is derived from the CORRECTNESS_r*.json history on disk, not
+# hand-listed, under one rule with three tiers:
+#
+#   1. RED   — any query whose most-recent driver row failed re-enters the
+#              window and STAYS there every round until a green row exists.
+#              (A red must never rotate out unwitnessed.)
+#   2. NEVER — queries with no driver row ever, highest-value first
+#              (_NEVER_CHECKED_HINTS front-loads operator-evidence queries
+#              per VERDICT r03; the rest keep registration order).
+#   3. GREEN — queries with a green row, in registration order. They keep
+#              pytest + driver_sim coverage; the driver window is spent on
+#              evidence it doesn't have yet.
+_NEVER_CHECKED_HINTS = [
+    # §2.2 Q15 — the only query-operator row with zero driver evidence
+    "vec_recall_frontier",
+    # remaining §2.2 / §2.4 operator-evidence gaps called out by VERDICT r03
+    "vec_range_search_radius",
+    "vec_knn_classify",
+    "rel_window_frame_battery",
+    # M3/M4 maintenance-stats evidence
+    "emb_ivf_balance_stats",
+    "emb_pq_distortion_stats",
+    "emb_dimension_stats",
+    # round-4 verdict deliverable: mixed-magic codec metadata (PNG/JPEG/GIF)
+    "mm_mixed_codec_metadata",
 ]
+
+
+def _driver_row_status() -> dict[str, str]:
+    """name → 'green' | 'red' from the CORRECTNESS_r*.json driver history.
+
+    Status is the BEST row across rounds (green wins): a query that was red
+    in r01 and green in r03 is settled; one that was red in its latest
+    appearance is not, regardless of how many rounds ago that was."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    status: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match", True) is not False
+                and not row.get("err")
+            )
+            if status.get(name) != "green":
+                status[name] = "green" if ok else "red"
+    return status
 
 
 def registry() -> dict[str, EngineQuery]:
@@ -261,12 +255,17 @@ def registry() -> dict[str, EngineQuery]:
     import write_optimized_vector_database_spark.queries_stream  # noqa: F401
     import write_optimized_vector_database_spark.queries_text  # noqa: F401
 
-    ordered: dict[str, EngineQuery] = {}
-    for name in _DRIVER_WINDOW_PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    for name, q in REGISTRY.items():
-        ordered.setdefault(name, q)
+    status = _driver_row_status()
+    hint_rank = {n: i for i, n in enumerate(_NEVER_CHECKED_HINTS)}
+    reg_rank = {n: i for i, n in enumerate(REGISTRY)}
+
+    def sort_key(name: str):
+        tier = {"red": 0}.get(status.get(name, "never"), 2)
+        if tier == 2 and status.get(name) is None:
+            tier = 1
+        return (tier, hint_rank.get(name, len(hint_rank)), reg_rank[name])
+
+    ordered = {n: REGISTRY[n] for n in sorted(REGISTRY, key=sort_key)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY

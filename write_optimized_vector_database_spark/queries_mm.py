@@ -236,6 +236,77 @@ def mm_png_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_mixed_codec_metadata",
+    # Mixed-magic blobs through the REAL header parsers: each doc gets a
+    # PNG, JPEG, or GIF stream (doc_id % 3) synthesized in the executor,
+    # then parse_media_header magic-dispatches — PNG IHDR read, JPEG
+    # marker walk to SOF0 (past APP0 + COM segments), GIF little-endian
+    # logical screen descriptor. Dims are arithmetic in doc_id, so the
+    # oracle is closed-form; any parser offset/endianness bug breaks the
+    # hash. This closes the "mm_* silently depends on fake_decode_meta
+    # for non-PNG magics" seam (VERDICT r03 #7).
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'image/gif' END AS mime,
+       CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 5
+                       WHEN 1 THEN 16 + doc_id % 17
+                       ELSE 8 + doc_id % 9 END::INT AS width,
+       CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 4
+                       WHEN 1 THEN 16 + doc_id % 13
+                       ELSE 8 + doc_id % 7 END::INT AS height,
+       3::INT AS n_channels
+FROM documents ORDER BY doc_id
+""",
+    survey_ref="[EXT] multimodal mixed-codec metadata (PNG/JPEG/GIF header parse)",
+    tags=["multimodal", "decode"],
+)
+def mm_mixed_codec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata scan over a mixed-format blob column: encode a real
+    PNG / JPEG-header / GIF stream per row, then recover
+    (mime, width, height, n_channels) purely by parsing the bytes —
+    magic sniff + per-format header walk, no codec library.
+
+    100 TB shape: one Arrow-batched mapInPandas pass; header parsing
+    reads O(100) leading bytes per blob, so with Parquet this becomes a
+    column-pruned scan whose cost is I/O on the blob column only."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 3 == 0:
+                    w, h = 4 + i % 5, 3 + i % 4
+                    blob = MM.encode_png([[(i % 256, 0, 0)] * w for _ in range(h)])
+                elif i % 3 == 1:
+                    blob = MM.encode_jpeg_stub(16 + i % 17, 16 + i % 13, 3)
+                else:
+                    blob = MM.encode_gif_stub(8 + i % 9, 8 + i % 7)
+                mime, w, h, nch = MM.parse_media_header(blob)
+                rows.append((i, mime, w, h, nch))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mime", "width", "height", "n_channels"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
     "mm_png_patch_grid",
     # ViT-style patch extraction over REALLY decoded pixels: each doc
     # gets a synthesized 16x16 GRADIENT image (r = base + x, g = y,

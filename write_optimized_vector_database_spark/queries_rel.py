@@ -481,8 +481,10 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         -- ::BIGINT: DuckDB SUM(int) yields HUGEINT, which the driver's
+         -- pandas fetch renders as float64 (53.0 vs Spark's 53)
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1260,7 +1262,8 @@ def evt_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+       -- outer ::BIGINT: DuckDB SUM(BIGINT) is HUGEINT → float64 via pandas
+       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS total_cents,
        MIN(user_id) AS min_user,
        MAX(user_id) AS max_user

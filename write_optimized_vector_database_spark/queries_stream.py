@@ -346,7 +346,8 @@ def evt_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFra
     "evt_streaming_running_user_stats",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+       -- outer ::BIGINT: DuckDB SUM(BIGINT) is HUGEINT → float64 via pandas
+       CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS total_cents
 FROM events GROUP BY user_id ORDER BY user_id
 """,

@@ -186,7 +186,7 @@ deduped AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens_bpe) AS total_tokens_bpe,
+       CAST(SUM(n_tokens_bpe) AS BIGINT) AS total_tokens_bpe,  -- SUM(BIGINT)→HUGEINT→float64 via pandas otherwise
        CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
 FROM deduped
 GROUP BY source ORDER BY source
@@ -544,7 +544,7 @@ kept AS (
   WHERE h < least(n_chars * 10, 10000)
 )
 SELECT lang, COUNT(*) AS n_kept,
-       SUM(n_chars) AS kept_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,  -- SUM(BIGINT)→HUGEINT→float64 via pandas otherwise
        MIN(doc_id) AS min_doc_id
 FROM kept GROUP BY lang ORDER BY lang
 """,
@@ -900,7 +900,7 @@ offs AS (
 )
 SELECT source, (start_off // 2048)::BIGINT AS bin_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS n_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,  -- SUM(BIGINT)→HUGEINT→float64 via pandas otherwise
        MIN(doc_id) AS first_doc_id
 FROM offs GROUP BY source, bin_id
 ORDER BY source, bin_id
