@@ -234,6 +234,18 @@ def main() -> None:
         recalls["ivfpq"] = r
         recalls["ivfpq_nprobe"] = nprobe
         recalls["ivfpq_rerank_factor"] = rerank
+        # VERDICT r03 #5: also report recall at the reference's own stable
+        # defaults (nprobe=12, rerank_factor=4 — config.h:84-94) so the
+        # calibrated number above isn't the only comparison point.
+        recalls["ivfpq_reference_knobs"] = {
+            "nprobe": 12,
+            "rerank_factor": 4,
+            "recall": avg_recall(
+                ivfpq_two_phase_topk(
+                    emb, pq_index, qdf, cents, cb, k=10, nprobe=12, rerank_factor=4
+                )
+            ),
+        }
         ivf_index.unpersist()
         pq_index.unpersist()
 

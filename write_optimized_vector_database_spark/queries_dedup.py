@@ -1211,23 +1211,28 @@ def emb_exact_vector_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diagnostics-as-data for the dedup family: the document-frequency
     # distribution of long shingles, log-bucketed — the histogram that
     # justifies (and tunes) the df cap protecting candidate generation.
+    # NOTE (ADVICE r03): the df CTE groups by the 32-bit portable HASH of
+    # the shingle, not the shingle string — Spark's pipeline joins on the
+    # hash, so the oracle must merge colliding shingles the same way or
+    # the gate breaks the moment the vocabulary hits a birthday collision.
     oracle=rf"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, substring(t, i::INT, {_CONTAIN_SHINGLE_N}) AS shingle
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(md5(substring(t, i::INT, {_CONTAIN_SHINGLE_N})), 1, 8))::BIGINT AS sh
   FROM norm, range(1, 100001) r(i)
   WHERE i <= greatest(length(t) - {_CONTAIN_SHINGLE_N - 1}, 1)
 ),
-df AS (SELECT shingle, COUNT(DISTINCT doc_id) AS c FROM sh GROUP BY shingle)
+df AS (SELECT sh, COUNT(DISTINCT doc_id) AS c FROM sh GROUP BY sh)
 SELECT CASE WHEN c = 1 THEN 0 WHEN c = 2 THEN 1 WHEN c <= 4 THEN 2
             WHEN c <= 8 THEN 3 WHEN c <= 16 THEN 4 WHEN c <= 64 THEN 5
             ELSE 6 END AS df_bucket,
        COUNT(*) AS n_shingles,
-       SUM(c) AS n_postings,
-       SUM(c * (c - 1) // 2) AS pair_mass
+       SUM(c)::BIGINT AS n_postings,
+       SUM(c * (c - 1) // 2)::BIGINT AS pair_mass
 FROM df GROUP BY df_bucket ORDER BY df_bucket
 """,
     survey_ref="[EXT] shingle df histogram (df-cap tuning for candidate generation)",

@@ -2225,8 +2225,8 @@ lists AS (
 SELECT COUNT(*) AS n_lists,
        MIN(list_size) AS min_size,
        MAX(list_size) AS max_size,
-       SUM(list_size) AS n_vectors,
-       (MAX(list_size) * 100 * COUNT(*)) // SUM(list_size) AS imbalance_x100
+       SUM(list_size)::BIGINT AS n_vectors,
+       ((MAX(list_size) * 100 * COUNT(*)) // SUM(list_size))::BIGINT AS imbalance_x100
 FROM lists
 """,
     survey_ref="M1/M3-adjacent index telemetry (posting-list balance)",
@@ -2470,9 +2470,9 @@ cdf AS (
                        AND CURRENT ROW) AS c2
   FROM merged
 )
-SELECT s.n1, s.n2,
-       MAX(abs(c.c1 * s.n2 - c.c2 * s.n1)) AS ks_num,
-       s.n1 * s.n2 AS ks_den,
+SELECT s.n1::BIGINT AS n1, s.n2::BIGINT AS n2,
+       MAX(abs(c.c1 * s.n2 - c.c2 * s.n1))::BIGINT AS ks_num,
+       (s.n1 * s.n2)::BIGINT AS ks_den,
        CAST(MAX(abs(c.c1 * s.n2 - c.c2 * s.n1)) AS DOUBLE)
          / (s.n1 * s.n2) AS ks_stat
 FROM cdf c, sizes s
@@ -2559,7 +2559,7 @@ scored AS (
   JOIN embeddings e ON e.vec_id = v.id
 )
 SELECT query_id, tenant,
-       SUM(CASE WHEN s >= 0.2 THEN 1 ELSE 0 END) AS n_in_radius,
+       SUM(CASE WHEN s >= 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_in_radius,
        COUNT(*) AS n_visible
 FROM scored GROUP BY query_id, tenant
 ORDER BY query_id, tenant
@@ -2646,8 +2646,8 @@ quant AS (
 )
 SELECT CAST(subspace AS INT) AS subspace,
        COUNT(*) AS n_vectors,
-       SUM(se_u) AS total_sq_err_u,
-       SUM(se_u) // COUNT(*) AS mean_sq_err_u,
+       SUM(se_u)::BIGINT AS total_sq_err_u,
+       (SUM(se_u) // COUNT(*))::BIGINT AS mean_sq_err_u,
        MAX(se_u) AS max_sq_err_u
 FROM quant GROUP BY subspace ORDER BY subspace
 """,

@@ -949,10 +949,10 @@ ORDER BY step
 )
 def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel within 30-minute sessions: view -> later click ->
-    later purchase. Step times chain through conditional aggregation
-    (each step's min ts must follow the previous step's), so the output
-    is the per-step session count -- pure integer/timestamp arithmetic,
-    one shuffle per stage on (user_id, sid)."""
+    later purchase. Step times chain through conditional window minima
+    over one (user_id, sid) partition (each step's min ts must follow the
+    previous step's), so the whole funnel resolves in a single session
+    exchange -- no per-step joins, no driver-side collect."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
@@ -972,52 +972,68 @@ def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = gaps.select(
         "user_id", "ts", "event_type", F.sum("new_session").over(cum).alias("sid")
     )
-    s1 = sess.groupBy("user_id", "sid").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    # Single conditional-window pass over (user_id, sid): t_view is the
+    # session min of view timestamps; t_click/t_purchase chain on it via
+    # row-varying WHEN conditions over the SAME window partition, so all
+    # three step times resolve in one exchange (no per-step joins). The
+    # per-session reduce then reuses that partitioning, and the 1x3
+    # unpivot stays lazy (inline struct explode, no .first() round-trip).
+    wsess = Window.partitionBy("user_id", "sid")
+    stepped = sess.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wsess),
     )
-    clicks = sess.filter(F.col("event_type") == "click").select(
-        "user_id", "sid", F.col("ts").alias("c_ts")
+    stepped = stepped.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(wsess),
     )
-    s2 = (
-        s1.join(
-            clicks,
-            (s1.user_id == clicks.user_id)
-            & (s1.sid == clicks.sid)
-            & s1.t_view.isNotNull()
-            & (clicks.c_ts > s1.t_view),
-            "left",
+    stepped = stepped.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(wsess),
+    )
+    per_session = stepped.groupBy("user_id", "sid").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = per_session.agg(
+        F.count("t_view").alias("v"),
+        F.count("t_click").alias("c"),
+        F.count("t_purchase").alias("p"),
+    )
+    return (
+        counts.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("step1_view").alias("step"),
+                        F.col("v").alias("n_sessions"),
+                    ),
+                    F.struct(
+                        F.lit("step2_click").alias("step"),
+                        F.col("c").alias("n_sessions"),
+                    ),
+                    F.struct(
+                        F.lit("step3_purchase").alias("step"),
+                        F.col("p").alias("n_sessions"),
+                    ),
+                )
+            ).alias("s")
         )
-        .groupBy(s1.user_id, s1.sid, "t_view")
-        .agg(F.min("c_ts").alias("t_click"))
+        .select("s.step", "s.n_sessions")
+        .orderBy("step")
     )
-    purchases = sess.filter(F.col("event_type") == "purchase").select(
-        "user_id", "sid", F.col("ts").alias("p_ts")
-    )
-    s3 = (
-        s2.join(
-            purchases,
-            (s2.user_id == purchases.user_id)
-            & (s2.sid == purchases.sid)
-            & s2.t_click.isNotNull()
-            & (purchases.p_ts > s2.t_click),
-            "left",
-        )
-        .groupBy(s2.user_id, s2.sid, "t_view", "t_click")
-        .agg(F.min("p_ts").alias("t_purchase"))
-    )
-    counts = s3.agg(
-        F.count("t_view").alias("step1_view"),
-        F.count("t_click").alias("step2_click"),
-        F.count("t_purchase").alias("step3_purchase"),
-    ).first()
-    return spark.createDataFrame(
-        [
-            ("step1_view", counts["step1_view"]),
-            ("step2_click", counts["step2_click"]),
-            ("step3_purchase", counts["step3_purchase"]),
-        ],
-        "step string, n_sessions long",
-    ).orderBy("step")
 
 
 # ---------------------------------------------------------------------------
@@ -1307,13 +1323,16 @@ def evt_salted_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_retention_cohorts",
     oracle="""
 WITH firsts AS (
-  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  -- cohort_week stays TIMESTAMP: DuckDB DATE arrives as datetime64 via
+  -- the driver's pandas fetch while Spark DateType collects as date —
+  -- matching the types at the source is the only stable gate.
+  SELECT user_id, date_trunc('week', MIN(ts::TIMESTAMP)) AS cohort_week
   FROM events GROUP BY user_id
 ),
 weekly AS (
   SELECT e.user_id, f.cohort_week,
-         date_diff('day', f.cohort_week,
-                   CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+         date_diff('day', f.cohort_week::DATE,
+                   CAST(date_trunc('week', e.ts::TIMESTAMP) AS DATE)) // 7 AS week_offset
   FROM events e JOIN firsts f ON f.user_id = e.user_id
 )
 SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
@@ -1340,7 +1359,7 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, never a global collect."""
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     weekly = ev.join(firsts, "user_id").select(
         "user_id",
@@ -1465,7 +1484,7 @@ trans AS (
   FROM seq WHERE next_type IS NOT NULL
   GROUP BY event_type, next_type
 ),
-tot AS (SELECT from_type, SUM(n) AS n_from FROM trans GROUP BY from_type)
+tot AS (SELECT from_type, SUM(n)::BIGINT AS n_from FROM trans GROUP BY from_type)
 SELECT t.from_type, t.to_type, t.n, o.n_from,
        CAST(t.n AS DOUBLE) / o.n_from AS p
 FROM trans t JOIN tot o ON o.from_type = t.from_type
@@ -2074,15 +2093,17 @@ WITH cents AS (
   FROM events WHERE user_id < 20
 )
 SELECT event_id, user_id, c,
-       SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
-       SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
-                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS centered,
-       SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
-                    ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS lookahead,
-       SUM(c) OVER (PARTITION BY user_id ORDER BY c
-                    RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS near_value,
-       SUM(c) OVER (PARTITION BY user_id) AS user_total
+       (SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS running,
+       (SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))::BIGINT AS centered,
+       -- empty tail frame sums to 0, not NULL (a NULL would float64 the
+       -- driver's pandas fetch of this integer column)
+       COALESCE((SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING))::BIGINT, 0) AS lookahead,
+       (SUM(c) OVER (PARTITION BY user_id ORDER BY c
+                     RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING))::BIGINT AS near_value,
+       (SUM(c) OVER (PARTITION BY user_id))::BIGINT AS user_total
 FROM cents ORDER BY user_id, event_id
 """,
     survey_ref="§2.4 window (frame-spec battery: rows/range/following/partition)",
@@ -2118,7 +2139,9 @@ def rel_window_frame_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.sum("c").over(by_id.rowsBetween(Window.unboundedPreceding, 0)).alias("running"),
         F.sum("c").over(by_id.rowsBetween(-1, 1)).alias("centered"),
-        F.sum("c").over(by_id.rowsBetween(1, 2)).alias("lookahead"),
+        F.coalesce(F.sum("c").over(by_id.rowsBetween(1, 2)), F.lit(0)).alias(
+            "lookahead"
+        ),
         F.sum("c").over(by_val.rangeBetween(-500, 500)).alias("near_value"),
         F.sum("c").over(Window.partitionBy("user_id")).alias("user_total"),
     ).orderBy("user_id", "event_id")
@@ -2146,7 +2169,8 @@ streaks AS (
   FROM islands GROUP BY user_id, island
 )
 SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
-       streak_start, streak_end
+       streak_start::TIMESTAMP AS streak_start,
+       streak_end::TIMESTAMP AS streak_end
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id
                                ORDER BY len DESC, streak_start ASC) AS rn
@@ -2189,8 +2213,8 @@ def evt_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("len").cast("long").alias("longest_streak"),
-            "streak_start",
-            "streak_end",
+            F.col("streak_start").cast("timestamp").alias("streak_start"),
+            F.col("streak_end").cast("timestamp").alias("streak_end"),
         )
         .orderBy("user_id")
     )
@@ -2264,7 +2288,11 @@ WITH seq AS (
            AS last_click_id
   FROM events
 )
-SELECT event_id AS purchase_id, user_id, cents, last_click_id
+SELECT event_id AS purchase_id, user_id, cents,
+       -- organic purchases (no prior click) carry -1, not NULL: a NULL
+       -- in an integer column turns the whole pandas fetch float64 and
+       -- breaks the driver's hash gate, so the sentinel IS the contract
+       COALESCE(last_click_id, -1) AS last_click_id
 FROM seq WHERE event_type = 'purchase'
 ORDER BY event_id
 """,
@@ -2276,7 +2304,7 @@ def evt_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     most recent preceding click, carried by last_value(... IGNORE
     NULLS) over one event-time sort — the join-free formulation of the
     clicks-to-purchases attribution that the streaming interval join
-    answers with state (purchases with no prior click keep NULL: organic).
+    answers with state (purchases with no prior click carry -1: organic).
 
     100 TB shape: one window sort per user partition, no join, no
     second scan — compare with the stream-stream interval join
@@ -2311,7 +2339,7 @@ def evt_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("purchase_id"),
             "user_id",
             "cents",
-            "last_click_id",
+            F.coalesce("last_click_id", F.lit(-1)).alias("last_click_id"),
         )
         .orderBy("purchase_id")
     )
@@ -2324,19 +2352,19 @@ def evt_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running sum of first-appearances — O(users) state, not O(days x users).
     oracle="""
 WITH firsts AS (
-  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  SELECT user_id, MIN(date_trunc('day', ts::TIMESTAMP)) AS first_day
   FROM events GROUP BY user_id
 ),
 per_day AS (
   SELECT first_day AS d, COUNT(*) AS new_users FROM firsts GROUP BY first_day
 ),
 all_days AS (
-  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+  SELECT DISTINCT date_trunc('day', ts::TIMESTAMP) AS d FROM events
 )
-SELECT a.d, COALESCE(p.new_users, 0) AS new_users,
-       SUM(COALESCE(p.new_users, 0))
+SELECT a.d, COALESCE(p.new_users, 0)::BIGINT AS new_users,
+       (SUM(COALESCE(p.new_users, 0))
          OVER (ORDER BY a.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS cumulative_users
+         )::BIGINT AS cumulative_users
 FROM all_days a LEFT JOIN per_day p ON p.d = a.d
 ORDER BY a.d
 """,
@@ -2356,7 +2384,7 @@ def evt_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("day", "ts").cast("date")
+    day = F.date_trunc("day", "ts")
     firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
     per_day = firsts.groupBy(F.col("first_day").alias("d")).agg(
         F.count(F.lit(1)).alias("new_users")
@@ -2375,17 +2403,17 @@ def evt_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     "rel_monthly_revenue_growth",
     # month-over-month revenue growth per nation: exact cents totals,
     # lag window per nation, growth as ONE double division of two
-    # exact integers (NULL for each nation's first month).
+    # exact integers (first months are excluded: no prior month).
     oracle="""
 WITH monthly AS (
   SELECT n.n_name,
-         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         date_trunc('month', o.o_orderdate::TIMESTAMP) AS month,
          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
            AS rev_cents
   FROM orders o
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
-  GROUP BY n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+  GROUP BY n.n_name, date_trunc('month', o.o_orderdate::TIMESTAMP)
 ),
 laged AS (
   SELECT n_name, month, rev_cents,
@@ -2393,10 +2421,15 @@ laged AS (
   FROM monthly
 )
 SELECT n_name, month, rev_cents, prev_cents,
-       CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+       CASE WHEN prev_cents = 0 THEN 0.0
             ELSE CAST(rev_cents - prev_cents AS DOUBLE) / prev_cents END
          AS growth
-FROM laged ORDER BY n_name, month
+FROM laged
+-- each nation's first month has no prior month: growth is undefined
+-- there, and a NULL prev_cents would float64 the pandas fetch, so the
+-- row set is restricted to months where growth exists
+WHERE prev_cents IS NOT NULL
+ORDER BY n_name, month
 """,
     survey_ref="§2.4 window (month-over-month growth per dimension)",
     tags=["relational", "window", "analytics"],
@@ -2419,7 +2452,7 @@ def rel_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
-            "n_name", F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+            "n_name", F.date_trunc("month", "o_orderdate").alias("month")
         )
         .agg(
             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
@@ -2429,17 +2462,19 @@ def rel_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("n_name").orderBy("month")
     laged = monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
-    return laged.select(
-        "n_name",
-        "month",
-        "rev_cents",
-        "prev_cents",
-        F.when(
-            F.col("prev_cents").isNull() | (F.col("prev_cents") == 0), F.lit(None)
+    return (
+        laged.filter(F.col("prev_cents").isNotNull())
+        .select(
+            "n_name",
+            "month",
+            "rev_cents",
+            "prev_cents",
+            F.when(F.col("prev_cents") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("rev_cents") - F.col("prev_cents")).cast("double")
+                / F.col("prev_cents")
+            )
+            .alias("growth"),
         )
-        .otherwise(
-            (F.col("rev_cents") - F.col("prev_cents")).cast("double")
-            / F.col("prev_cents")
-        )
-        .alias("growth"),
-    ).orderBy("n_name", "month")
+        .orderBy("n_name", "month")
+    )

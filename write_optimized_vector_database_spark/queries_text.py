@@ -1091,8 +1091,8 @@ ranked AS (
   FROM counts
 )
 SELECT CAST(n.n AS BIGINT) AS top_n,
-       MAX(cum) AS covered,
-       MAX(total) AS total_tokens,
+       MAX(cum)::BIGINT AS covered,
+       MAX(total)::BIGINT AS total_tokens,
        CAST(MAX(cum) AS DOUBLE) / MAX(total) AS coverage
 FROM ranked, (VALUES (10), (50), (100), (500)) n(n)
 WHERE r <= n.n
@@ -1251,7 +1251,7 @@ runs AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       MAX(running_chars) AS chars_admitted,
+       MAX(running_chars)::BIGINT AS chars_admitted,
        MIN(doc_id) AS min_doc_id
 FROM runs
 WHERE running_chars - n_chars < 30000
