@@ -97,7 +97,17 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # toPandas, NOT collect: the real driver fetches the Spark side
+            # through pandas too, so a nullable BIGINT column becomes
+            # float64+NaN on BOTH sides (witnessed green in r02/r03 for
+            # asof/epoch-diff queries that contain NULL ints), while a
+            # non-null BIGINT stays int64 and exposes a HUGEINT-float
+            # oracle the same way CORRECTNESS_r03 did.
+            spdf = sdf.toPandas()
+            srows = [
+                tuple(_pandas_to_py(v) for v in row)
+                for row in spdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1

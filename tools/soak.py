@@ -140,17 +140,26 @@ def run_corpus_scale(spark, rep: int) -> dict[str, float]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lo", type=int, default=160)
-    ap.add_argument("--hi", type=int, default=1600)
+    # per-mode defaults resolved after parsing (ADVICE r03: comparing
+    # against the other mode's default made e.g. an explicit `--lo 160`
+    # in corpus mode indistinguishable from "use the corpus default")
+    ap.add_argument("--lo", type=int, default=None,
+                    help="replication factor, low point (default 160; 1 with --corpus)")
+    ap.add_argument("--hi", type=int, default=None,
+                    help="replication factor, high point (default 1600; 10 with --corpus)")
     ap.add_argument("--corpus", action="store_true")
     args = ap.parse_args()
+    if args.lo is None:
+        args.lo = 1 if args.corpus else 160
+    if args.hi is None:
+        args.hi = 10 if args.corpus else 1600
 
     from write_optimized_vector_database_spark.session import get_spark
 
     spark = get_spark("soak")
     if args.corpus:
-        lo_rep = args.lo if args.lo != 160 else 1
-        hi_rep = args.hi if args.hi != 1600 else 10
+        lo_rep = args.lo
+        hi_rep = args.hi
         lo = run_corpus_scale(spark, lo_rep)
         hi = run_corpus_scale(spark, hi_rep)
         factor = hi["n_docs"] / lo["n_docs"]

@@ -149,8 +149,12 @@ def run_upsert(
             f"batch of {n} exceeds max_upsert_batch="
             f"{config.limits.max_upsert_batch}"
         )
+    # NULL op must count as bad: ~isin(...) evaluates to NULL for a NULL
+    # op and the filter would silently drop (i.e. accept) the row.
     bad_ops = (
-        changelog.filter(~F.col("op").isin("UPSERT", "DELETE", "FENCE"))
+        changelog.filter(
+            F.col("op").isNull() | ~F.col("op").isin("UPSERT", "DELETE", "FENCE")
+        )
         .limit(1)
         .count()
     )

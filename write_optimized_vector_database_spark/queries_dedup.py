@@ -20,6 +20,29 @@ from write_optimized_vector_database_spark.sources.tables import load_table
 # where 4×4 banding floods buckets (measured 5× fewer candidates at sf0.1)
 _NUM_HASHES, _BANDS, _SHINGLE_N = 16, 2, 5
 
+# Bounded signature cache (ADVICE r03: persisted signatures used to leak —
+# four registry queries each persisted their own copy and never released
+# it, accumulating cached partitions across a long driver run). One slot:
+# a repeat call with the same (corpus, sf_dir) key inside one session
+# reuses the persisted signatures; any new key unpersists the old entry
+# first, so at most one signature set is ever cached.
+_SIG_CACHE: dict = {}
+
+
+def _persisted_signatures(docs_df: DataFrame, key: tuple) -> DataFrame:
+    key = (id(docs_df.sparkSession),) + key
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in list(_SIG_CACHE):
+        try:
+            _SIG_CACHE.pop(k).unpersist()
+        except Exception:  # noqa: BLE001 — a dead session's cache entry
+            pass
+    sig = D.minhash_signatures(docs_df, _NUM_HASHES, _SHINGLE_N).persist()
+    _SIG_CACHE[key] = sig
+    return sig
+
 # Shared DuckDB CTE: doc shingle hashes (distinct char-5-grams → 32-bit
 # portable hash). `range` is non-lateral in DuckDB 1.0, so cross-join a
 # fixed index range and filter (docs are ≤ ~4k chars in the fixtures).
@@ -163,7 +186,7 @@ def doc_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     form inside LSH band buckets."""
     docs = _docs(spark, sf_dir)
     # signatures feed the band join AND both estimate sides — persist once
-    sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N).persist()
+    sig = _persisted_signatures(docs, ("docs", sf_dir))
     pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
     est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
     from write_optimized_vector_database_spark.operators.topk import ranked_top_n
@@ -224,7 +247,7 @@ def doc_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist (top-200) → exact n-gram Jaccard verification. The exact
     stage — the expensive one — only ever sees a bounded shortlist."""
     docs = _docs(spark, sf_dir)
-    sig = D.minhash_signatures(docs, _NUM_HASHES, _SHINGLE_N).persist()
+    sig = _persisted_signatures(docs, ("docs", sf_dir))
     pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
     est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
     from write_optimized_vector_database_spark.operators.topk import ranked_top_n
@@ -459,9 +482,18 @@ def doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source. Everything runs JVM-side: sequence/explode for
     positions, column-arg substring, md5 -- no Python in the plan."""
     docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    # For a doc shorter than 16 chars, length-15 < 1 and F.sequence would
+    # generate a DESCENDING range (1, 0, -1, ...) of bogus positions,
+    # while the oracle's range(1, length-14) is simply empty — emit an
+    # empty array for short docs so both engines agree.
+    upper = F.length("text") - F.lit(15)
     pos = docs.select(
         "doc_id", "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(15))).alias("p"),
+        F.explode(
+            F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("p"),
     )
     bnd = pos.filter(
         F.md5(F.substring(F.col("text"), F.col("p"), F.lit(16))).startswith("0")
@@ -583,7 +615,7 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sig = D.minhash_signatures(corpus, _NUM_HASHES, _SHINGLE_N).persist()
+    sig = _persisted_signatures(corpus, ("cluster_corpus", sf_dir))
     pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
     est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
     prs = est.filter(F.col("jaccard_est") >= 0.6)
@@ -787,7 +819,7 @@ def doc_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sig = D.minhash_signatures(corpus, _NUM_HASHES, _SHINGLE_N).persist()
+    sig = _persisted_signatures(corpus, ("tailed_corpus", sf_dir))
     pairs = D.lsh_candidate_pairs(sig, _NUM_HASHES, _BANDS)
     est = D.minhash_jaccard_estimate(sig, pairs, _NUM_HASHES)
     prs = est.filter(F.col("jaccard_est") >= 0.5)
@@ -903,15 +935,18 @@ def doc_containment_near_supersets(spark: SparkSession, sf_dir: str) -> DataFram
         F.substring("text", 1, 240).alias("text"),
     )
     corpus = docs.unionByName(snippets)
-    # (doc_id, sh) is distinct by construction (char_shingles dedups
-    # per doc), so ONE groupBy(sh) builds df-capped posting lists and
-    # every downstream count is a plain count — no countDistinct, no
+    # ONE groupBy(sh) builds df-capped posting lists and every
+    # downstream count is a plain count — no countDistinct, no
     # posting-table self-join. Pairs explode inline from the sorted
-    # ≤cap-sized list (bounded cap·(cap-1)/2 per shingle).
+    # ≤cap-sized list (bounded cap·(cap-1)/2 per shingle). collect_SET,
+    # not list (ADVICE r03): (doc_id, shingle) is distinct per doc, but
+    # two distinct shingles in one doc can collide to the same 32-bit
+    # sh — a duplicated doc_id would inflate sizes and emit
+    # doc_a == doc_b pairs, while the oracle's COUNT(DISTINCT) dedups.
     shh = D.shingle_hashes(corpus, n=_CONTAIN_SHINGLE_N)
     posting = (
         shh.groupBy("sh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") <= _CONTAIN_DF_CAP)
     )
     # posting feeds both branches below; the shared groupBy(sh) exchange

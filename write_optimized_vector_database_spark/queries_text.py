@@ -1596,7 +1596,7 @@ spans AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_spans,
-       SUM(span_len) AS n_masked,
+       SUM(span_len)::BIGINT AS n_masked,
        MIN(span_start) AS first_span,
        MAX(span_len) AS max_span_len
 FROM spans GROUP BY doc_id ORDER BY doc_id
