@@ -138,3 +138,42 @@ def test_delta_fraction(spark, coll, sf_dir):
     coll.ingest(b)
     frac = coll.delta_fraction()
     assert 0.0 < frac < 0.05
+
+
+def test_snapshot_files_nonoverlapping_id_hash(spark, coll, sf_dir):
+    """S7 layout gate: compacted snapshot files must be NON-OVERLAPPING
+    in id_hash (repartitionByRange before the sorted write), so a point
+    lookup prunes to one file's row groups. Checked from the actual
+    parquet footers, the same stats the scan planner reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    coll.ingest(synthetic_changelog(spark, sf_dir))
+    # at fixture scale AQE correctly coalesces the range exchange to one
+    # partition (the 100 TB behavior is many advisory-sized files); pin
+    # the advisory size down so the layout property is observable here
+    knobs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k) for k in knobs}
+    for k, v in knobs.items():
+        spark.conf.set(k, v)
+    try:
+        coll.compact()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    snap_dir = coll._current_dir()
+    ranges = []
+    for f in glob.glob(f"{snap_dir.removeprefix('file:')}/*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("id_hash")
+        mn = min(md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups))
+        mx = max(md.row_group(rg).column(idx).statistics.max for rg in range(md.num_row_groups))
+        ranges.append((mn, mx))
+    assert len(ranges) > 1, "layout gate needs a multi-file snapshot"
+    ranges.sort()
+    for (_, prev_max), (next_min, _) in zip(ranges, ranges[1:]):
+        assert prev_max <= next_min, "snapshot files overlap in id_hash"
