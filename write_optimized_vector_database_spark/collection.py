@@ -329,59 +329,52 @@ class VectorCollection:
             return  # nothing new since the snapshot (e.g. post-vacuum)
         log = self.changelog()
         max_epoch = log.agg(F.max("epoch")).collect()[0][0]
-        # snapshot anti-join tail merge, persisted for the duration of the
-        # compaction: the range writer's boundary-sampling pass, the write
-        # itself, and the post-write ANALYZE all read it, and without the
-        # persist each would recompute the merge. (MEMORY_AND_DISK is the
-        # default storage level, so an executor that can't hold its slice
-        # spills instead of recomputing at 100 TB.)
-        base = self.current().persist()
-        try:
-            ver = f"current_v{int(time.time() * 1000)}"
-            new_dir = f"{self.path}/{ver}"
-            # repartitionByRange, not the inherited hash layout: hash
-            # partitioning leaves every output file spanning the full
-            # id_hash domain, so the per-file min/max zone maps the sort
-            # exists for could never prune a file. Range partitioning
-            # makes the files non-overlapping in id_hash — a point lookup
-            # touches ONE file's row groups — and stays balanced because
-            # id_hash is uniform. One extra range exchange per
-            # compaction, amortized over every read until the next one.
-            self._with_bloom(
-                base.repartitionByRange("id_hash")
-                .sortWithinPartitions("id_hash")
-                .write
-            ).mode("overwrite").parquet(new_dir)
-            self.fs.write_text_atomic(
-                f"{new_dir}/_SNAPSHOT_META.json",
-                json.dumps({"snapshot_epoch": int(max_epoch)}),
-            )
-            _fault("snapshot_written")
-            self.fs.write_text_atomic(f"{self.path}/_CURRENT", ver)
-            _fault("pointer_swapped")
-            # merge-write: the meta file also carries index_epoch and the
-            # write-amplification counters — clobbering it would silently
-            # turn the post-index delta generation invisible to
-            # topk_two_phase after a compact+vacuum cycle. Telemetry only:
-            # losing the last WA sample to a crash is acceptable;
-            # correctness state lives in the snapshot marker above.
-            meta = self._meta()
-            physical = meta.get("bytes_physical", 0) + self._dir_bytes(ver)
-            logical = meta.get("bytes_logical", 0)
-            history = meta.get("wa_history", [])
-            if logical > 0:
-                history = history + [round(physical / logical, 4)]
-            self._meta_update(bytes_physical=physical, wa_history=history)
-            # refresh planner stats off the rows just written — the CBO
-            # analogue of ANALYZE TABLE after a rewrite (base is cached
-            # and has exactly the written content, so no re-read)
-            self.analyze(base)
-            # GC superseded snapshot versions (and crashed half-written
-            # ones). Single-writer assumption; a real deployment adds
-            # retention lag for in-flight readers of the old version.
-            self.fs.cleanup_dirs(self.path, "current_", keep={ver})
-        finally:
-            base.unpersist()
+        base = self.current()  # snapshot anti-join tail merge (no snapshot re-window)
+        ver = f"current_v{int(time.time() * 1000)}"
+        new_dir = f"{self.path}/{ver}"
+        # sortWithinPartitions WITHOUT a range exchange, and NO persist of
+        # the merge — both measured on the 10x soak, not assumed:
+        # a repartitionByRange("id_hash") makes files non-overlapping
+        # (file-level pruning) but re-shuffles the entire snapshot per
+        # compaction (exponent 0.21 -> 1.08, 7 s -> 62 s); persisting the
+        # merge "to share it with ANALYZE" caches every vector in
+        # executor memory and the added pressure made compact near-linear
+        # again (e = 0.82). Point lookups are served shuffle-free by the
+        # within-file sort (row-group zone maps) plus parquet bloom on
+        # id/id_hash, and ANALYZE instead re-reads the just-written
+        # parquet with column pruning — tenant/namespace/tags only, never
+        # the vectors.
+        self._with_bloom(
+            base.sortWithinPartitions("id_hash").write
+        ).mode("overwrite").parquet(new_dir)
+        self.fs.write_text_atomic(
+            f"{new_dir}/_SNAPSHOT_META.json",
+            json.dumps({"snapshot_epoch": int(max_epoch)}),
+        )
+        _fault("snapshot_written")
+        self.fs.write_text_atomic(f"{self.path}/_CURRENT", ver)
+        _fault("pointer_swapped")
+        # merge-write: the meta file also carries index_epoch and the
+        # write-amplification counters — clobbering it would silently turn
+        # the post-index delta generation invisible to topk_two_phase
+        # after a compact+vacuum cycle. Telemetry only: losing the last
+        # WA sample to a crash is acceptable; correctness state lives in
+        # the snapshot marker above.
+        meta = self._meta()
+        physical = meta.get("bytes_physical", 0) + self._dir_bytes(ver)
+        logical = meta.get("bytes_logical", 0)
+        history = meta.get("wa_history", [])
+        if logical > 0:
+            history = history + [round(physical / logical, 4)]
+        self._meta_update(bytes_physical=physical, wa_history=history)
+        # refresh planner stats off the snapshot just written — the CBO
+        # analogue of ANALYZE TABLE after a rewrite (column-pruned
+        # re-read: the vector column never loads)
+        self.analyze(self.spark.read.parquet(new_dir))
+        # GC superseded snapshot versions (and crashed half-written ones).
+        # Single-writer assumption; a real deployment adds retention lag
+        # for in-flight readers of the old version.
+        self.fs.cleanup_dirs(self.path, "current_", keep={ver})
 
     def vacuum(self) -> int:
         """Retention: delete changelog files fully covered by the current
