@@ -73,6 +73,23 @@ def main() -> None:
     # synthesize the WAL-shaped changelog from the embeddings fixture and
     # ingest it (dedup + normalize + hash + parquet append) into a scratch
     # collection, then compact. Wall seconds reported like any query.
+    #
+    # Release everything the registry prelude cached first: persisted
+    # DataFrames (minhash signature cache), catalog cache, and the
+    # streaming state-store providers all share this JVM's 8g heap, and
+    # the leftover pressure was measured to degrade the index-build and
+    # two-phase timings below by up to 10x versus a fresh session.
+    try:
+        from write_optimized_vector_database_spark.queries_dedup import _SIG_CACHE
+
+        for df in list(_SIG_CACHE.values()):
+            df.unpersist(blocking=True)
+        _SIG_CACHE.clear()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: sig-cache release failed: {e}", file=sys.stderr)
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
     import shutil
     import tempfile
 
