@@ -2409,7 +2409,10 @@ def vec_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("nprobe", "query_id", "vec_id")
     )
-    ex = levels.crossJoin(exact)
+    # broadcast the 4-row levels side explicitly: without the hint this
+    # cross joins two non-broadcast plans and Catalyst falls back to
+    # CartesianProduct (flagged by tools/plan_audit.py)
+    ex = exact.crossJoin(F.broadcast(levels))
     ap = approx.select(
         F.col("nprobe").alias("a_nprobe"),
         F.col("query_id").alias("a_qid"),
