@@ -93,3 +93,85 @@ def test_streaming_latest_by_id_matches_batch_model(spark, tmp_path):
     assert final[0] == (100, "UPSERT", True)
     assert final[5] == (5, "INSERT", True)
     assert len(final) == 10
+
+
+def test_streaming_topk_merges_across_batches(spark, tmp_path):
+    """Continuous top-k maintenance: vectors arriving in TWO separate
+    micro-batches must converge to exactly the batch top-k over the
+    union — the cross-batch merge is the whole point of the state."""
+    import math
+
+    from write_optimized_vector_database_spark.streaming.stateful import (
+        streaming_topk,
+    )
+
+    VEC_DDL = "vec_id long, embedding array<float>"
+    dim = 4
+    rows = [(i, [float(math.sin(i * 7 + d)) for d in range(dim)]) for i in range(40)]
+    src = str(tmp_path / "vecsrc")
+    # batch 1 = even ids, batch 2 = odd ids — the global top-k mixes both
+    spark.createDataFrame([r for r in rows if r[0] % 2 == 0], VEC_DDL).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    q = spark.createDataFrame(rows[:2], VEC_DDL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.lit(1).alias("__one"),
+    )
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    stream = (
+        spark.readStream.schema(VEC_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(q), "__one")
+        .select("query_id", "vec_id", dot_product("query_vec", "embedding").alias("score"))
+    )
+    sq = (
+        streaming_topk(stream, k=5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("topk_stream")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+        spark.createDataFrame([r for r in rows if r[0] % 2 == 1], VEC_DDL).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    got = (
+        spark.sql(
+            """
+            SELECT query_id, vec_id, rank FROM (
+              SELECT *, max(n_seen) OVER (PARTITION BY query_id) AS mx
+              FROM topk_stream
+            ) WHERE n_seen = mx
+            """
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    # batch truth over the full vector set
+    from pyspark.sql import Window
+
+    full = spark.createDataFrame(rows, VEC_DDL).withColumn("__one", F.lit(1)).join(
+        F.broadcast(q), "__one"
+    ).select("query_id", "vec_id", dot_product("query_vec", "embedding").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    want = (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # and every query's final frontier saw ALL 40 vectors
+    n_seen = spark.sql("SELECT max(n_seen) AS m FROM topk_stream").first().m
+    assert n_seen == 40

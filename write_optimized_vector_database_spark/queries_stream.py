@@ -678,3 +678,90 @@ def evt_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFra
         .select("user_id", "cms_count", "n_exact", F.col("rank").cast("long").alias("rank"))
         .orderBy("rank")
     )
+
+
+@register(
+    "vec_streaming_topk_maintenance",
+    # oracle = the BATCH exact top-k (same SQL as vec_topk_ip_exact):
+    # a correctly maintained streaming top-k must converge to exactly
+    # the batch answer once the stream drains, whatever the batch split.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+""",
+    survey_ref="Q2/Q12/Q14 + S4 streaming state (continuous top-k maintenance)",
+    tags=["streaming", "vector", "topk", "stateful"],
+)
+def vec_streaming_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming ANN maintenance: vectors arrive as a file
+    stream, are scored JVM-side against the broadcast 8-query batch
+    (the same bit-exact dot-product fold as the batch operator), and a
+    GroupState per query maintains the running top-10 across
+    micro-batches — the online form of 'index the stream and keep the
+    current answer warm'. State is O(k) per query; the final emission
+    per query (max n_seen) must hash-equal the batch exact top-k.
+
+    100 TB shape: scoring stays in whole-stage codegen before the
+    state shuffle; only (query_id, vec_id, score) triples reach the
+    state store, and |queries| x k state rows shard across executors."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+    from write_optimized_vector_database_spark.sources.tables import (
+        embeddings_stream_source,
+        load_table,
+    )
+    from write_optimized_vector_database_spark.streaming.stateful import streaming_topk
+
+    stream = embeddings_stream_source(spark, sf_dir)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.lit(1).alias("__one"),
+        )
+    )
+    scored = (
+        stream.withColumn("__one", F.lit(1))
+        .join(F.broadcast(q), "__one")
+        .select(
+            "query_id",
+            "vec_id",
+            dot_product("query_vec", "embedding").alias("score"),
+        )
+    )
+    name = f"vec_topk_stream_{int(time.time() * 1000)}"
+    with _state_partitions(spark):
+        sq = (
+            streaming_topk(scored, k=10)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+    t = spark.table(name)
+    wmax = Window.partitionBy("query_id")
+    return (
+        t.withColumn("__mx", F.max("n_seen").over(wmax))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select("query_id", "vec_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )

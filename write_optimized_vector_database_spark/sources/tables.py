@@ -123,3 +123,18 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def embeddings_stream_source(
+    spark: SparkSession, src_dir: str, path_glob: str | None = "embeddings.parquet"
+) -> DataFrame:
+    """readStream over the embeddings fixture (vec_id, embedding, label).
+
+    File-stream sources need an explicit schema; the embeddings fixture
+    has kept one stable shape across driver generations."""
+    reader = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    )
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.parquet(src_dir.rstrip("/"))

@@ -119,3 +119,61 @@ def running_user_cents(events_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _streaming_topk_fn_for(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (query_id,) = key
+        if state.exists:
+            scores, ids, n_seen = state.get
+            scores, ids = list(scores), list(ids)
+        else:
+            scores, ids, n_seen = [], [], 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            scores.extend(float(s) for s in pdf["score"])
+            ids.extend(int(v) for v in pdf["vec_id"])
+        # merge-then-truncate: state never holds more than k entries
+        # between batches; the scores were computed JVM-side before the
+        # shuffle, so no float arithmetic happens here — only ordering,
+        # which ties deterministically on (score desc, vec_id asc)
+        order = sorted(range(len(scores)), key=lambda i: (-scores[i], ids[i]))[:k]
+        scores = [scores[i] for i in order]
+        ids = [ids[i] for i in order]
+        state.update((scores, ids, n_seen))
+        yield pd.DataFrame(
+            {
+                "query_id": [query_id] * len(ids),
+                "vec_id": ids,
+                "score": scores,
+                "rank": list(range(1, len(ids) + 1)),
+                "n_seen": [n_seen] * len(ids),
+            }
+        )
+
+    return fn
+
+
+def streaming_topk(scored_stream, k: int = 10):
+    """Continuous top-k maintenance over a stream of scored candidates —
+    the streaming form of the exact top-k operator (Q2/Q12): per query,
+    GroupState holds the current k best (score, vec_id) pairs and each
+    micro-batch merges its candidates in. State is O(k) per query
+    regardless of stream length; emitted rows carry `n_seen` so the
+    final frontier per query is the emission with the max n_seen.
+
+    100 TB shape: the expensive part (scoring) runs JVM-side before the
+    groupBy(query_id) shuffle, so each micro-batch moves only
+    (query_id, vec_id, score) triples; state is |queries| x k rows
+    sharded across executors like any keyed state."""
+    return scored_stream.groupBy("query_id").applyInPandasWithState(
+        _streaming_topk_fn_for(k),
+        outputStructType=(
+            "query_id long, vec_id long, score double, rank long, n_seen long"
+        ),
+        stateStructType="scores array<double>, ids array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
