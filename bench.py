@@ -162,6 +162,11 @@ def main() -> None:
         extra_metrics = {
             "ingest_ops_per_s": round(n_ops / dt, 1),
             "write_amplification": wa["wa_now"],
+            # BASELINE targets are percentile-shaped (p50<=2.3 / p95<=2.6,
+            # types.h:144-145) — report the compaction history percentiles
+            # alongside the point sample
+            "write_amplification_p50": wa.get("wa_p50"),
+            "write_amplification_p95": wa.get("wa_p95"),
             "recovery_s": recovery_s,
         }
         print(
@@ -175,6 +180,30 @@ def main() -> None:
         timings["ingest_changelog"] = -1.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # BASELINE.md row "exact top-k, 100-query batch": amortized per-query
+    # cost at the reference's max batch size (config.h:180). The serving
+    # p99 target is a latency number; the batch-engine analog is
+    # throughput, so report ms/query over one 100-query job.
+    try:
+        from pyspark.sql import functions as F
+
+        from write_optimized_vector_database_spark.operators.topk import exact_topk
+
+        emb100 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q100 = emb100.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        t0 = time.time()
+        n_rows = exact_topk(emb100, q100, k=10, metric="ip").count()
+        dt100 = time.time() - t0
+        assert n_rows == 100 * 10
+        extra_metrics["exact_topk_batch100"] = {
+            "wall_s": round(dt100, 3),
+            "ms_per_query": round(dt100 * 1000.0 / 100, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in batch100: {e}", file=sys.stderr)
 
     # recall telemetry: measured recall@10 of each ANN path vs the exact
     # scan at SERVING settings (the tunable knob swept like the
