@@ -2715,3 +2715,75 @@ def emb_pq_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+_PI_ONES = ", ".join(["1.0"] * 64)
+
+
+@register(
+    "emb_power_iteration_top_component",
+    # iterative linear algebra with EXACT-INTEGER synchronization: two
+    # power-iteration steps v <- (X'X)v toward the top principal
+    # direction of the embedding gram matrix. Each matvec quantizes its
+    # per-row contributions floor(s_i * x_id * 1e6 + 1/2) to BIGINT
+    # before the per-dimension SUM, so every sync point is an exact
+    # integer vector — partitioning and summation order never leak into
+    # the result, which is what makes an ITERATIVE algorithm
+    # hash-checkable across engines at all. Normalization divides the
+    # exact integers back to double once per iteration (same IEEE ops
+    # both sides).
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, u.i - 1 AS d, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, 65)) u(i)
+),
+s1 AS (
+  SELECT vec_id,
+         list_inner_product(embedding::DOUBLE[], [{_PI_ONES}]::DOUBLE[]) AS s
+  FROM embeddings
+),
+w1 AS (
+  SELECT e.d, SUM(CAST(floor(s1.s * e.x * 1000000.0 + 0.5) AS BIGINT)) AS w
+  FROM e JOIN s1 ON s1.vec_id = e.vec_id
+  GROUP BY e.d
+),
+n1 AS (SELECT sqrt(CAST(SUM(w::HUGEINT * w::HUGEINT) AS DOUBLE)) AS norm FROM w1),
+v1 AS (
+  SELECT list(CAST(w1.w AS DOUBLE) / n1.norm ORDER BY w1.d) AS v
+  FROM w1, n1
+),
+s2 AS (
+  SELECT m.vec_id, list_inner_product(m.embedding::DOUBLE[], v1.v) AS s
+  FROM embeddings m, v1
+),
+w2 AS (
+  SELECT e.d, SUM(CAST(floor(s2.s * e.x * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS w
+  FROM e JOIN s2 ON s2.vec_id = e.vec_id
+  GROUP BY e.d
+),
+n2 AS (SELECT sqrt(CAST(SUM(w::HUGEINT * w::HUGEINT) AS DOUBLE)) AS norm FROM w2)
+SELECT CAST(w2.d AS INT) AS d, w2.w AS w_units,
+       CAST(w2.w AS DOUBLE) / n2.norm AS loading
+FROM w2, n2 ORDER BY d
+""",
+    survey_ref="[EXT] iterative linear algebra (power iteration, exact-integer sync)",
+    tags=["vector", "analytics", "iterative"],
+)
+def emb_power_iteration_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration toward the top principal direction of the
+    embedding gram matrix — the iterative-algorithm pattern (PageRank /
+    ALS / PCA family) under this engine's determinism discipline
+    (operators/linalg.py). One driver-synchronized (X'X)v step from
+    v0 = 1⃗, then the final step and normalization in-plan. Convergence
+    follows the textbook λ2/λ1 rate: the near-isotropic fixture
+    demonstrates the MECHANISM (tests/test_linalg.py gates convergence
+    on planted-signal data where two steps provably align).
+
+    100 TB shape: per iteration one scan + one 64-group aggregation
+    with map-side partials; driver state is O(dim), never O(rows)."""
+    from write_optimized_vector_database_spark.operators.linalg import (
+        power_iteration_loadings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return power_iteration_loadings(emb, dim=64, sync_iters=1)
