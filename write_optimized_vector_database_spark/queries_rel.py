@@ -2478,3 +2478,84 @@ def rel_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "month")
     )
+
+
+@register(
+    "evt_time_to_convert",
+    # conversion-latency distribution: per first-view cohort week, the
+    # exact interpolated percentiles of view->purchase latency in whole
+    # seconds. Latencies are exact integers (epoch-us difference // 1e6)
+    # so quantile interpolation is deterministic cross-engine.
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts::TIMESTAMP END) AS t_view
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id, f.t_view, MIN(e.ts::TIMESTAMP) AS t_purchase
+  FROM firsts f
+  JOIN events e ON e.user_id = f.user_id
+   AND e.event_type = 'purchase' AND e.ts::TIMESTAMP > f.t_view
+  WHERE f.t_view IS NOT NULL
+  GROUP BY f.user_id, f.t_view
+),
+lat AS (
+  SELECT date_trunc('week', t_view) AS cohort_week,
+         (epoch_us(t_purchase) - epoch_us(t_view)) // 1000000 AS secs
+  FROM conv
+)
+SELECT cohort_week,
+       COUNT(*) AS n_converted,
+       quantile_cont(secs, 0.25) AS p25_secs,
+       quantile_cont(secs, 0.5) AS p50_secs,
+       quantile_cont(secs, 0.9) AS p90_secs,
+       MAX(secs) AS max_secs
+FROM lat GROUP BY cohort_week ORDER BY cohort_week
+""",
+    survey_ref="[EXT] conversion-latency distribution (funnel timing percentiles)",
+    tags=["events", "agg", "analytics", "funnel"],
+)
+def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert report: for each user's FIRST view, the latency
+    to their first subsequent purchase, aggregated per first-view
+    cohort week as exact interpolated percentiles — the funnel-timing
+    companion to the step-count funnel (evt_session_funnel). Integer
+    seconds make the quantile interpolation bit-deterministic.
+
+    100 TB shape: the per-user min collapses the log map-side; the
+    conversion join is an equality join on user_id against that small
+    per-user frame; percentiles aggregate |cohorts| groups."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    ).filter(F.col("t_view").isNotNull())
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(purchases, "user_id")
+        .filter(F.col("p_ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    lat = conv.select(
+        F.date_trunc("week", "t_view").alias("cohort_week"),
+        (
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("secs"),
+    )
+    return (
+        lat.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.percentile("secs", F.lit(0.25)).alias("p25_secs"),
+            F.percentile("secs", F.lit(0.5)).alias("p50_secs"),
+            F.percentile("secs", F.lit(0.9)).alias("p90_secs"),
+            F.max("secs").alias("max_secs"),
+        )
+        .orderBy("cohort_week")
+    )

@@ -1735,3 +1735,61 @@ def doc_code_vs_prose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_prose_punct",
         (F.col("n_code_chars") * 50 > F.col("n_chars")).alias("is_code"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_quantile_filter",
+    # per-group learned-threshold filter: each source keeps only docs at
+    # or above its own median length — the "filter by a per-domain
+    # quantile threshold" pipeline stage (quality cutoffs are usually
+    # set per source, not globally). The median interpolates on exact
+    # integers, so the threshold — and therefore the kept set — is
+    # bit-deterministic.
+    oracle="""
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS thresh
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       COUNT(*) AS n_kept,
+       (SELECT COUNT(*) FROM documents t WHERE t.source = d.source)::BIGINT
+         AS n_total,
+       MIN(d.n_chars) AS min_kept_chars,
+       m.thresh AS thresh
+FROM documents d JOIN med m ON m.source = d.source
+WHERE CAST(d.n_chars AS DOUBLE) >= m.thresh
+GROUP BY d.source, m.thresh
+ORDER BY d.source
+""",
+    survey_ref="[EXT] per-group quantile threshold filter (quality cutoff stage)",
+    tags=["text", "agg", "quality", "pipeline"],
+)
+def doc_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median-length cutoff: compute each source's exact
+    interpolated median n_chars, keep docs at/above it, report kept
+    counts and the threshold — the per-domain quality-gate stage of a
+    curation pipeline, with a deterministic threshold.
+
+    100 TB shape: the quantile aggregates per source (map-side
+    partials), the |sources|-row threshold frame broadcasts back onto
+    the scan, and the filter is a plain comparison — no sort of the
+    corpus, no global quantile state."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("thresh")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = (
+        docs.join(F.broadcast(med), "source")
+        .filter(F.col("n_chars").cast("double") >= F.col("thresh"))
+        .groupBy("source", "thresh")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_kept_chars"),
+        )
+    )
+    return (
+        kept.join(F.broadcast(totals), "source")
+        .select("source", "n_kept", "n_total", "min_kept_chars", "thresh")
+        .orderBy("source")
+    )
