@@ -2787,3 +2787,214 @@ def emb_power_iteration_top_component(spark: SparkSession, sf_dir: str) -> DataF
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return power_iteration_loadings(emb, dim=64, sync_iters=1)
+
+
+@register(
+    "mut_storage_lifecycle_roundtrip",
+    # S3/S8/S9 witnessed under the driver gate: the REAL storage
+    # lifecycle (ingest to parquet changelog -> compact to a sorted
+    # snapshot -> vacuum the covered WAL files -> COLD-reopen the
+    # collection) runs against scratch storage, and the recovered
+    # visible state is summarized into facts the pure-SQL changelog
+    # twin derives independently. Any corruption in compaction, the
+    # retention sweep, or the manifest/recovery path diverges a count,
+    # an id checksum, or the epoch watermark. `vacuum_clean` asserts
+    # the WAL retention contract itself (a fully-covered changelog
+    # vacuums to zero files) — a storage invariant, constant TRUE in
+    # the twin.
+    oracle=_VISIBLE_CTE
+    + """
+SELECT COUNT(*) AS n_visible,
+       COUNT(DISTINCT tenant) AS n_tenants,
+       COUNT(DISTINCT namespace) AS n_namespaces,
+       MAX(epoch) AS max_epoch,
+       SUM(id)::BIGINT AS id_sum,
+       SUM(id::HUGEINT * id::HUGEINT)::BIGINT AS id_sq_sum,
+       TRUE AS vacuum_clean
+FROM visible
+""",
+    survey_ref="S3 (vacuum), S8 (compaction), S9 (manifest + cold reopen)",
+    tags=["mutation", "storage", "lifecycle"],
+)
+def mut_storage_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full storage lifecycle against real scratch storage: ingest the
+    synthetic changelog, compact, vacuum, reopen COLD (fresh object,
+    fresh file listings — the single-JVM analog of restart recovery),
+    and summarize the recovered visible state. The summary row is
+    collected eagerly so the scratch directory can be removed before
+    returning — the imperative lifecycle has already run its jobs, so
+    this adds no extra pass over data.
+
+    100 TB shape: every step is the production path (no test doubles) —
+    compaction is the single sorted pass, vacuum reads only parquet
+    footers, recovery cost is file listing + meta read."""
+    import shutil
+    import tempfile
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.changelog import (
+        synthetic_changelog,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="lifecycle_")
+    try:
+        coll = VectorCollection(spark, tmp, metric="ip")
+        coll.ingest(synthetic_changelog(spark, sf_dir))
+        coll.compact()
+        coll.vacuum()
+        files_left = [
+            f
+            for f in coll.fs.walk_files(f"{tmp}/changelog")
+            if f.endswith(".parquet")
+        ]
+        reopened = VectorCollection(spark, tmp, metric="ip")
+        row = (
+            reopened.current()
+            .agg(
+                F.count(F.lit(1)).alias("n_visible"),
+                F.countDistinct("tenant").alias("n_tenants"),
+                F.countDistinct("namespace").alias("n_namespaces"),
+                F.max("epoch").alias("max_epoch"),
+                F.sum("id").alias("id_sum"),
+                F.sum(
+                    (F.col("id").cast("decimal(38,0)") * F.col("id").cast("decimal(38,0)")).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                .cast("long")
+                .alias("id_sq_sum"),
+            )
+            .first()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                row["n_visible"],
+                row["n_tenants"],
+                row["n_namespaces"],
+                row["max_epoch"],
+                row["id_sum"],
+                row["id_sq_sum"],
+                len(files_left) == 0,
+            )
+        ],
+        "n_visible long, n_tenants long, n_namespaces long, max_epoch long, "
+        "id_sum long, id_sq_sum long, vacuum_clean boolean",
+    )
+
+
+@register(
+    "mut_compaction_trigger_report",
+    # M2 witnessed under the driver gate: the per-shard segment
+    # descriptor stats feeding the compaction trigger (tombstone ratio
+    # vs the 0.2 threshold, reference types.h:94-106 / config.h:57),
+    # over the reference's own sharding rule (id-hash modulo — 16-way
+    # msg-buf shards, msg-buf.h:63-74). The ratio is an exact-count
+    # division, so the trigger decision is bit-deterministic.
+    oracle="WITH "
+    + SYNTHETIC_CHANGELOG_SQL.strip()
+    + """,
+shards AS (
+  SELECT id % 16 AS shard, op, epoch FROM changelog
+)
+SELECT shard,
+       COUNT(*) AS n_rows,
+       MIN(epoch) AS min_epoch,
+       MAX(epoch) AS max_epoch,
+       CAST(SUM(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS tombstone_ratio,
+       (CAST(SUM(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*)) > 0.2 AS needs_compaction
+FROM shards GROUP BY shard ORDER BY shard
+""",
+    survey_ref="M2 (tombstone-ratio tracking), S8 trigger",
+    tags=["mutation", "storage", "analytics"],
+)
+def mut_compaction_trigger_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-descriptor stats per 16-way id shard of the synthetic
+    changelog — row counts, epoch zone maps, tombstone ratio, and the
+    resulting compaction trigger decision (ratio > 0.2). This is the
+    production segment_stats/needs_compaction path whose output the
+    compaction scheduler consumes, surfaced as data.
+
+    100 TB shape: one group-by over the changelog with map-side
+    partials; the report is |shards| rows and the trigger reads only
+    this frame, never the data."""
+    from write_optimized_vector_database_spark.operators.changelog import (
+        synthetic_changelog,
+    )
+    from write_optimized_vector_database_spark.operators.compaction import (
+        segment_stats,
+    )
+
+    log = synthetic_changelog(spark, sf_dir).withColumn(
+        "shard", F.col("id") % 16
+    )
+    stats = segment_stats(log, "shard")
+    return (
+        stats.select(
+            "shard",
+            "n_rows",
+            "min_epoch",
+            "max_epoch",
+            "tombstone_ratio",
+            (F.col("tombstone_ratio") > 0.2).alias("needs_compaction"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "mut_bloom_pruned_lookup",
+    # Q10 witnessed under the driver gate: point lookups served through
+    # the REAL compacted snapshot — the parquet files carrying the
+    # bloom filters on id/id_hash and the within-file id_hash sort
+    # (zone maps). The looked-up rows must equal the pure-SQL visible
+    # state at those ids; a present id missed by the bloom/zone path or
+    # a tombstoned id leaking through diverges the hash.
+    oracle=_VISIBLE_CTE
+    + """
+SELECT op, id, tenant, namespace, epoch FROM visible
+WHERE id IN (7, 42, 123, 250, 499)
+ORDER BY id
+""",
+    survey_ref="Q10 (bloom id pruning), Q13 over the compacted snapshot",
+    tags=["mutation", "storage", "lookup"],
+)
+def mut_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups against a freshly compacted collection: ingest the
+    synthetic changelog, compact (bloom-filtered, id_hash-sorted
+    snapshot), then `lookup([...])` — the production read path whose
+    row-group skipping the bloom/zone stats drive. Results collect
+    eagerly so the scratch storage can be removed before returning.
+
+    100 TB shape: the lookup is an id IN-filter over the snapshot scan;
+    parquet bloom on id skips row groups for absent keys and the
+    id_hash sort bounds present keys to one row group per file."""
+    import shutil
+    import tempfile
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.changelog import (
+        synthetic_changelog,
+    )
+
+    ids = [7, 42, 123, 250, 499]
+    tmp = tempfile.mkdtemp(prefix="bloomlkp_")
+    try:
+        coll = VectorCollection(spark, tmp, metric="ip")
+        coll.ingest(synthetic_changelog(spark, sf_dir))
+        coll.compact()
+        rows = [
+            (r["op"], r["id"], r["tenant"], r["namespace"], r["epoch"])
+            for r in coll.lookup(ids)
+            .select("op", "id", "tenant", "namespace", "epoch")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "op string, id long, tenant string, namespace string, epoch long"
+    ).orderBy("id")
