@@ -29,8 +29,10 @@ _NUM_HASHES, _BANDS, _SHINGLE_N = 16, 2, 5
 _SIG_CACHE: dict = {}
 
 
-def _persisted_signatures(docs_df: DataFrame, key: tuple) -> DataFrame:
-    key = (id(docs_df.sparkSession),) + key
+def _persisted(spark_session, key: tuple, build) -> DataFrame:
+    """One-slot keyed persist: reuse on an exact key hit, otherwise
+    unpersist whatever is cached and persist the freshly built frame."""
+    key = (id(spark_session),) + key
     cached = _SIG_CACHE.get(key)
     if cached is not None:
         return cached
@@ -39,9 +41,17 @@ def _persisted_signatures(docs_df: DataFrame, key: tuple) -> DataFrame:
             _SIG_CACHE.pop(k).unpersist()
         except Exception:  # noqa: BLE001 — a dead session's cache entry
             pass
-    sig = D.minhash_signatures(docs_df, _NUM_HASHES, _SHINGLE_N).persist()
-    _SIG_CACHE[key] = sig
-    return sig
+    built = build().persist()
+    _SIG_CACHE[key] = built
+    return built
+
+
+def _persisted_signatures(docs_df: DataFrame, key: tuple) -> DataFrame:
+    return _persisted(
+        docs_df.sparkSession,
+        ("sig",) + key,
+        lambda: D.minhash_signatures(docs_df, _NUM_HASHES, _SHINGLE_N),
+    )
 
 # Shared DuckDB CTE: doc shingle hashes (distinct char-5-grams → 32-bit
 # portable hash). `range` is non-lateral in DuckDB 1.0, so cross-join a
