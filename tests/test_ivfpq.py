@@ -120,3 +120,49 @@ def test_l2_metric_path(emb, index, queries, cents, cb):
     )
     r = recall_at_k(approx, exact_l2, k=10).agg(F.avg("recall").alias("r")).first()["r"]
     assert r >= 0.9, f"IVFPQ l2 recall {r} < 0.9"
+
+
+def test_spilled_encode_row_multiplicity(emb, cents, cb):
+    """spill=s stores each vector in its s nearest lists: s rows per id,
+    each row coding the residual against ITS OWN list (so ADC stays
+    consistent per posting list)."""
+    n = emb.count()
+    idx2 = ivfpq_encode(emb, cents, cb, spill=2)
+    assert idx2.count() == 2 * n
+    per_id = idx2.groupBy("vec_id").count()
+    assert per_id.filter(F.col("count") != 2).count() == 0
+    # the two copies sit in two DIFFERENT lists
+    lists_per_id = idx2.groupBy("vec_id").agg(
+        F.countDistinct("centroid_id").alias("nl")
+    )
+    assert lists_per_id.filter(F.col("nl") != 2).count() == 0
+
+
+def test_spilled_two_phase_no_duplicates_and_recall(emb, queries, cents, cb, exact):
+    """dedup_candidates collapses the multi-list copies: results carry no
+    duplicate (query, vec) pair, and recall at fixed nprobe is >= the
+    unspilled index's (coverage can only grow)."""
+    idx1 = ivfpq_encode(emb, cents, cb, spill=1).cache()
+    idx2 = ivfpq_encode(emb, cents, cb, spill=2).cache()
+    r = {}
+    for name, idx, dedup in (("s1", idx1, False), ("s2", idx2, True)):
+        out = ivfpq_two_phase_topk(
+            emb, idx, queries, cents, cb, k=10, nprobe=3, rerank_factor=4,
+            dedup_candidates=dedup,
+        ).cache()
+        dups = out.groupBy("query_id", "vec_id").count().filter(F.col("count") > 1)
+        assert dups.count() == 0
+        r[name] = recall_at_k(out, exact, 10).agg(F.avg("recall")).first()[0]
+    assert r["s2"] >= r["s1"], r
+    idx1.unpersist(); idx2.unpersist()
+
+
+def test_spill_guard():
+    with pytest.raises(ValueError, match="spill"):
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        emb = load_table(s, "/root/testdata/sf0.001", "embeddings")
+        c = train_centroids_kmeans(emb, nlist=4, seed=1)
+        cbx = train_ivfpq_codebooks(emb, c, dim=64, m=4)
+        ivfpq_encode(emb, c, cbx, spill=0)

@@ -138,3 +138,35 @@ def test_raw_code_index_still_dispatches(spark, tmp_path_factory, sf_dir, querie
     approx = c.topk_two_phase(queries, k=10, nprobe=12, rerank_factor=4)
     rec = recall_at_k(approx, exact, 10).agg(F.avg("recall")).collect()[0][0]
     assert rec >= 0.9, f"raw-code two-phase recall {rec}"
+
+
+def test_opq_spilled_collection_round_trip(spark, tmp_path_factory, sf_dir, queries):
+    """build_indexes(spill=2, use_opq=True): the manifest records both
+    knobs, the read path rotates only the query batch and dedups the
+    multi-list candidates, and results (a) contain no duplicate ids per
+    query, (b) reach the recall contract, (c) still suppress stale ids."""
+    c = VectorCollection(
+        spark, str(tmp_path_factory.mktemp("opqspill") / "c"), metric="ip"
+    )
+    c.ingest(synthetic_changelog(spark, sf_dir))
+    c.compact()
+    c.build_indexes(nlist=16, m=16, nbits=8, spill=2, use_opq=True)
+    meta = c._meta()
+    assert meta["index_spill"] == 2 and meta["index_opq"] is True
+    out = c.topk_two_phase(queries, k=10, nprobe=12, rerank_factor=4).cache()
+    dups = out.groupBy("query_id", "vec_id").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
+    exact = c.topk(queries, k=10)
+    rec = recall_at_k(out, exact, 10).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.9, f"opq+spill recall {rec}"
+    # delete then search again: the spilled stable index still holds the
+    # id (twice), but the rerank joins current() so it must vanish
+    victim = out.filter(F.col("rank") == 1).first().vec_id
+    b = spark.createDataFrame(
+        [("DELETE", int(victim), "t0", "ns0", None, None, 950_000_000)],
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long",
+    )
+    c.ingest(b)
+    out2 = c.topk_two_phase(queries, k=10, nprobe=12, rerank_factor=4)
+    assert out2.filter(F.col("vec_id") == victim).count() == 0

