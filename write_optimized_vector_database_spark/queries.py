@@ -216,19 +216,28 @@ _NEVER_CHECKED_HINTS = [
 ]
 
 
-def _driver_row_status() -> dict[str, str]:
-    """name → 'green' | 'red' from the CORRECTNESS_r*.json driver history.
+def _driver_row_status() -> tuple[dict[str, str], dict[str, int]]:
+    """(name → 'green' | 'red', name → last round checked) from the
+    CORRECTNESS_r*.json driver history.
 
     Status is the BEST row across rounds (green wins): a query that was red
     in r01 and green in r03 is settled; one that was red in its latest
-    appearance is not, regardless of how many rounds ago that was."""
+    appearance is not, regardless of how many rounds ago that was.
+    `last_round` drives the green-rotation tier: with ~150 queries and a
+    50-slot window, re-witnessing oldest-first bounds how stale any green
+    can get (~3 rounds) — a silent regression in an old green can't hide
+    indefinitely."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     status: dict[str, str] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -243,7 +252,8 @@ def _driver_row_status() -> dict[str, str]:
             )
             if status.get(name) != "green":
                 status[name] = "green" if ok else "red"
-    return status
+            last_round[name] = max(last_round.get(name, 0), rnd)
+    return status, last_round
 
 
 def registry() -> dict[str, EngineQuery]:
@@ -255,7 +265,7 @@ def registry() -> dict[str, EngineQuery]:
     import write_optimized_vector_database_spark.queries_stream  # noqa: F401
     import write_optimized_vector_database_spark.queries_text  # noqa: F401
 
-    status = _driver_row_status()
+    status, last_round = _driver_row_status()
     hint_rank = {n: i for i, n in enumerate(_NEVER_CHECKED_HINTS)}
     reg_rank = {n: i for i, n in enumerate(REGISTRY)}
 
@@ -263,7 +273,15 @@ def registry() -> dict[str, EngineQuery]:
         tier = {"red": 0}.get(status.get(name, "never"), 2)
         if tier == 2 and status.get(name) is None:
             tier = 1
-        return (tier, hint_rank.get(name, len(hint_rank)), reg_rank[name])
+        # greens rotate oldest-witnessed-first (VERDICT r04 #1: 94 of 144
+        # greens were last checked in r02/r03); reds/nevers keep the
+        # hint-then-registration order
+        return (
+            tier,
+            last_round.get(name, 0) if tier == 2 else 0,
+            hint_rank.get(name, len(hint_rank)),
+            reg_rank[name],
+        )
 
     ordered = {n: REGISTRY[n] for n in sorted(REGISTRY, key=sort_key)}
     REGISTRY.clear()
