@@ -58,3 +58,20 @@ def test_normalize_exact_matches_ieee():
     norm = math.sqrt(9 + 16 + 144)
     assert v == [3.0 / norm, -4.0 / norm, 12.0 / norm]
     assert abs(sum(x * x for x in v) - 1.0) < 1e-12
+
+
+def test_power_iteration_guards(spark):
+    """Degenerate inputs fail loudly, not with KeyError/ZeroDivisionError
+    (ADVICE r04): an empty frame has no dimension rows at the sync point."""
+    import pytest as _pytest
+
+    from write_optimized_vector_database_spark.operators.linalg import (
+        normalize_exact,
+        power_iteration_loadings,
+    )
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with _pytest.raises(ValueError, match="degenerated"):
+        power_iteration_loadings(empty, dim=4).collect()
+    with _pytest.raises(ValueError, match="degenerated"):
+        normalize_exact([0, 0, 0])

@@ -46,8 +46,28 @@ def _pandas_to_py(v):
 
 
 def canon_value(v) -> str:
+    import datetime as dt
+    import decimal
+
     if v is None:
         return "∅"
+    if isinstance(v, dt.datetime):
+        # mirror the driver's pandas fetch: tz-aware (Spark/Arrow, UTC)
+        # and naive (DuckDB) timestamps compare as the same naive wall
+        # time, exactly as datetime64[ns] did on both sides
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return str(v)
+    if isinstance(v, dt.date):
+        # pandas promoted DATE to midnight datetime64 on both sides
+        return str(dt.datetime(v.year, v.month, v.day))
+    if isinstance(v, decimal.Decimal):
+        # DuckDB HUGEINT/DECIMAL arrives as decimal128 through Arrow.
+        # Canonicalize through float64 ON PURPOSE: the real driver's
+        # pandas fetch turns HUGEINT into float64, so an oracle missing a
+        # ::BIGINT cast must fail here (53.0 vs 53) exactly as it fails
+        # in CORRECTNESS_r{N}.json.
+        return repr(float(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -97,17 +117,18 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf)
             scols = sdf.columns
-            # toPandas, NOT collect: the real driver fetches the Spark side
-            # through pandas too, so a nullable BIGINT column becomes
-            # float64+NaN on BOTH sides (witnessed green in r02/r03 for
-            # asof/epoch-diff queries that contain NULL ints), while a
-            # non-null BIGINT stays int64 and exposes a HUGEINT-float
-            # oracle the same way CORRECTNESS_r03 did.
-            spdf = sdf.toPandas()
-            srows = [
-                tuple(_pandas_to_py(v) for v in row)
-                for row in spdf.itertuples(index=False, name=None)
-            ]
+            # Arrow fetch, NOT toPandas: pandas turns a NULL-able BIGINT
+            # into float64, which silently rounds int64 values above 2^53
+            # (e.g. xxhash64-derived columns) on BOTH sides — a real
+            # low-bit mismatch could false-pass. Arrow keeps int64+null
+            # exact. Type MISMATCHES the real driver catches still fail
+            # here: a DuckDB HUGEINT shows up as decimal128 and
+            # canon_value floats it (53.0 vs 53), mirroring the driver's
+            # pandas dtype behavior.
+            stbl = sdf.toArrow()
+            srows = list(
+                zip(*[stbl.column(c).to_pylist() for c in stbl.column_names])
+            ) if stbl.num_columns else []
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
@@ -117,16 +138,13 @@ def main() -> int:
             print(f"weak  {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s)")
             continue
         try:
-            # Fetch via pandas to mirror the real driver: DuckDB HUGEINT
-            # (e.g. SUM(BIGINT)) becomes float64 here, so an oracle that
-            # forgets a ::BIGINT cast fails locally the same way it fails
-            # in CORRECTNESS_r{N}.json (53.0 vs 53).
-            odf = con.execute(oracles[name]).df()
-            ocols = list(odf.columns)
-            orows = [
-                tuple(_pandas_to_py(v) for v in row)
-                for row in odf.itertuples(index=False, name=None)
-            ]
+            # Arrow fetch (see the Spark side above): exact integers,
+            # HUGEINT → decimal128 → canon floats it like the driver.
+            otbl = con.execute(oracles[name]).arrow()
+            ocols = list(otbl.column_names)
+            orows = list(
+                zip(*[otbl.column(c).to_pylist() for c in ocols])
+            ) if otbl.num_columns else []
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1

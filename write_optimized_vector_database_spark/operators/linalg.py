@@ -53,6 +53,12 @@ def normalize_exact(ws: list[int]) -> list[float]:
     """v = w / ‖w‖ from exact integers — float(int) and sqrt are the
     same IEEE round-to-nearest ops DuckDB applies to the same integers."""
     norm = math.sqrt(sum(wi * wi for wi in ws))
+    if norm == 0.0:
+        raise ValueError(
+            "power iteration degenerated: all quantized weights are zero "
+            "(empty input, all-zero vectors, or SCALE too coarse for the "
+            "data's magnitude)"
+        )
     return [float(wi) / norm for wi in ws]
 
 
@@ -69,7 +75,10 @@ def power_iteration_loadings(
     for _ in range(sync_iters):
         vlit = F.array(*[F.lit(float(x)) for x in v])
         rows = {int(r.d): int(r.w) for r in quantized_matvec(df, vlit, vec_col).collect()}
-        v = normalize_exact([rows[d] for d in range(dim)])
+        # rows.get: a dimension absent from every row (empty input, or
+        # vectors shorter than `dim`) contributes zero weight instead of
+        # a KeyError; the all-zero case is caught by normalize_exact
+        v = normalize_exact([rows.get(d, 0) for d in range(dim)])
     w_final = quantized_matvec(df, F.array(*[F.lit(x) for x in v]), vec_col)
     d38 = "decimal(38,0)"
     norm_sq = F.sum((F.col("w").cast(d38) * F.col("w").cast(d38)).cast(d38)).over(

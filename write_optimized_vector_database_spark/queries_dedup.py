@@ -29,10 +29,37 @@ _NUM_HASHES, _BANDS, _SHINGLE_N = 16, 2, 5
 _SIG_CACHE: dict = {}
 
 
+def _session_token(spark_session) -> str:
+    """Stable session identity (ADVICE r04: `id(session)` is a CPython
+    object address — reusable after GC, so a new session could collide
+    with a dead one's cache key and be handed a DataFrame bound to a
+    stopped session). applicationId is unique per SparkContext."""
+    try:
+        return spark_session.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — stopped context
+        return f"dead-{id(spark_session)}"
+
+
+def _fixture_token(key: tuple) -> tuple:
+    """Append the fixture's mtime so a regenerated sf_dir mid-session
+    invalidates cached signatures instead of serving stale ones."""
+    import os
+
+    toks = []
+    for part in key:
+        if isinstance(part, str) and os.path.isdir(part):
+            p = os.path.join(part, "documents.parquet")
+            try:
+                toks.append(int(os.path.getmtime(p)))
+            except OSError:
+                toks.append(-1)
+    return key + tuple(toks)
+
+
 def _persisted(spark_session, key: tuple, build) -> DataFrame:
     """One-slot keyed persist: reuse on an exact key hit, otherwise
     unpersist whatever is cached and persist the freshly built frame."""
-    key = (id(spark_session),) + key
+    key = (_session_token(spark_session),) + _fixture_token(key)
     cached = _SIG_CACHE.get(key)
     if cached is not None:
         return cached

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 from write_optimized_vector_database_spark.functions.hashing import (
     deterministic_sample,
     deterministic_sample_sql,
+    portable_hash,
+    portable_hash_sql,
 )
+
+# shared by the sharded-storage twins: hash-of-id both engines agree on
+_PORTABLE_HASH_ID_SQL = portable_hash_sql("id")
 from write_optimized_vector_database_spark.operators.changelog import (
     SYNTHETIC_CHANGELOG_SQL,
     synthetic_changelog,
@@ -2890,14 +2895,19 @@ def mut_storage_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     # M2 witnessed under the driver gate: the per-shard segment
     # descriptor stats feeding the compaction trigger (tombstone ratio
     # vs the 0.2 threshold, reference types.h:94-106 / config.h:57),
-    # over the reference's own sharding rule (id-hash modulo — 16-way
-    # msg-buf shards, msg-buf.h:63-74). The ratio is an exact-count
-    # division, so the trigger decision is bit-deterministic.
+    # over the reference's sharding rule shape (VectorIdHash %
+    # shard_count — 16-way msg-buf shards, msg-buf.h:84-86). The engine
+    # proper shards on xxhash64 (functions/hashing.py id_hash); this
+    # oracle-checked twin shards on portable_hash — the md5-derived
+    # hash both engines compute bit-identically — because DuckDB has no
+    # xxhash64. Same rule (hash-of-id modulo), portable hash function.
+    # The ratio is an exact-count division, so the trigger decision is
+    # bit-deterministic.
     oracle="WITH "
     + SYNTHETIC_CHANGELOG_SQL.strip()
-    + """,
+    + f""",
 shards AS (
-  SELECT id % 16 AS shard, op, epoch FROM changelog
+  SELECT {_PORTABLE_HASH_ID_SQL} % 16 AS shard, op, epoch FROM changelog
 )
 SELECT shard,
        COUNT(*) AS n_rows,
@@ -2913,11 +2923,13 @@ FROM shards GROUP BY shard ORDER BY shard
     tags=["mutation", "storage", "analytics"],
 )
 def mut_compaction_trigger_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segment-descriptor stats per 16-way id shard of the synthetic
-    changelog — row counts, epoch zone maps, tombstone ratio, and the
-    resulting compaction trigger decision (ratio > 0.2). This is the
-    production segment_stats/needs_compaction path whose output the
-    compaction scheduler consumes, surfaced as data.
+    """Segment-descriptor stats per 16-way id-hash shard of the
+    synthetic changelog — row counts, epoch zone maps, tombstone ratio,
+    and the resulting compaction trigger decision (ratio > 0.2). This is
+    the production segment_stats/needs_compaction path whose output the
+    compaction scheduler consumes, surfaced as data. Sharding is
+    hash-of-id modulo (msg-buf.h:84-86) via portable_hash — the DuckDB-
+    replayable twin of the engine's xxhash64 id_hash.
 
     100 TB shape: one group-by over the changelog with map-side
     partials; the report is |shards| rows and the trigger reads only
@@ -2930,7 +2942,7 @@ def mut_compaction_trigger_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     log = synthetic_changelog(spark, sf_dir).withColumn(
-        "shard", F.col("id") % 16
+        "shard", portable_hash("id") % 16
     )
     stats = segment_stats(log, "shard")
     return (

@@ -793,16 +793,25 @@ def evt_hypertable_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    wm = ev.agg(F.date_trunc("hour", F.max("ts")).alias("wm")).first()["wm"]
-    day0 = wm.replace(hour=0, minute=0, second=0, microsecond=0)
+    # watermark as a broadcast scalar IN the plan (VERDICT r04 #6: the
+    # previous .first() ran an extra driver job in the query body — the
+    # same shape the funnel fix removed). The 1-row agg broadcasts to
+    # every branch; no driver action until the caller materializes.
+    wmdf = ev.agg(F.date_trunc("hour", F.max("ts")).alias("__wm")).withColumn(
+        "__day0", F.date_trunc("day", F.col("__wm"))
+    )
+    ev2 = ev.crossJoin(F.broadcast(wmdf))
     keys = ["event_type"]
 
-    hourly_full_days = hourly_rollup(ev.filter(F.col("ts") < F.lit(day0)), keys)
+    def branch(cond):
+        return ev2.filter(cond).drop("__wm", "__day0")
+
+    hourly_full_days = hourly_rollup(branch(F.col("ts") < F.col("__day0")), keys)
     daily = rollup_to_coarser(hourly_full_days, "day", keys)
     hourly_partial_day = hourly_rollup(
-        ev.filter((F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(wm))), keys
+        branch((F.col("ts") >= F.col("__day0")) & (F.col("ts") < F.col("__wm"))), keys
     )
-    tail = hourly_rollup(ev.filter(F.col("ts") >= F.lit(wm)), keys)
+    tail = hourly_rollup(branch(F.col("ts") >= F.col("__wm")), keys)
 
     return merge_rollup_branches(
         [daily, hourly_partial_day, tail], "day", keys

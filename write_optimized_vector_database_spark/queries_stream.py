@@ -38,6 +38,23 @@ def _state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _drain(q, timeout_s: int = 300) -> None:
+    """Block until the availableNow run terminates. awaitTermination's
+    return value is CHECKED (ADVICE r04): on timeout the query is
+    stopped and we raise, instead of silently reading a partial memory
+    table and leaking an orphaned streaming query into the session."""
+    try:
+        finished = q.awaitTermination(timeout_s)
+    except Exception:
+        q.stop()
+        raise
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not terminate within {timeout_s}s"
+        )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture.
 
@@ -83,7 +100,7 @@ def evt_streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table(name).select(
         F.col("window.start").alias("window_start"),
         "event_type",
@@ -145,7 +162,7 @@ def evt_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return (
         spark.table(name)
         .filter(F.col("n_events") >= 3)
@@ -199,7 +216,7 @@ def evt_streaming_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return (
         spark.table(name)
         .filter(F.col("n_occurrences") > 1)
@@ -284,7 +301,7 @@ def evt_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -329,7 +346,7 @@ def evt_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFra
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return (
         spark.table(name)
         .select(
@@ -378,7 +395,7 @@ def evt_streaming_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     # n_events and total_cents grow monotonically per user, so the
     # final state is the per-user max of each
     return (
@@ -442,7 +459,7 @@ def evt_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     return (
         spark.table(name)
         .select(
@@ -530,7 +547,7 @@ def evt_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     sink = spark.table(name)
     # integer-exact accumulator: registers are <= 25, so 2^-m scaled by
     # 2^25 is the exact integer 2^(25-m) — ONE float division at the end
@@ -657,7 +674,7 @@ def evt_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFra
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
     sink = spark.table(name)
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct().withColumn("h", portable_hash(F.col("user_id")))
@@ -756,7 +773,7 @@ def vec_streaming_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        sq.awaitTermination(300)
+        _drain(sq)
     t = spark.table(name)
     wmax = Window.partitionBy("query_id")
     return (
