@@ -217,3 +217,21 @@ class TestHeaderParsers:
         assert parse_media_header(b"plain text")[0] == "application/octet-stream"
         # JPEG magic but no SOF → jpeg with zero dims, no crash
         assert parse_media_header(b"\xff\xd8\xff\xe0") == ("image/jpeg", 0, 0, 0)
+
+
+def test_graceful_decode_meta_without_pil(blobs):
+    """VERDICT r04 #8: a JPEG/GIF blob in a codec-less container degrades
+    to header metadata (via='header') instead of raising; PNG still
+    decodes pixels; garbage is 'opaque'. Never raises."""
+    png = MM.encode_png([[(1, 2, 3)] * 4] * 3)
+    jpg = MM.encode_jpeg_stub(33, 21, 3)
+    gif = MM.encode_gif_stub(7, 9)
+    assert MM.decode_image_meta(png) == ("image/png", 4, 3, 3, "pixels")
+    assert MM.decode_image_meta(jpg) == ("image/jpeg", 33, 21, 3, "header")
+    assert MM.decode_image_meta(gif) == ("image/gif", 7, 9, 3, "header")
+    assert MM.decode_image_meta(b"not an image")[4] == "opaque"
+    assert MM.decode_image_meta(None) == ("unknown", 0, 0, 0, "opaque")
+    # corrupt PNG body with valid magic: falls back, never raises
+    fmt, w, h, c, via = MM.decode_image_meta(png[:20])
+    assert via in ("header", "opaque")
+    assert MM.decode_capability(jpg) == "header"

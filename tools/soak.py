@@ -133,6 +133,30 @@ def run_corpus_scale(spark, rep: int) -> dict[str, float]:
             t0 = time.time()
             reg[qname].fn(spark, tmp).count()
             t[qname] = time.time() - t0
+        # LSH band-bucket skew telemetry (VERDICT r04 #7): the one scale
+        # risk SCALE.md names for banded LSH is a degenerate bucket —
+        # candidate-join cost is Σ|bucket|², so record max/p99/Σ² at each
+        # soak point. Sub-linear max growth = the banding keys keep their
+        # entropy as the corpus grows.
+        from write_optimized_vector_database_spark.operators.dedup import (
+            lsh_bucket_stats,
+            minhash_signatures,
+        )
+        from write_optimized_vector_database_spark.queries_dedup import (
+            _NUM_HASHES,
+            _BANDS,
+            _SHINGLE_N,
+        )
+
+        docs_big = spark.read.parquet(f"{tmp}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        sig = minhash_signatures(docs_big, _NUM_HASHES, _SHINGLE_N)
+        row = lsh_bucket_stats(sig, _NUM_HASHES, _BANDS).first()
+        t["lsh_n_buckets"] = int(row.n_buckets)
+        t["lsh_max_bucket"] = int(row.max_bucket)
+        t["lsh_p99_bucket"] = int(row.p99_bucket)
+        t["lsh_sum_sq_buckets"] = int(row.sum_sq_buckets)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {k: round(v, 3) for k, v in t.items()}
@@ -146,13 +170,13 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=None,
                     help="replication factor, low point (default 160; 1 with --corpus)")
     ap.add_argument("--hi", type=int, default=None,
-                    help="replication factor, high point (default 1600; 10 with --corpus)")
+                    help="replication factor, high point (default 1600; 30 with --corpus)")
     ap.add_argument("--corpus", action="store_true")
     args = ap.parse_args()
     if args.lo is None:
         args.lo = 1 if args.corpus else 160
     if args.hi is None:
-        args.hi = 10 if args.corpus else 1600
+        args.hi = 30 if args.corpus else 1600
 
     from write_optimized_vector_database_spark.session import get_spark
 

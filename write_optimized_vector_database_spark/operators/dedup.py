@@ -129,13 +129,12 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_keys(
     signatures: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band. Band key =
-    concatenated signature slice; the self-join is an equality join on
-    (band_idx, band_key) — shuffle-bounded by bucket sizes, never
-    all-pairs."""
+    """(doc_id, band, key) — each doc exploded into its `bands` LSH band
+    keys (key = concatenated signature slice). The shared front half of
+    the candidate join and the bucket-skew telemetry below."""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -149,9 +148,40 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
+    return signatures.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band-bucket size distribution — THE skew risk of banded LSH at
+    scale: the candidate join's cost is Σ |bucket|², so one degenerate
+    bucket (template-heavy corpus, low-entropy band) quadratically
+    dominates the shuffle. One groupBy over the banded keys + one 1-row
+    agg; returns (n_buckets, max_bucket, p99_bucket, avg_bucket,
+    sum_sq_buckets). Run it before a big dedup job: a max_bucket in the
+    tens of thousands says shard that key or drop the band."""
+    sizes = banded_keys(signatures, num_hashes, bands).groupBy("band", "key").count()
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("count").alias("max_bucket"),
+        F.percentile_approx("count", 0.99).alias("p99_bucket"),
+        F.avg("count").alias("avg_bucket"),
+        F.sum(F.col("count") * F.col("count")).alias("sum_sq_buckets"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing ≥1 LSH band. Band key =
+    concatenated signature slice; the self-join is an equality join on
+    (band_idx, band_key) — shuffle-bounded by bucket sizes, never
+    all-pairs."""
     banded = (
-        signatures.select("doc_id", F.explode(band_structs).alias("bk"))
-        .select("doc_id", "bk.band", "bk.key")
+        banded_keys(signatures, num_hashes, bands)
         # self-joined below — persist so the signature pipeline (shingle
         # explode + k mins) computes once, not once per join side
         .persist()

