@@ -1354,3 +1354,42 @@ def doc_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df_bucket")
     )
+
+
+@register(
+    "doc_lsh_bucket_stats",
+    # The LSH skew pre-flight (VERDICT r04 #7 / docs/SCALE.md): the
+    # candidate join's cost is Σ|bucket|², so a production dedup run
+    # checks this 1-row report BEFORE committing to the pair join. The
+    # oracle replays the identical signature→band pipeline in SQL; all
+    # three stats are exact integers, so the hash pins the banding keys
+    # bit-for-bit.
+    oracle=f"""
+WITH {_SHINGLE_CTE.strip().rstrip(')') + ')'},
+sig AS (SELECT doc_id, {_SIG_SELECT} FROM shh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.b::INT AS band, CASE b.b {_BAND_CASE} END AS key
+  FROM sig, range({_BANDS}) b(b)
+),
+sizes AS (SELECT band, key, COUNT(*) AS c FROM bands GROUP BY band, key)
+SELECT COUNT(*) AS n_buckets,
+       MAX(c) AS max_bucket,
+       SUM(c * c)::BIGINT AS sum_sq_buckets
+FROM sizes
+""",
+    survey_ref="[EXT] dedup-lsh skew telemetry (bucket-size distribution)",
+    tags=["dedup", "text", "stats"],
+)
+def doc_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket size distribution of the MinHash-LSH index — max and
+    Σ² are the two numbers that decide whether the candidate join is
+    safe to run (one degenerate bucket dominates quadratically). One
+    groupBy over the banded keys + a 1-row agg; at 100 TB this costs a
+    single shuffle of (band, key) pairs with map-side partials."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sig = _persisted_signatures(docs, ("docs", sf_dir))
+    return D.lsh_bucket_stats(sig, _NUM_HASHES, _BANDS).select(
+        F.col("n_buckets"),
+        F.col("max_bucket"),
+        F.col("sum_sq_buckets"),
+    )

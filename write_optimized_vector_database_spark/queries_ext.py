@@ -3010,3 +3010,120 @@ def mut_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "op string, id long, tenant string, namespace string, epoch long"
     ).orderBy("id")
+
+
+@register(
+    "vec_ivfpq_spill_coverage",
+    # IVF *multiple assignment* (spill) under the oracle gate: the exact
+    # property spill=2 exists for — coverage of true top-10 neighbors by
+    # the probed posting lists rises when each vector lives in its 2
+    # nearest lists. Assignment slots, probes, the truth set and both
+    # coverage counts are all distance-fold + integer-count exact, so
+    # the whole mechanism is hash-checked (the learned spilled index is
+    # recall-gated in tests/test_ivfpq.py and measured in BENCH
+    # `ivfpq_reference_knobs`).
+    oracle=f"""
+WITH cents AS (
+  SELECT (vec_id // {_IVFPQ_CSTRIDE})::INT AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id % {_IVFPQ_CSTRIDE} = 0
+),
+assign2 AS (
+  SELECT vec_id, centroid_id, rn AS slot FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(q.embedding::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                       e.vec_id ASC) AS rn
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rn <= 10
+),
+flags AS (
+  SELECT t.query_id, t.vec_id,
+         MAX(CASE WHEN a.slot = 1 AND p.centroid_id IS NOT NULL THEN 1 ELSE 0 END) AS c1,
+         MAX(CASE WHEN p.centroid_id IS NOT NULL THEN 1 ELSE 0 END) AS c2
+  FROM truth t
+  JOIN assign2 a USING (vec_id)
+  LEFT JOIN probes p ON p.query_id = t.query_id AND p.centroid_id = a.centroid_id
+  GROUP BY t.query_id, t.vec_id
+)
+SELECT query_id,
+       SUM(c1)::BIGINT AS n_covered_spill1,
+       SUM(c2)::BIGINT AS n_covered_spill2
+FROM flags GROUP BY query_id ORDER BY query_id
+""",
+    survey_ref="Q3/Q5 + [EXT] IVF multiple assignment (spilled posting lists)",
+    tags=["vector", "ivf", "coverage"],
+)
+def vec_ivfpq_spill_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query count of true top-10 neighbors whose posting list is
+    probed, under single (slot 1) vs spilled (slots 1-2) assignment —
+    the coverage-recall mechanism behind `ivfpq_encode(spill=...)`,
+    computed with the deterministic stride centroids so both engines
+    agree bit-for-bit. 100 TB shape: assignment and probes are the
+    shipped exact-fold operators; the coverage join touches only
+    queries × 10 truth rows × 2 slots."""
+    from write_optimized_vector_database_spark.operators.ivf import (
+        centroids_from_stride,
+        probe_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, _IVFPQ_CSTRIDE)
+    as_queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assign2 = exact_topk(
+        cents, as_queries, k=2, metric="l2",
+        vec_id_col="centroid_id", vec_col="centroid", prune_partitions=False,
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("rank").alias("slot"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probes = probe_centroids(queries, cents, _IVFPQ_NPROBE).withColumn(
+        "__probed", F.lit(1)
+    )
+    truth = exact_topk(emb, queries, k=10, metric="ip").select("query_id", "vec_id")
+    flags = (
+        truth.join(assign2, "vec_id")
+        .join(F.broadcast(probes), ["query_id", "centroid_id"], "left")
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.max(
+                F.when((F.col("slot") == 1) & F.col("__probed").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("c1"),
+            F.max(
+                F.when(F.col("__probed").isNotNull(), 1).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    return (
+        flags.groupBy("query_id")
+        .agg(
+            F.sum("c1").alias("n_covered_spill1"),
+            F.sum("c2").alias("n_covered_spill2"),
+        )
+        .orderBy("query_id")
+    )

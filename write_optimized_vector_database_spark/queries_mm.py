@@ -386,3 +386,81 @@ def mm_png_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id", "py", "px")
+
+
+@register(
+    "mm_graceful_decode_meta",
+    # decode_image_meta (VERDICT r04 #8) under the oracle gate: a mixed
+    # corpus — real PNG pixels, JPEG/GIF header-only streams, garbage —
+    # where the degradation route is part of the checked result. In THIS
+    # container (no PIL) PNG decodes pixels via the stdlib decoder while
+    # JPEG/GIF degrade to the header walk and garbage to opaque zeros;
+    # the closed-form oracle pins both the metadata and the route, so a
+    # capability-probe or fallback bug breaks the hash.
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       WHEN 2 THEN 'image/gif'
+                       ELSE 'unknown' END AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 4 + doc_id % 5
+                       WHEN 1 THEN 16 + doc_id % 17
+                       WHEN 2 THEN 8 + doc_id % 9
+                       ELSE 0 END::INT AS width,
+       CASE doc_id % 4 WHEN 0 THEN 3 + doc_id % 4
+                       WHEN 1 THEN 16 + doc_id % 13
+                       WHEN 2 THEN 8 + doc_id % 7
+                       ELSE 0 END::INT AS height,
+       CASE doc_id % 4 WHEN 3 THEN 0 ELSE 3 END::INT AS n_channels,
+       CASE doc_id % 4 WHEN 0 THEN 'pixels'
+                       WHEN 3 THEN 'opaque'
+                       ELSE 'header' END AS via
+FROM documents ORDER BY doc_id
+""",
+    survey_ref="[EXT] multimodal graceful decode (capability probe + per-blob degradation)",
+    tags=["multimodal", "decode"],
+)
+def mm_graceful_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graceful mixed-codec decode: every blob yields metadata plus the
+    `via` route actually taken (pixels / header / opaque) instead of a
+    job-killing raise on the first codec gap. At 100 TB this is the
+    difference between a scan that completes with per-blob quality flags
+    and one that dies on the first exotic payload; rows needing real
+    pixels are `via`-filterable and routable to a codec-equipped pool."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 4 == 0:
+                    w, h = 4 + i % 5, 3 + i % 4
+                    blob = MM.encode_png([[(i % 256, 0, 0)] * w for _ in range(h)])
+                elif i % 4 == 1:
+                    blob = MM.encode_jpeg_stub(16 + i % 17, 16 + i % 13, 3)
+                elif i % 4 == 2:
+                    blob = MM.encode_gif_stub(8 + i % 9, 8 + i % 7)
+                else:
+                    blob = b"\x00opaque-payload" + bytes([i % 256]) * 16
+                fmt, w, h, nch, via = MM.decode_image_meta(blob)
+                rows.append((i, fmt, w, h, nch, via))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "n_channels", "via"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("via", T.StringType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
