@@ -168,6 +168,14 @@ def main() -> None:
                 # into the stable index without retraining — the contrast
                 # with build_indexes_ivfpq IS the write-optimized story
                 coll.ingest(delta)
+                # BASELINE "unmerged (delta) fraction <= 5%" (types.h:143),
+                # measured at the WORST point of the maintenance cycle:
+                # delta fully ingested, refresh not yet run. The scheduled
+                # refresh below folds it back to 0.
+                idx_epoch = coll._index_epoch()
+                cur = coll.current()
+                n_delta = cur.filter(F.col("epoch") > idx_epoch).count()
+                delta_fraction = round(n_delta / max(cur.count(), 1), 4)
                 t0 = time.time()
                 coll.refresh_indexes()
                 rec("refresh_indexes_incremental", time.time() - t0)
@@ -211,6 +219,8 @@ def main() -> None:
             "storage_repeats": STORAGE_REPEATS,
             "storage_p95": storage_p95,
             "storage_min": storage_min,
+            # baseline types.h:143: unmerged delta generation <= 5%
+            "delta_fraction": delta_fraction,
         }
         print(
             f"ingested {n_ops} ops in {dt_med:.2f}s (median of "

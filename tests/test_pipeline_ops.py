@@ -385,7 +385,7 @@ def test_driver_window_policy(spark, sf_dir):
     )
 
     reg = registry()
-    status = _driver_row_status()
+    status, last_round = _driver_row_status()
     names = list(reg)
     missing = [n for n in _NEVER_CHECKED_HINTS if n not in reg]
     assert not missing, f"hint names not in registry: {missing}"
@@ -396,6 +396,11 @@ def test_driver_window_policy(spark, sf_dir):
 
     tiers = [{"red": 0, "green": 2}.get(status.get(n), 1) for n in names]
     assert tiers == sorted(tiers), "tier order violated (red < never < green)"
+
+    # greens rotate oldest-witnessed-first (VERDICT r04 #1): within the
+    # green tier the last-checked round must be non-decreasing
+    green_rounds = [last_round[n] for n in names if status.get(n) == "green"]
+    assert green_rounds == sorted(green_rounds), "stale greens must come first"
 
 
 def test_registry_contract_complete(spark, sf_dir):

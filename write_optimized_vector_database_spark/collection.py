@@ -67,6 +67,14 @@ class VectorCollection:
         self.fs = storage_for(spark, self.path)
         self._meta_path = f"{self.path}/_collection.json"
         self.fs.makedirs(self.path)
+        # index-artifact cache (the reference's in-memory global-index
+        # cache, config.h:96-99 memory_cache_mb): centroids + codebooks
+        # are a few MB even at stable-index scale (nlist×dim + m·2^nbits
+        # ·d_sub doubles) but every search call was re-reading their
+        # parquet and re-collecting. Keyed by index epoch — a rebuild
+        # or refresh invalidates; persisted DataFrames are unpersisted
+        # on eviction.
+        self._artifact_cache: dict = {}
 
     # -- write path ---------------------------------------------------------
 
@@ -607,6 +615,26 @@ class VectorCollection:
     def _index_epoch(self) -> int:
         return self._meta().get("index_epoch", -1)
 
+    def _index_artifacts(self) -> tuple[DataFrame, DataFrame]:
+        """(centroids, codebooks) for the CURRENT index epoch, persisted
+        once per epoch so repeated searches hit executor memory instead
+        of re-scanning the artifact parquet. Eviction unpersists the
+        stale epoch's frames."""
+        epoch = self._index_epoch()
+        hit = self._artifact_cache.get("idx")
+        if hit is not None and hit[0] == epoch:
+            return hit[1], hit[2]
+        if hit is not None:
+            for df in hit[1:]:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+        cents = self.spark.read.parquet(f"{self.path}/index_centroids").persist()
+        codebooks = self.spark.read.parquet(f"{self.path}/index_codebooks").persist()
+        self._artifact_cache["idx"] = (epoch, cents, codebooks)
+        return cents, codebooks
+
     def refresh_indexes(self) -> dict:
         """Incrementally fold the delta generation into the stable index.
 
@@ -832,8 +860,7 @@ class VectorCollection:
             nprobe = self._default_nprobe()  # calibrated value if stored
         spark = self.spark
         index = spark.read.parquet(f"{self.path}/index_stable")
-        cents = spark.read.parquet(f"{self.path}/index_centroids")
-        codebooks = spark.read.parquet(f"{self.path}/index_codebooks")
+        cents, codebooks = self._index_artifacts()
         idx_epoch = self._index_epoch()
 
         # per-branch candidate budget: k×rerank_factor clamped so the

@@ -265,14 +265,21 @@ def ivfpq_adc_topk(
     qids = [r.query_id for r in qrows]
     qv = np.asarray([np.asarray(r.query_vec, dtype=np.float64) for r in qrows])
 
-    probes = probe_centroids(queries, centroids, nprobe)
-    probe_pairs = probes.collect()  # bounded: ≤ |queries| × nprobe
-    probe_ids = sorted({r.centroid_id for r in probe_pairs})
+    # probe selection runs driver-side on the ALREADY-collected arrays
+    # (≤100 queries × nlist distances) instead of spinning a separate
+    # broadcast-join Spark job: one less job per search call, same
+    # nearest-first/id-tiebreak ordering (stable argsort over the
+    # id-ordered centroid rows).
+    cids_ordered = [r.centroid_id for r in crows]
+    cmat = np.asarray([cent_vecs[c] for c in cids_ordered])
+    qc = ((cmat * cmat).sum(-1)[None, :] - 2.0 * (qv @ cmat.T))
+    probe_idx = np.argsort(qc, axis=1, kind="stable")[:, : min(nprobe, len(cids_ordered))]
+    probe_ids = sorted({cids_ordered[j] for row in probe_idx for j in row})
     # cid → row indices of the queries probing it
     by_cid: dict[int, list[int]] = {}
-    qpos = {q: i for i, q in enumerate(qids)}
-    for r in probe_pairs:
-        by_cid.setdefault(r.centroid_id, []).append(qpos[r.query_id])
+    for qi, row in enumerate(probe_idx):
+        for j in row:
+            by_cid.setdefault(cids_ordered[j], []).append(qi)
 
     qsub = qv.reshape(len(qv), m, d_sub)
     if metric == "ip":
