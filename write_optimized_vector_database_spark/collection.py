@@ -525,12 +525,25 @@ class VectorCollection:
             train_pq_codebooks_kmeans,
         )
 
+        import os as _os
+        import sys as _sys
+
+        _prof = _os.environ.get("SPARK_GRAFT_BUILD_PROFILE") == "1"
+        _t = [time.time()]
+
+        def _stage(name: str) -> None:
+            if _prof:
+                now = time.time()
+                print(f"build[{name}]: {now - _t[0]:.2f}s", file=_sys.stderr)
+                _t[0] = now
+
         # current() is a shuffle (snapshot ∪ tail → latest-by-id window);
         # the build makes several passes over it (dim probe, centroid
         # sample, codebook sample, encode) — persist once, unpersist at
         # the end, so the window runs once instead of per-pass.
         cur = self.current().filter(F.col("vector").isNotNull()).persist()
         dim = len(cur.select("vector").first()[0])
+        _stage("current+dim")
         if use_opq:
             if not residual:
                 raise ValueError("use_opq requires residual=True (the IVFPQ path)")
@@ -553,6 +566,7 @@ class VectorCollection:
             cur_idx, nlist=nlist, vec_col="vector", id_col="id",
             sample_fraction=sample_fraction, seed=seed,
         )
+        _stage("centroids")
         if residual:
             codebooks = train_ivfpq_codebooks(
                 cur_idx, cents, dim=dim, m=m, nbits=nbits, vec_col="vector",
@@ -583,8 +597,10 @@ class VectorCollection:
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/index_stable")
         )
+        _stage("encode+write")
         cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids")
         codebooks.write.mode("overwrite").parquet(f"{self.path}/index_codebooks")
+        _stage("artifact-write")
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
             self._has_changelog_files()
         ) else self._snapshot_epoch()

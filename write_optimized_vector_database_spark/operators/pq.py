@@ -136,12 +136,20 @@ def _kmeans_np(
         centers = x32[rng.choice(len(x), size=k, replace=False)].copy()
     n = len(x32)
     assign = np.empty(n, dtype=np.int64)
+    prev_assign = None
     blk = 16384  # keep the n×k score block inside L2/L3, not RAM
     for _ in range(max_iter):
         cnorm = (centers.astype(np.float64) ** 2).sum(-1).astype(np.float32)[None, :]
         for i in range(0, n, blk):
             d = cnorm - 2.0 * (x32[i : i + blk] @ centers.T)
             assign[i : i + blk] = d.argmin(1)
+        # Lloyd fixed point: unchanged assignments ⇒ unchanged means ⇒
+        # every further iteration is a no-op. Breaking here is
+        # RESULT-IDENTICAL to running out max_iter (not an approximation),
+        # and typically halves training cost at codebook sizes.
+        if prev_assign is not None and np.array_equal(assign, prev_assign):
+            break
+        prev_assign = assign.copy()
         counts = np.bincount(assign, minlength=k).astype(np.float64)
         nz = counts > 0
         for j in range(x.shape[1]):
