@@ -187,12 +187,29 @@ def ivfpq_encode(
     # closure copy is tens of MB re-serialized per task
     bc = vectors.sparkSession.sparkContext.broadcast((cb, cb_sq, cent_ids, cents, c_sq))
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow, not mapInPandas: this is the engine's full-table pass
+    # (every vector, every build), and pandas materializes each cell as
+    # a boxed ndarray that then needs a per-row copy into the matmul
+    # matrix. Arrow's list layout IS the (n·dim) flat buffer — one
+    # reshape, zero per-row Python work.
+    def fn(batches):
+        import pyarrow as pa
+
         cb, cb_sq, cent_ids, cents, c_sq = bc.value
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            varr = batch.column(batch.schema.get_field_index(vec_col))
+            v = (
+                varr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+            ids_np = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
             d = c_sq[None, :] - 2.0 * (v @ cents.T)
             if spill == 1:
                 pos_all = d.argmin(1)[:, None]  # (n, 1)
@@ -205,20 +222,26 @@ def ivfpq_encode(
             for j in range(pos_all.shape[1]):
                 pos = pos_all[:, j]
                 res = v - cents[pos]
-                codes = np.empty((len(v), m), dtype=np.int32)
+                codes = np.empty((n, m), dtype=np.int32)
                 for s in range(m):
                     sub = res[:, s * d_sub : (s + 1) * d_sub]
                     dd = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
                     codes[:, s] = dd.argmin(1)
-                out_ids.append(pdf[id_col].values)
+                out_ids.append(ids_np)
                 out_cids.append(cent_ids[pos].astype(np.int32))
-                out_codes.extend(list(codes))
-            yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(out_ids),
-                    "centroid_id": np.concatenate(out_cids),
-                    "codes": out_codes,
-                }
+                out_codes.append(codes)
+            codes_all = np.concatenate(out_codes).reshape(-1)
+            n_out = n * pos_all.shape[1]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids)),
+                    pa.array(np.concatenate(out_cids), pa.int32()),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(n_out + 1, dtype=np.int64) * m, pa.int32()),
+                        pa.array(codes_all, pa.int32()),
+                    ),
+                ],
+                names=[id_col, "centroid_id", "codes"],
             )
 
     schema = T.StructType(
@@ -228,7 +251,7 @@ def ivfpq_encode(
             T.StructField("codes", T.ArrayType(T.IntegerType())),
         ]
     )
-    return vectors.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+    return vectors.select(id_col, vec_col).mapInArrow(fn, schema=schema)
 
 
 def ivfpq_adc_topk(
