@@ -96,21 +96,33 @@ def train_centroids_kmeans(
 
 
 def _assign_udf(centroids_np: np.ndarray, vec_col: str):
-    """mapInPandas batch argmin: nearest centroid by L2 (equivalently max
-    dot for normalized spaces; L2 is what FAISS IVF uses for assignment)."""
+    """mapInArrow batch argmin: nearest centroid by L2 (equivalently max
+    dot for normalized spaces; L2 is what FAISS IVF uses for assignment).
+    The vector column's Arrow list buffer reshapes straight into the
+    matmul matrix — no per-row boxing (this pass touches every vector)."""
 
     c = centroids_np  # (nlist, dim)
     c_sq = (c * c).sum(axis=1)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            varr = batch.column(batch.schema.get_field_index(vec_col))
+            v = (
+                varr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
             # argmin_c |v-c|^2 = argmin_c c·c - 2 v·c
             d = c_sq[None, :] - 2.0 * (v @ c.T)
-            pdf = pdf.assign(centroid_id=d.argmin(axis=1).astype(np.int32))
-            yield pdf
+            yield batch.append_column(
+                "centroid_id", pa.array(d.argmin(axis=1).astype(np.int32), pa.int32())
+            )
 
     return fn
 
@@ -129,7 +141,7 @@ def assign_centroids(
     out_schema = T.StructType(
         list(vectors.schema.fields) + [T.StructField("centroid_id", T.IntegerType())]
     )
-    return vectors.mapInPandas(_assign_udf(c, vec_col), schema=out_schema)
+    return vectors.mapInArrow(_assign_udf(c, vec_col), schema=out_schema)
 
 
 def assign_centroids_exact(
