@@ -23,3 +23,29 @@ def collect_vectors_np(df: DataFrame, vec_col: str, dtype=np.float64) -> np.ndar
     return np.stack(
         [np.asarray(v, dtype=dtype) for v in pdf["__v"].to_numpy()]
     )
+
+
+def arrow_matrix(batch, col: str, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a RecordBatch list column — the Arrow list
+    buffer IS the flat matrix, so this is a reshape, not a per-row
+    conversion. Requires non-null, fixed-length lists (every vector
+    pass in this engine guarantees both)."""
+    arr = batch.column(batch.schema.get_field_index(col))
+    return (
+        arr.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(dtype, copy=False)
+        .reshape(batch.num_rows, -1)
+    )
+
+
+def arrow_list_column(mat: np.ndarray, value_type=None):
+    """pyarrow ListArray from an (n, w) matrix (row i → list of length w)."""
+    import pyarrow as pa
+
+    n, w = mat.shape
+    values = pa.array(mat.reshape(-1), value_type) if value_type else pa.array(
+        mat.reshape(-1)
+    )
+    offsets = pa.array(np.arange(n + 1, dtype=np.int64) * w, pa.int32())
+    return pa.ListArray.from_arrays(offsets, values)

@@ -426,14 +426,24 @@ def rotate_vectors(
     from pyspark.sql import types as T
 
     r64 = np.asarray(r_mat, dtype=np.float64)
+    from write_optimized_vector_database_spark.functions.nputil import (
+        arrow_list_column,
+        arrow_matrix,
+    )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            v = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
-            pdf = pdf.assign(**{vec_col: list(v @ r64)})
-            yield pdf
+            rotated = arrow_matrix(batch, vec_col) @ r64
+            idx = batch.schema.get_field_index(vec_col)
+            yield batch.set_column(
+                idx,
+                pa.field(vec_col, pa.list_(pa.float64())),
+                arrow_list_column(rotated, pa.float64()),
+            )
 
     out_schema = T.StructType(
         [
@@ -443,7 +453,7 @@ def rotate_vectors(
             for f in df.schema.fields
         ]
     )
-    return df.mapInPandas(fn, schema=out_schema)
+    return df.mapInArrow(fn, schema=out_schema)
 
 
 def opq_encode(
@@ -462,19 +472,22 @@ def opq_encode(
     cb_sq = (cb * cb).sum(-1)
     r64 = np.asarray(r_mat, dtype=np.float64)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    from write_optimized_vector_database_spark.functions.nputil import (
+        arrow_list_column,
+        arrow_matrix,
+    )
+
+    def fn(batches):
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            v = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-            ) @ r64
+            v = arrow_matrix(batch, vec_col) @ r64  # rotate fused in
             codes = np.empty((len(v), m), dtype=np.int32)
             for s in range(m):
                 sub = v[:, s * d_sub : (s + 1) * d_sub]
                 d = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
                 codes[:, s] = d.argmin(1)
-            yield pdf.assign(codes=list(codes))
+            yield batch.append_column("codes", arrow_list_column(codes))
 
     from pyspark.sql import types as T
 
@@ -482,7 +495,7 @@ def opq_encode(
         list(vectors.schema.fields)
         + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
     )
-    return vectors.mapInPandas(fn, schema=out_schema)
+    return vectors.mapInArrow(fn, schema=out_schema)
 
 
 def opq_two_phase_topk(
@@ -570,20 +583,24 @@ def pq_encode(
     d_sub = cb.shape[2]
     cb_sq = (cb * cb).sum(-1)  # (m, k)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    from write_optimized_vector_database_spark.functions.nputil import (
+        arrow_list_column,
+        arrow_matrix,
+    )
+
+    def fn(batches):
+        import pyarrow as pa  # noqa: F401
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            v = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-            )  # (n, dim)
+            v = arrow_matrix(batch, vec_col)  # (n, dim), one reshape
             codes = np.empty((len(v), m), dtype=np.int32)
             for s in range(m):
                 sub = v[:, s * d_sub : (s + 1) * d_sub]
                 d = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
                 codes[:, s] = d.argmin(1)
-            pdf = pdf.assign(codes=list(codes))
-            yield pdf
+            yield batch.append_column("codes", arrow_list_column(codes))
 
     from pyspark.sql import types as T
 
@@ -592,7 +609,7 @@ def pq_encode(
         list(vectors.schema.fields)
         + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
     )
-    return vectors.mapInPandas(fn, schema=out_schema)
+    return vectors.mapInArrow(fn, schema=out_schema)
 
 
 def pq_adc_topk(
