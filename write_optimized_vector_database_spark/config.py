@@ -44,7 +44,18 @@ class PqConfig:
     m: int = 96  # subspaces (config.h:88) — scaled down when dim < 768
     nbits: int = 8  # config.h:89
     rerank_factor: int = 4  # config.h:93
-    opq: bool = False  # quality knob, skipped (SURVEY Q4 note)
+    # config.h:90 use_opq=true — implemented (train_opq + rotated-space
+    # ADC with original-space rerank); opt-in via
+    # build_indexes(use_opq=True) because on isotropic data the rotation
+    # buys little (docs/SCALE.md recall ladder) while real corpora are
+    # exactly where it pays.
+    opq: bool = False
+    # IVF multiple assignment (NOT a reference knob — public technique,
+    # Jégou et al.): each vector stored in its `spill` nearest lists.
+    # The coverage lever when the corpus is weakly clustered; index
+    # grows spill×, still ≪ raw vectors. Recorded per build in the
+    # collection manifest.
+    spill: int = 1
 
     def m_for_dim(self, dim: int) -> int:
         """Reference m=96 assumes dim=768 (8 dims/subspace); keep that
