@@ -322,34 +322,44 @@ def ivfpq_adc_topk(
     qids_np = np.asarray(qids)
     s_idx = np.arange(m)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    from write_optimized_vector_database_spark.functions.nputil import arrow_matrix
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            outs = []
-            for cid, grp in pdf.groupby("centroid_id", sort=False):
-                qi = by_cid.get(cid)
+            codes_all = arrow_matrix(batch, "codes", dtype=np.int64)  # (n, m)
+            cids_np = batch.column(
+                batch.schema.get_field_index("centroid_id")
+            ).to_numpy(zero_copy_only=False)
+            ids = batch.column(batch.schema.get_field_index(vec_id_col))
+            out_q, out_i, out_s = [], [], []
+            for cid in np.unique(cids_np):
+                qi = by_cid.get(int(cid))
                 if not qi:
                     continue
-                codes = np.asarray(list(grp["codes"]), dtype=np.int64)  # (n, m)
+                rows_idx = np.nonzero(cids_np == cid)[0]
+                codes = codes_all[rows_idx]
                 if metric == "ip":
                     scores = lut[qi][:, s_idx, codes].sum(-1) + np.asarray(
                         offset[cid]
                     )[qi, None]
                 else:
                     scores = lut_qc[cid][qi][:, s_idx, codes].sum(-1)
-                n = len(grp)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(qids_np[qi], n),
-                            "vec_id": np.tile(grp[vec_id_col].to_numpy(), len(qi)),
-                            "score": scores.reshape(-1),
-                        }
-                    )
+                out_q.append(np.repeat(qids_np[qi], len(rows_idx)))
+                out_i.append(np.tile(rows_idx, len(qi)))
+                out_s.append(scores.reshape(-1))
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        ids.take(pa.array(np.concatenate(out_i))),
+                        pa.array(np.concatenate(out_s), pa.float64()),
+                    ],
+                    names=["query_id", "vec_id", "score"],
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
     from pyspark.sql import types as T
 
@@ -363,7 +373,7 @@ def ivfpq_adc_topk(
     pruned = index.filter(F.col("centroid_id").isin(probe_ids)).select(
         F.col(vec_id_col), "centroid_id", "codes"
     )
-    scored = pruned.mapInPandas(fn, schema=scored_schema)
+    scored = pruned.mapInArrow(fn, schema=scored_schema)
     if dedup_candidates:
         scored = scored.groupBy("query_id", "vec_id").agg(
             F.max("score").alias("score")

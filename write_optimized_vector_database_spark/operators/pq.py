@@ -644,23 +644,30 @@ def pq_adc_topk(
     else:
         raise ValueError(f"ADC unsupported for metric {metric!r}")
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from write_optimized_vector_database_spark.functions.nputil import arrow_matrix
+
+    def fn(batches):
+        import pyarrow as pa
+
         s_idx = np.arange(m)
-        for pdf in batches:
-            if not len(pdf):
+        nq = len(qids)
+        qarr = pa.array(list(qids))
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            codes = arrow_matrix(batch, "codes", dtype=np.int64)  # (n, m)
             # (q, n): sum over subspaces of LUT[q, s, codes[n, s]]
-            scores = lut[:, s_idx, codes].sum(-1)  # lut[:, s, codes[:,s]] → (q, n, m)→sum
-            n = len(pdf)
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n),
-                    "vec_id": np.tile(pdf[vec_id_col].to_numpy(), len(qids)),
-                    "score": scores.reshape(-1),
-                }
+            scores = lut[:, s_idx, codes].sum(-1)
+            ids = batch.column(batch.schema.get_field_index(vec_id_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    qarr.take(pa.array(np.repeat(np.arange(nq), n))),
+                    ids.take(pa.array(np.tile(np.arange(n), nq))),
+                    pa.array(scores.reshape(-1), pa.float64()),
+                ],
+                names=["query_id", "vec_id", "score"],
             )
-            yield out
 
     from pyspark.sql import types as T
 
@@ -672,7 +679,7 @@ def pq_adc_topk(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    scored = encoded.select(F.col(vec_id_col), "codes").mapInPandas(
+    scored = encoded.select(F.col(vec_id_col), "codes").mapInArrow(
         fn, schema=scored_schema
     )
     return topk_per_group(

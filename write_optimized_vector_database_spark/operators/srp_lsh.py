@@ -111,28 +111,29 @@ def srp_index_np(
     round-1 2× lever on vec_srp_multitable_topk); the cumsum fold
     discipline keeps bucket ids bit-identical to the `srp_index`
     fold/oracle variant, which stays as the cross-checkable twin."""
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    from write_optimized_vector_database_spark.functions.nputil import arrow_matrix
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            v = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-            )
+            v = arrow_matrix(batch, vec_col)  # list buffer → (n, dim)
             buckets = srp_buckets_np(v, tables)  # (n, r)
-            n, r = buckets.shape
-            ids = pdf[vec_id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    vec_id_col: np.repeat(ids, r),
-                    "table": np.tile(np.arange(r, dtype=np.int32), n),
-                    "bucket": buckets.reshape(-1),
-                }
+            r = buckets.shape[1]
+            ids = batch.column(batch.schema.get_field_index(vec_id_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.repeat(np.arange(n), r))),
+                    pa.array(np.tile(np.arange(r, dtype=np.int32), n), pa.int32()),
+                    pa.array(buckets.reshape(-1).astype(np.int32), pa.int32()),
+                ],
+                names=[vec_id_col, "table", "bucket"],
             )
 
     schema = T.StructType(
@@ -142,7 +143,7 @@ def srp_index_np(
             T.StructField("bucket", T.IntegerType()),
         ]
     )
-    return vectors.select(vec_id_col, vec_col).mapInPandas(fn, schema=schema)
+    return vectors.select(vec_id_col, vec_col).mapInArrow(fn, schema=schema)
 
 
 def multitable_planes_from_stride(
