@@ -235,3 +235,36 @@ def test_graceful_decode_meta_without_pil(blobs):
     fmt, w, h, c, via = MM.decode_image_meta(png[:20])
     assert via in ("header", "opaque")
     assert MM.decode_capability(jpg) == "header"
+
+
+def test_gif_codec_round_trip():
+    """Real GIF: palette + LZW encode, full LZW decode — pixel-exact,
+    including the mid-stream CLEAR reset past 4095 codes."""
+    px = [[((x % 8) * 30, (y % 8) * 30, ((x + y) % 4) * 60) for x in range(40)]
+          for y in range(30)]
+    w, h, nch, rgb = MM.decode_gif(MM.encode_gif(px))
+    assert (w, h, nch) == (40, 30, 3)
+    assert rgb == bytes(c for row in px for p in row for c in p)
+    # 256-color max palette over 16384 px forces the 12-bit CLEAR reset
+    big = [[(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)] for _ in range(64)]
+    assert MM.decode_gif(MM.encode_gif(big))[3] == bytes(
+        c for row in big for p in row for c in p
+    )
+
+
+def test_gif_now_decodes_pixels_without_pil():
+    px = [[(9, 8, 7)] * 5 for _ in range(4)]
+    blob = MM.encode_gif(px)
+    assert MM.decode_capability(blob) == "pixels"
+    assert MM.decode_image(blob) == (5, 4, 3)
+    assert MM.decode_image_meta(blob) == ("image/gif", 5, 4, 3, "pixels")
+    # the header-only stub still degrades gracefully (no pixel data)
+    stub = MM.encode_gif_stub(7, 9)
+    assert MM.decode_image_meta(stub) == ("image/gif", 7, 9, 3, "header")
+    # interlaced flag -> decoder raises -> meta falls back to header
+    import struct
+    inter = MM.encode_gif(px)
+    idx = inter.index(b"\x2c")
+    packed = inter[idx + 9]
+    inter = inter[: idx + 9] + bytes([packed | 0x40]) + inter[idx + 10 :]
+    assert MM.decode_image_meta(inter)[4] == "header"

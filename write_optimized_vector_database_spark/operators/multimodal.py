@@ -165,10 +165,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image(blob: bytes) -> tuple[int, int, int]:
-    """REAL decode: PIL when importable, else the stdlib PNG decoder
-    above for PNG payloads. Non-PNG formats without PIL raise — JPEG et
-    al. genuinely need a codec library this container does not ship;
-    `fake_decode_meta` remains the deterministic stand-in for those."""
+    """REAL decode: PIL when importable, else the stdlib decoders below —
+    PNG (full filter reconstruction) and GIF (full LZW). Only JPEG
+    pixel decode still needs a codec library this container does not
+    ship; `fake_decode_meta` remains the deterministic stand-in there."""
     try:
         import io
 
@@ -181,16 +181,19 @@ def decode_image(blob: bytes) -> tuple[int, int, int]:
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, nch, _px = decode_png(blob)
         return w, h, nch
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, nch, _px = decode_gif(blob)
+        return w, h, nch
     raise NotImplementedError(
-        "non-PNG decode requires PIL/opencv (not in this container); "
+        "JPEG pixel decode requires PIL/opencv (not in this container); "
         "use fake_decode_meta for plumbing tests"
     )
 
 
 def decode_capability(blob: bytes | None) -> str:
     """'pixels' if a full pixel decode of this blob is possible here
-    (PIL importable, or PNG via the stdlib decoder), else 'header' if
-    the marker walk can recover dimensions, else 'opaque'."""
+    (PIL importable, or PNG/GIF via the stdlib decoders), else 'header'
+    if the marker walk can recover dimensions, else 'opaque'."""
     if not blob:
         return "opaque"
     try:
@@ -199,7 +202,7 @@ def decode_capability(blob: bytes | None) -> str:
         return "pixels"
     except ImportError:
         pass
-    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" or blob[:6] in (b"GIF87a", b"GIF89a"):
         return "pixels"
     fmt, _w, _h, _c = parse_media_header(blob)
     return "header" if fmt != "application/octet-stream" else "opaque"
@@ -264,6 +267,201 @@ def encode_gif_stub(width: int, height: int) -> bytes:
         + struct.pack("<HHBBB", width, height, 0x70, 0, 0)
         + b"\x3b"
     )
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Spec-conforming GIF LZW stream emitting LITERAL codes only.
+
+    The encoder never uses its dictionary, but a decoder ADDS an entry
+    for every code it receives — so the emitted code WIDTH must track
+    the decoder's table growth exactly, and a CLEAR resets both sides
+    before the 12-bit ceiling. Spec-valid (just not maximally
+    compressed); any conforming decoder reproduces the indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for b in range(width):  # LSB-first per the GIF spec
+            bits.append((code >> b) & 1)
+
+    width = min_code_size + 1
+    emit(clear, width)
+    next_code = eoi + 1  # decoder's next free slot
+    first = True  # first code after a CLEAR adds no decoder entry
+    for idx in indices:
+        emit(idx, width)
+        if first:
+            first = False
+        else:
+            # decoder added an entry for this code → table grew
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            elif next_code >= 4095:
+                emit(clear, width)
+                width = min_code_size + 1
+                next_code = eoi + 1
+                first = True
+    emit(eoi, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        out.append(byte)
+    return bytes(out)
+
+
+def encode_gif(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """REAL GIF89a encoder, stdlib only: palette from the image's unique
+    colors (≤256), logical screen descriptor + global color table +
+    image descriptor + LZW-coded indices. Round-trips bit-exactly
+    through decode_gif (and any conforming viewer)."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    palette: list[tuple[int, int, int]] = []
+    pal_pos: dict[tuple[int, int, int], int] = {}
+    indices: list[int] = []
+    for row in pixels:
+        for px in row:
+            if px not in pal_pos:
+                pal_pos[px] = len(palette)
+                palette.append(px)
+            indices.append(pal_pos[px])
+    if len(palette) > 256:
+        raise ValueError(f"GIF palette overflow: {len(palette)} unique colors")
+    # GCT size is a power of two ≥ 2; min LZW code size ≥ 2 per spec
+    gct_bits = max(1, (max(1, len(palette) - 1)).bit_length())
+    gct_n = 1 << gct_bits
+    min_code_size = max(2, gct_bits)
+    gct = bytearray()
+    for i in range(gct_n):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    sub_blocks = b"".join(
+        bytes((len(lzw[i : i + 255]),)) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)  # GCT present
+        + bytes(gct)
+        + b"\x2c"  # image descriptor
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT, not interlaced
+        + bytes((min_code_size,))
+        + sub_blocks
+        + b"\x00"  # block terminator
+        + b"\x3b"  # trailer
+    )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """Full GIF LZW decoder (handles ANY conforming stream, not just the
+    literal-only encoder above): variable code width, CLEAR/EOI,
+    dictionary growth with the prev+first-symbol rule, 12-bit ceiling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [[i] for i in range(clear)]
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = []
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < clear:
+            entry = base[code]
+        elif code - eoi - 1 < len(table):
+            entry = table[code - eoi - 1]
+        elif code == eoi + 1 + len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW: code {code} out of range")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if eoi + 1 + len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF decode on stdlib only: header + LSD + color tables +
+    extension skip + image descriptor + full LZW decompression →
+    interleaved RGB bytes. Non-interlaced single-frame images (the
+    overwhelmingly common case for stored stills); interlaced frames
+    raise and the caller degrades to header metadata.
+    Returns (width, height, 3, rgb_bytes)."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(blob):
+        block = blob[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", blob[pos : pos + 9])
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = blob[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = blob[pos]
+            pos += 1
+            lzw = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                lzw += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            rgb = bytearray()
+            for idx in indices:
+                rgb += ct[3 * idx : 3 * idx + 3]
+            return iw, ih, 3, bytes(rgb)
+        elif block == 0x3B:  # trailer before any image data
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF stream contains no image data")
 
 
 _JPEG_SOF_MARKERS = frozenset(

@@ -391,12 +391,13 @@ def mm_png_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_graceful_decode_meta",
     # decode_image_meta (VERDICT r04 #8) under the oracle gate: a mixed
-    # corpus — real PNG pixels, JPEG/GIF header-only streams, garbage —
-    # where the degradation route is part of the checked result. In THIS
-    # container (no PIL) PNG decodes pixels via the stdlib decoder while
-    # JPEG/GIF degrade to the header walk and garbage to opaque zeros;
-    # the closed-form oracle pins both the metadata and the route, so a
-    # capability-probe or fallback bug breaks the hash.
+    # corpus — real PNG pixels, real GIF pixels (stdlib LZW round-trip),
+    # a JPEG header-only stream, garbage — where the degradation route
+    # is part of the checked result. In THIS container (no PIL) PNG and
+    # GIF decode REAL pixels via the stdlib decoders, JPEG degrades to
+    # the header walk, garbage to opaque zeros; the closed-form oracle
+    # pins both the metadata and the route, so a capability-probe,
+    # fallback, or LZW bug breaks the hash.
     oracle="""
 SELECT doc_id,
        CASE doc_id % 4 WHEN 0 THEN 'image/png'
@@ -412,9 +413,9 @@ SELECT doc_id,
                        WHEN 2 THEN 8 + doc_id % 7
                        ELSE 0 END::INT AS height,
        CASE doc_id % 4 WHEN 3 THEN 0 ELSE 3 END::INT AS n_channels,
-       CASE doc_id % 4 WHEN 0 THEN 'pixels'
+       CASE doc_id % 4 WHEN 1 THEN 'header'
                        WHEN 3 THEN 'opaque'
-                       ELSE 'header' END AS via
+                       ELSE 'pixels' END AS via
 FROM documents ORDER BY doc_id
 """,
     survey_ref="[EXT] multimodal graceful decode (capability probe + per-blob degradation)",
@@ -443,7 +444,11 @@ def mm_graceful_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif i % 4 == 1:
                     blob = MM.encode_jpeg_stub(16 + i % 17, 16 + i % 13, 3)
                 elif i % 4 == 2:
-                    blob = MM.encode_gif_stub(8 + i % 9, 8 + i % 7)
+                    w, h = 8 + i % 9, 8 + i % 7
+                    blob = MM.encode_gif(
+                        [[((x % 8) * 30, (y % 8) * 30, i % 256) for x in range(w)]
+                         for y in range(h)]
+                    )
                 else:
                     blob = b"\x00opaque-payload" + bytes([i % 256]) * 16
                 fmt, w, h, nch, via = MM.decode_image_meta(blob)
@@ -464,3 +469,80 @@ def mm_graceful_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "mm_gif_patch_grid",
+    # The stdlib GIF codec (palette build + LZW encode on the way in,
+    # FULL LZW decompression + color-table mapping on the way out) under
+    # the oracle gate, pixel-exactly: each doc gets a 16x16 gradient
+    # (r = base + x, g = y, b = x + y — 256 unique colors, a full
+    # palette), the decoder reconstructs the buffer, and 4x4-patch
+    # channel sums are computed FROM THE DECODED BYTES. The oracle is
+    # the closed form of those sums, so any LZW width-growth, palette,
+    # or ordering bug shifts a sum and breaks the hash (same contract as
+    # mm_png_patch_grid for the PNG codec).
+    oracle="""
+WITH px AS (SELECT u.i AS p FROM range(4) u(i)),
+grid AS (
+  SELECT d.doc_id, (d.doc_id % 240)::INT AS base, a.p AS px, b.p AS py
+  FROM documents d, px a, px b
+  WHERE d.doc_id < 100
+)
+SELECT doc_id, px, py,
+       (16 * base + 64 * px + 24)::BIGINT AS sum_r,
+       (64 * py + 24)::BIGINT AS sum_g,
+       (64 * px + 24 + 64 * py + 24)::BIGINT AS sum_b
+FROM grid ORDER BY doc_id, py, px
+""",
+    survey_ref="[EXT] multimodal GIF codec (LZW round-trip, patch features)",
+    tags=["multimodal", "decode"],
+)
+def mm_gif_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid features through the real GIF codec — the LZW twin of
+    mm_png_patch_grid. 100 TB shape: identical (Arrow-batched, 1→16
+    fan-out, blobs never leave their partition)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                base = int(doc_id) % 240
+                pixels = [
+                    [(base + x, y, x + y) for x in range(16)] for y in range(16)
+                ]
+                blob = MM.encode_gif(pixels)
+                w, h, nch, raw = MM.decode_gif(blob)
+                assert (w, h, nch) == (16, 16, 3)
+                for py in range(4):
+                    for px_ in range(4):
+                        sums = [0, 0, 0]
+                        for y in range(py * 4, py * 4 + 4):
+                            for x in range(px_ * 4, px_ * 4 + 4):
+                                off = (y * 16 + x) * 3
+                                for c in range(3):
+                                    sums[c] += raw[off + c]
+                        rows.append((int(doc_id), px_, py, *sums))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "px", "py", "sum_r", "sum_g", "sum_b"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("px", T.IntegerType()),
+            T.StructField("py", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id", "py", "px")
