@@ -66,7 +66,7 @@ def test_refresh_equals_full_reencode(spark, coll):
     # ground truth: full re-encode of current() with the same artifacts
     from write_optimized_vector_database_spark.operators.ivfpq import ivfpq_encode
 
-    cents = spark.read.parquet(f"{coll.path}/index_centroids")
+    cents = spark.read.parquet(f"{coll.path}/index_centroids_stable")
     cbs = spark.read.parquet(f"{coll.path}/index_codebooks")
     cur = coll.current().filter(F.col("vector").isNotNull())
     want = {
@@ -175,7 +175,7 @@ def test_streaming_ingest_with_online_maintenance(spark, coll, tmp_path):
 
     # index epoch advanced past every streamed epoch → delta is empty
     assert coll._index_epoch() == coll.changelog().agg(F.max("epoch")).first()[0]
-    cents = spark.read.parquet(f"{coll.path}/index_centroids")
+    cents = spark.read.parquet(f"{coll.path}/index_centroids_stable")
     cbs = spark.read.parquet(f"{coll.path}/index_codebooks")
     cur = coll.current().filter(F.col("vector").isNotNull())
     want = {
@@ -244,7 +244,7 @@ def test_refresh_property_random_op_sequences(spark, tmp_path):
         c.ingest(spark.createDataFrame(rows(ops[split:], 10_000), SCHEMA))
         c.refresh_indexes()
 
-        cents = spark.read.parquet(f"{path}/index_centroids")
+        cents = spark.read.parquet(f"{path}/index_centroids_stable")
         cbs = spark.read.parquet(f"{path}/index_codebooks")
         cur = c.current().filter(F.col("vector").isNotNull())
         want = {

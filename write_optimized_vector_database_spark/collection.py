@@ -598,19 +598,31 @@ class VectorCollection:
             .parquet(f"{self.path}/index_stable")
         )
         _stage("encode+write")
-        cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids")
+        # IVF-PQ centroids get their OWN path: when use_opq=True they live
+        # in OPQ-ROTATED space, and sharing {path}/index_centroids with
+        # build_ivf_index (original space) would make a later topk_ivf /
+        # calibrate_nprobe probe original-space posting lists with rotated
+        # centroids — a silent systematic space mismatch.
+        cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids_stable")
         codebooks.write.mode("overwrite").parquet(f"{self.path}/index_codebooks")
         _stage("artifact-write")
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
             self._has_changelog_files()
         ) else self._snapshot_epoch()
         cur.unpersist()
+        # build_id is a monotonic per-build token: index_epoch alone can't
+        # distinguish "rebuilt with different knobs, no new ingest" (same
+        # max changelog epoch) from "nothing changed", so the artifact
+        # cache keys on build_id, not epoch.
         self._meta_update(
             index_epoch=int(max_epoch),
+            index_build_id=int(self._meta().get("index_build_id", 0)) + 1,
+            index_centroids_path="index_centroids_stable",
             index_residual=bool(residual),
             index_spill=int(spill),
             index_opq=bool(use_opq),
         )
+        self._evict_index_artifacts()
 
     def _save_rotation(self, r_mat) -> None:
         rows = [(int(i), [float(x) for x in r_mat[i]]) for i in range(len(r_mat))]
@@ -631,24 +643,39 @@ class VectorCollection:
     def _index_epoch(self) -> int:
         return self._meta().get("index_epoch", -1)
 
-    def _index_artifacts(self) -> tuple[DataFrame, DataFrame]:
-        """(centroids, codebooks) for the CURRENT index epoch, persisted
-        once per epoch so repeated searches hit executor memory instead
-        of re-scanning the artifact parquet. Eviction unpersists the
-        stale epoch's frames."""
-        epoch = self._index_epoch()
-        hit = self._artifact_cache.get("idx")
-        if hit is not None and hit[0] == epoch:
-            return hit[1], hit[2]
+    def _stable_centroids_path(self) -> str:
+        """IVF-PQ (stable-generation) centroids. New builds write the
+        dedicated index_centroids_stable; the manifest key keeps indexes
+        written before the split readable."""
+        return f"{self.path}/" + self._meta().get(
+            "index_centroids_path", "index_centroids"
+        )
+
+    def _evict_index_artifacts(self) -> None:
+        hit = self._artifact_cache.pop("idx", None)
         if hit is not None:
             for df in hit[1:]:
                 try:
                     df.unpersist()
                 except Exception:  # noqa: BLE001
                     pass
-        cents = self.spark.read.parquet(f"{self.path}/index_centroids").persist()
+
+    def _index_artifacts(self) -> tuple[DataFrame, DataFrame]:
+        """(centroids, codebooks) for the CURRENT build, persisted once
+        per build so repeated searches hit executor memory instead of
+        re-scanning the artifact parquet. Keyed on index_build_id — a
+        token build_indexes bumps on EVERY build — not index_epoch,
+        which stays constant when the index is rebuilt with different
+        knobs and no new ingest (stale-cache hazard). Eviction unpersists
+        the stale build's frames."""
+        build_id = self._meta().get("index_build_id", self._index_epoch())
+        hit = self._artifact_cache.get("idx")
+        if hit is not None and hit[0] == build_id:
+            return hit[1], hit[2]
+        self._evict_index_artifacts()
+        cents = self.spark.read.parquet(self._stable_centroids_path()).persist()
         codebooks = self.spark.read.parquet(f"{self.path}/index_codebooks").persist()
-        self._artifact_cache["idx"] = (epoch, cents, codebooks)
+        self._artifact_cache["idx"] = (build_id, cents, codebooks)
         return cents, codebooks
 
     def refresh_indexes(self) -> dict:
@@ -693,7 +720,7 @@ class VectorCollection:
             touched.unpersist()
             return {"n_touched": 0, "n_reencoded": 0, "n_lists_rewritten": 0}
 
-        cents = spark.read.parquet(f"{self.path}/index_centroids")
+        cents = spark.read.parquet(self._stable_centroids_path())
         codebooks = spark.read.parquet(f"{self.path}/index_codebooks")
         # visible versions of touched ids (deleted ids simply absent)
         delta_vis = self.current().filter(

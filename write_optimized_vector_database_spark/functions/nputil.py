@@ -31,12 +31,18 @@ def arrow_matrix(batch, col: str, dtype=np.float64) -> np.ndarray:
     conversion. Requires non-null, fixed-length lists (every vector
     pass in this engine guarantees both)."""
     arr = batch.column(batch.schema.get_field_index(col))
-    return (
-        arr.flatten()
-        .to_numpy(zero_copy_only=False)
-        .astype(dtype, copy=False)
-        .reshape(batch.num_rows, -1)
-    )
+    if arr.null_count:
+        raise ValueError(
+            f"arrow_matrix({col!r}): {arr.null_count} null rows — the flat "
+            "buffer reshape would silently mis-align every later row"
+        )
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if batch.num_rows and len(flat) % batch.num_rows:
+        raise ValueError(
+            f"arrow_matrix({col!r}): ragged lists ({len(flat)} values / "
+            f"{batch.num_rows} rows) — fixed-length vectors required"
+        )
+    return flat.astype(dtype, copy=False).reshape(batch.num_rows, -1)
 
 
 def arrow_list_column(mat: np.ndarray, value_type=None):

@@ -290,9 +290,11 @@ def ivfpq_adc_topk(
 
     # probe selection runs driver-side on the ALREADY-collected arrays
     # (≤100 queries × nlist distances) instead of spinning a separate
-    # broadcast-join Spark job: one less job per search call, same
-    # nearest-first/id-tiebreak ordering (stable argsort over the
-    # id-ordered centroid rows).
+    # broadcast-join Spark job: one less job per search call. Ordering is
+    # nearest-first with id tiebreak (stable argsort over the id-ordered
+    # centroid rows), but the L2 fold here (c² − 2q·c, the q²-free form)
+    # differs in FP operation order from probe_centroids' full ‖q−c‖² —
+    # probe SETS can differ from that path on exact near-tie distances.
     cids_ordered = [r.centroid_id for r in crows]
     cmat = np.asarray([cent_vecs[c] for c in cids_ordered])
     qc = ((cmat * cmat).sum(-1)[None, :] - 2.0 * (qv @ cmat.T))
