@@ -261,10 +261,92 @@ def test_gif_now_decodes_pixels_without_pil():
     # the header-only stub still degrades gracefully (no pixel data)
     stub = MM.encode_gif_stub(7, 9)
     assert MM.decode_image_meta(stub) == ("image/gif", 7, 9, 3, "header")
-    # interlaced flag -> decoder raises -> meta falls back to header
-    import struct
-    inter = MM.encode_gif(px)
-    idx = inter.index(b"\x2c")
-    packed = inter[idx + 9]
-    inter = inter[: idx + 9] + bytes([packed | 0x40]) + inter[idx + 10 :]
-    assert MM.decode_image_meta(inter)[4] == "header"
+
+def test_gif_interlaced_deinterlace_pixel_exact():
+    """VERDICT r05 #8: 4-pass interlaced GIFs now decode (rows written
+    in 0,8../4,12../2,6../1,3.. order, un-shuffled on read) — checked
+    with a row-varying image so a wrong pass order can't hide."""
+    px = [[((y * 17) % 256, (x * 11) % 256, (x + y) % 256) for x in range(11)]
+          for y in range(13)]
+    blob = MM.encode_gif(px, interlace=True)
+    w, h, nch, rgb = MM.decode_gif(blob)
+    assert (w, h, nch) == (11, 13, 3)
+    assert rgb == bytes(c for row in px for p in row for c in p)
+    assert MM.decode_capability(blob) == "pixels"
+    assert MM.decode_image_meta(blob)[4] == "pixels"
+
+
+class TestJpegCodec:
+    """Baseline JPEG (SOF0) round-trips, stdlib+numpy only (r05 #5)."""
+
+    def test_flat_grayscale_pixel_exact(self):
+        import numpy as np
+
+        blob = MM.encode_jpeg([[77] * 16 for _ in range(16)])
+        w, h, nch, raw = MM.decode_jpeg(blob)
+        assert (w, h, nch) == (16, 16, 1)
+        assert (np.frombuffer(raw, np.uint8) == 77).all()
+
+    def test_checker_ac_coefficients_pixel_exact(self):
+        """DC + F(4,4) content: with quant=1 the coefficients quantize
+        losslessly, so the decode is bit-exact THROUGH the AC path —
+        ZRL runs, amplitude extend, EOB — not just flat DC."""
+        import numpy as np
+
+        s = [1, -1, -1, 1, 1, -1, -1, 1]
+        px = [[100 + 5 * s[x % 8] * s[y % 8] for x in range(16)]
+              for y in range(16)]
+        w, h, nch, raw = MM.decode_jpeg(MM.encode_jpeg(px))
+        assert (np.frombuffer(raw, np.uint8).reshape(16, 16)
+                == np.array(px, np.uint8)).all()
+
+    def test_non_multiple_of_8_dims(self):
+        import numpy as np
+
+        w, h, nch, raw = MM.decode_jpeg(MM.encode_jpeg([[33] * 13] * 11))
+        assert (w, h) == (13, 11)
+        assert (np.frombuffer(raw, np.uint8) == 33).all()
+
+    def test_rgb_444_close(self):
+        import numpy as np
+
+        px = [[(x * 3 % 200 + 20, y * 5 % 200 + 20, (x + y) * 2 % 200 + 20)
+               for x in range(16)] for y in range(16)]
+        w, h, nch, raw = MM.decode_jpeg(MM.encode_jpeg(px))
+        assert nch == 3
+        got = np.frombuffer(raw, np.uint8).reshape(16, 16, 3).astype(int)
+        assert np.abs(got - np.array(px, int)).max() <= 2  # color rounding only
+
+    def test_rgb_420_subsampled_close(self):
+        import numpy as np
+
+        px = [[(100, 80 + y, 90 + x) for x in range(16)] for y in range(16)]
+        w, h, nch, raw = MM.decode_jpeg(MM.encode_jpeg(px, subsample=2))
+        got = np.frombuffer(raw, np.uint8).reshape(16, 16, 3).astype(int)
+        assert np.abs(got - np.array(px, int)).max() <= 4  # 2x2 chroma mean
+
+    def test_real_quant_table_lossy_but_close(self):
+        import numpy as np
+
+        px = [[(x * 7 + y * 3) % 256 for x in range(24)] for y in range(17)]
+        w, h, nch, raw = MM.decode_jpeg(MM.encode_jpeg(px, quant=[16] * 64))
+        got = np.frombuffer(raw, np.uint8).reshape(17, 24).astype(int)
+        assert np.abs(got - np.array(px, int)).max() < 40
+
+    def test_capability_lattice(self):
+        full = MM.encode_jpeg([[50] * 8 for _ in range(8)])
+        assert MM.decode_capability(full) == "pixels"
+        assert MM.decode_image_meta(full) == ("image/jpeg", 8, 8, 1, "pixels")
+        # a scan-less header stub stays 'header' (the capability probe
+        # requires SOF0 AND an SOS — ADVICE r05 #3's per-format probe)
+        stub = MM.encode_jpeg_stub(20, 10, 3)
+        assert MM.decode_capability(stub) == "header"
+        # progressive (SOF2) degrades to the header walk
+        prog = full.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        assert MM.decode_capability(prog) == "header"
+        assert MM.decode_image_meta(prog)[4] == "header"
+
+    def test_truncated_stream_degrades(self):
+        full = MM.encode_jpeg([[50] * 8 for _ in range(8)])
+        fmt, w, h, c, via = MM.decode_image_meta(full[:-20])
+        assert via in ("header", "opaque")  # never raises

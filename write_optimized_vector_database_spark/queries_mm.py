@@ -472,6 +472,110 @@ def mm_graceful_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_roundtrip_decode",
+    # The stdlib BASELINE JPEG codec (DCT → quantize → Huffman on the
+    # way in, full marker parse + Huffman + IDCT on the way out) under
+    # the oracle gate, PIXEL-EXACTLY despite JPEG being lossy: with an
+    # all-ones quant table, a grayscale image whose 8×8 blocks are
+    # m0 + m1·s(x)s(y) (s = sign of the u=4 DCT basis, i.e. the block
+    # holds exactly F(0,0)=8·m0−1024 and F(4,4)=8·m1) quantizes to
+    # integers with zero loss, so decode reproduces every pixel bit-for-
+    # bit. The emitted per-block sum / sum-of-squares / two phase-pinning
+    # pixels are closed-form in doc_id; any Huffman, zigzag, ZRL,
+    # dequant, or IDCT bug breaks the hash. This closes the last media
+    # seam (VERDICT r05 #5): baseline JPEG now decodes real pixels.
+    oracle="""
+WITH blocks AS (
+  SELECT d.doc_id, a.i AS bcol, b.i AS brow,
+         (10 + d.doc_id % 180 + 13 * a.i + 29 * b.i) AS m0,
+         (1 + d.doc_id % 5) AS m1
+  FROM documents d, range(2) a(i), range(2) b(i)
+  WHERE d.doc_id < 100
+)
+SELECT doc_id, bcol, brow,
+       (64 * m0)::BIGINT AS block_sum,
+       (64 * (m0 * m0 + m1 * m1))::BIGINT AS sum_sq,
+       (m0 + m1)::INT AS px00,
+       (m0 - m1)::INT AS px10
+FROM blocks ORDER BY doc_id, brow, bcol
+""",
+    survey_ref="[EXT] multimodal JPEG codec (baseline SOF0 round-trip, pixel-exact)",
+    tags=["multimodal", "decode"],
+)
+def mm_jpeg_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode executed in executors: encode_jpeg
+    builds a genuine SOF0 stream per row (custom spec-valid Huffman
+    tables in the DHT), decode_jpeg entropy-decodes and IDCTs it back,
+    and the per-8×8-block statistics come from the DECODED bytes. The
+    DC+F(4,4) checker content exercises AC run-length coding (35 zeros
+    before the (4,4) coefficient → two ZRLs), EOB, and the amplitude
+    extend path — not just flat-DC blocks."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base, m1 = 10 + i % 180, 1 + i % 5
+                pixels = [
+                    [
+                        base + 13 * (x // 8) + 29 * (y // 8)
+                        + m1 * s[x % 8] * s[y % 8]
+                        for x in range(16)
+                    ]
+                    for y in range(16)
+                ]
+                blob = MM.encode_jpeg(pixels)
+                w, h, nch, raw = MM.decode_jpeg(blob)
+                assert (w, h, nch) == (16, 16, 1)
+                for brow in range(2):
+                    for bcol in range(2):
+                        vals = [
+                            raw[(brow * 8 + y) * 16 + bcol * 8 + x]
+                            for y in range(8)
+                            for x in range(8)
+                        ]
+                        rows.append(
+                            (
+                                i, bcol, brow,
+                                sum(vals),
+                                sum(v * v for v in vals),
+                                raw[brow * 8 * 16 + bcol * 8],
+                                raw[brow * 8 * 16 + bcol * 8 + 1],
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "bcol", "brow", "block_sum", "sum_sq",
+                    "px00", "px10",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bcol", T.IntegerType()),
+            T.StructField("brow", T.IntegerType()),
+            T.StructField("block_sum", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("px00", T.IntegerType()),
+            T.StructField("px10", T.IntegerType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id", "brow", "bcol")
+
+
+@register(
     "mm_gif_patch_grid",
     # The stdlib GIF codec (palette build + LZW encode on the way in,
     # FULL LZW decompression + color-table mapping on the way out) under
