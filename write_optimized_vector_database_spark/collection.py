@@ -485,7 +485,10 @@ class VectorCollection:
         residual: bool = True,
         spill: int = 1,
         use_opq: bool = False,
-    ) -> None:
+        target_recall: float | None = None,
+        target_nprobe: int = 12,
+        target_rerank_factor: int = 4,
+    ) -> dict | None:
         """Build the *stable generation*: IVF-partitioned index with PQ
         codes over the current snapshot (reference delta/stable split,
         config.h:74-94 — stable segments are IVF-PQ). Everything ingested
@@ -511,7 +514,24 @@ class VectorCollection:
         Measured on the sf0.1 fixture at the reference's serving knobs
         (nlist=32 probe 12, rerank_factor=4): m=8/spill=1 → 0.75
         recall@10; m=16/spill=3/OPQ → 0.975 (target ≥0.95,
-        types.h:140)."""
+        types.h:140).
+
+        `target_recall` closes the engine's own quality loop (VERDICT
+        r05 #2): instead of the caller reading docs/SCALE.md's knob
+        ladder, the build WALKS it — (m=dim/8, spill=1) → (+spill) →
+        (m=dim/4) → (+OPQ) — measuring sampled recall@10 at the
+        reference serving knobs (nprobe=12, rerank_factor=4 —
+        config.h:84-94) after each rung, stopping at the first
+        configuration that clears the target (types.h:140). The chosen
+        config and the measured ladder land in the manifest
+        (`auto_tune`); returns the chosen rung dict. Explicit m/spill/
+        use_opq arguments are ignored in this mode."""
+        if target_recall is not None:
+            return self._build_indexes_auto(
+                nlist=nlist, nbits=nbits, sample_fraction=sample_fraction,
+                seed=seed, target_recall=target_recall, nprobe=target_nprobe,
+                rerank_factor=target_rerank_factor,
+            )
         from write_optimized_vector_database_spark.operators.ivf import (
             assign_centroids,
             train_centroids_kmeans,
@@ -623,6 +643,86 @@ class VectorCollection:
             index_opq=bool(use_opq),
         )
         self._evict_index_artifacts()
+
+    def _build_indexes_auto(
+        self,
+        nlist: int,
+        nbits: int,
+        sample_fraction: float | None,
+        seed: int,
+        target_recall: float,
+        nprobe: int,
+        rerank_factor: int,
+        k: int = 10,
+        n_sample_queries: int = 8,
+    ) -> dict:
+        """Escalating build (VERDICT r05 #2): rebuild up the m/spill/OPQ
+        ladder until the SAMPLED recall@k at the reference serving knobs
+        clears `target_recall`. The recall probe is the Q15 frontier
+        measurement — n_sample_queries member vectors as queries, exact
+        top-k as ground truth — so it costs one small two-phase search
+        per rung; the rebuilds are the real cost, which is why the
+        ladder starts at the cheapest configuration and stops early."""
+        from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+
+        cur = self.current().filter(F.col("vector").isNotNull())
+        dim = len(cur.select("vector").first()[0])
+
+        def _div(x: int) -> int:
+            # largest divisor of dim that is ≤ x (PQ needs m | dim)
+            x = max(1, min(x, dim))
+            while dim % x:
+                x -= 1
+            return x
+
+        ladder: list[dict] = []
+        for rung in (
+            {"m": _div(dim // 8), "spill": 1, "use_opq": False},
+            {"m": _div(dim // 4), "spill": 2, "use_opq": False},
+            {"m": _div(dim // 4), "spill": 3, "use_opq": True},
+        ):
+            if rung not in ladder:  # tiny dims can collapse rungs
+                ladder.append(rung)
+
+        # bounded driver pull: the probe query batch is ≤ n_sample_queries
+        # rows — materialized so every rung scores the same batch
+        qrows = (
+            cur.orderBy("id")
+            .limit(n_sample_queries)
+            .select(F.col("id").alias("query_id"), F.col("vector").alias("query_vec"))
+            .collect()
+        )
+        queries = self.spark.createDataFrame(
+            qrows, "query_id long, query_vec array<double>"
+        )
+        exact = self.topk(queries, k=k)
+        history: list[dict] = []
+        for rung in ladder:
+            self.build_indexes(
+                nlist=nlist, nbits=nbits, sample_fraction=sample_fraction,
+                seed=seed, residual=True, **rung,
+            )
+            approx = self.topk_two_phase(
+                queries, k=k, nprobe=nprobe, rerank_factor=rerank_factor
+            )
+            r = float(
+                recall_at_k(approx, exact, k=k).agg(F.avg("recall")).first()[0]
+            )
+            history.append({**rung, "recall": round(r, 4)})
+            if r >= target_recall:
+                break
+        chosen = history[-1]
+        self._meta_update(
+            auto_tune={
+                "target_recall": float(target_recall),
+                "nprobe": int(nprobe),
+                "rerank_factor": int(rerank_factor),
+                "k": int(k),
+                "ladder": history,
+                "chosen": chosen,
+            }
+        )
+        return chosen
 
     def _save_rotation(self, r_mat) -> None:
         rows = [(int(i), [float(x) for x in r_mat[i]]) for i in range(len(r_mat))]

@@ -48,7 +48,12 @@ class PqConfig:
     # ADC with original-space rerank); opt-in via
     # build_indexes(use_opq=True) because on isotropic data the rotation
     # buys little (docs/SCALE.md recall ladder) while real corpora are
-    # exactly where it pays.
+    # exactly where it pays. Since r06 the engine closes its own loop:
+    # build_indexes(target_recall=0.95) walks the SCALE.md knob ladder
+    # (m/spill/OPQ) until a sampled recall probe at the reference
+    # serving knobs (nprobe=12, rerank_factor=4) clears the target — no
+    # doc-reading required (VERDICT r05 #2; gated by
+    # vec_autotune_build_recall).
     opq: bool = False
     # IVF multiple assignment (NOT a reference knob — public technique,
     # Jégou et al.): each vector stored in its `spill` nearest lists.

@@ -2891,6 +2891,93 @@ def mut_storage_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "vec_autotune_build_recall",
+    # VERDICT r05 #2 witnessed under the driver gate: build_indexes
+    # called with NO quality knobs — only target_recall=0.95 — must
+    # walk the m/spill/OPQ ladder itself and land ≥0.95 sampled
+    # recall@10 at the REFERENCE serving knobs (nprobe=12,
+    # rerank_factor=4, config.h:84-94; target types.h:140). The oracle
+    # pins the CONTRACT (target met, ladder recorded, recall
+    # monotonicity of the contract fields), not the data-dependent rung
+    # chosen — sf0.01 may satisfy the target on rung 1 while sf0.1
+    # needs rung 4, and both are correct behavior.
+    oracle="""
+SELECT true AS target_met, true AS ladder_recorded, true AS used_reference_knobs
+""",
+    survey_ref="Q15 auto-tune closing the loop (build-side), M3",
+    tags=["vector", "storage", "maintenance"],
+)
+def vec_autotune_build_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-box quality loop: ingest the synthetic changelog into
+    scratch storage, compact, then `build_indexes(target_recall=0.95)`
+    with no m/spill/OPQ knobs. The build escalates the SCALE.md ladder
+    until its own sampled recall probe clears the target at the
+    reference's serving knobs, and records the measured ladder in the
+    manifest. The emitted row re-checks the manifest record against an
+    INDEPENDENT recall measurement (fresh two-phase search vs exact) so
+    a lying probe can't self-certify.
+
+    100 TB shape: each rung is the production build (bounded training
+    sample, one fused Arrow encode pass, partitioned write); the probe
+    costs one ≤8-query two-phase search per rung, so escalation price
+    is rebuilds — which is exactly the knob the target bounds."""
+    import shutil
+    import tempfile
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.changelog import (
+        synthetic_changelog,
+    )
+    from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+
+    tmp = tempfile.mkdtemp(prefix="autotune_")
+    try:
+        coll = VectorCollection(spark, tmp, metric="ip")
+        # capped corpus: the gate certifies the ESCALATION LOOP, which is
+        # scale-invariant (the bench storage section measures build cost
+        # at full SF); without the cap this query's 3 worst-case rebuilds
+        # would scale its wall time with SF for no additional signal
+        coll.ingest(synthetic_changelog(spark, sf_dir).filter(F.col("id") < 2000))
+        coll.compact()
+        chosen = coll.build_indexes(nlist=32, target_recall=0.95)
+        tune = coll._meta().get("auto_tune", {})
+        # independent re-measurement at the recorded serving knobs
+        qrows = (
+            coll.current()
+            .filter(F.col("vector").isNotNull())
+            .orderBy("id")
+            .limit(8)
+            .select(F.col("id").alias("query_id"), F.col("vector").alias("query_vec"))
+            .collect()
+        )
+        queries = spark.createDataFrame(
+            qrows, "query_id long, query_vec array<double>"
+        )
+        exact = coll.topk(queries, k=10)
+        approx = coll.topk_two_phase(queries, k=10, nprobe=12, rerank_factor=4)
+        recall = float(
+            recall_at_k(approx, exact, k=10).agg(F.avg("recall")).first()[0]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                bool(recall >= 0.95 and chosen.get("recall", 0) >= 0.95),
+                bool(
+                    len(tune.get("ladder", [])) >= 1
+                    and tune.get("chosen") == chosen
+                ),
+                bool(
+                    tune.get("nprobe") == 12 and tune.get("rerank_factor") == 4
+                ),
+            )
+        ],
+        "target_met boolean, ladder_recorded boolean, used_reference_knobs boolean",
+    )
+
+
+@register(
     "mut_compaction_trigger_report",
     # M2 witnessed under the driver gate: the per-shard segment
     # descriptor stats feeding the compaction trigger (tombstone ratio
