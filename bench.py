@@ -25,11 +25,17 @@ WARMUP_DIR = "/root/testdata/sf0.001"
 # Headline set: every registered query unless overridden.
 BENCH_QUERIES = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
 
-# Repeats per query (default 1 = the driver's cheap single-pass run).
-# With N>1 the reported per-query number is the MEDIAN wall time and a
-# parallel "p95" map is emitted — use locally to separate plan-compile /
-# JIT noise from steady-state throughput before trusting a regression.
+# Repeats per query (default 1 = one guaranteed pass). On top of this,
+# ADAPTIVE medians (VERDICT r05 #1): any registry query whose first run
+# lands between MEDIAN_MIN_S and MEDIAN_MAX_S gets 2 more runs and
+# reports the MEDIAN — the r05 round showed 8 sub-3 s entries swinging
+# 1-2 s on run-order noise alone, which single samples cannot
+# adjudicate. Entries above MEDIAN_MAX_S (the scratch-storage builds)
+# stay single-shot: their cost is real work, tripling it buys little,
+# and the storage section below already medians the lifecycle.
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+MEDIAN_MIN_S = float(os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_MIN_S", "1.0"))
+MEDIAN_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_MAX_S", "20.0"))
 
 # The storage lifecycle (ingest → compact → index build → two-phase →
 # refresh → recovery) ALWAYS runs ≥3 repeats and reports medians: with
@@ -43,6 +49,20 @@ def _pctl(xs: list[float], q: float) -> float:
     ys = sorted(xs)
     i = min(len(ys) - 1, max(0, round(q * (len(ys) - 1))))
     return ys[i]
+
+
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative stop-the-world GC milliseconds of the driver JVM —
+    recorded per query (VERDICT r05 #6) so a timing swing can be
+    attributed to GC pressure from the artifact alone."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return int(sum(b.getCollectionTime() for b in beans))
+    except Exception:  # noqa: BLE001
+        return -1
 
 
 def main() -> None:
@@ -61,17 +81,33 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     p95: dict[str, float] = {}
-    for name in names:
+    # per-query provenance (VERDICT r05 #6): run position + driver-GC
+    # delta + raw samples, so future 0.4↔2.4 s swings are attributable
+    # from BENCH_FULL alone instead of "almost certainly noise"
+    query_meta: dict[str, dict] = {}
+    for order, name in enumerate(names):
         runs: list[float] = []
+        gc0 = _jvm_gc_ms(spark)
         try:
             for _ in range(REPEATS):
                 t0 = time.time()
                 df = reg[name].fn(spark, SF_DIR)
                 df.count()
                 runs.append(time.time() - t0)
+            # adaptive medians: noisy-band entries get 2 extra runs
+            if REPEATS == 1 and MEDIAN_MIN_S < runs[0] <= MEDIAN_MAX_S:
+                for _ in range(2):
+                    t0 = time.time()
+                    reg[name].fn(spark, SF_DIR).count()
+                    runs.append(time.time() - t0)
             timings[name] = round(_pctl(runs, 0.5), 3)
-            if REPEATS > 1:
+            if len(runs) > 1:
                 p95[name] = round(_pctl(runs, 0.95), 3)
+            query_meta[name] = {
+                "order": order,
+                "gc_ms": _jvm_gc_ms(spark) - gc0,
+                "runs": [round(x, 3) for x in runs],
+            }
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -185,6 +221,19 @@ def main() -> None:
                 t0 = time.time()
                 coll.refresh_indexes()
                 rec("refresh_indexes_incremental", time.time() - t0)
+                # warm twin (VERDICT r05 #4): a SECOND delta ingest +
+                # refresh on the same collection — identical operator
+                # work, but past the JVM/page-cache warmup the first
+                # refresh pays (measured [11.5, 3.6, 3.4] cold), so the
+                # p95 column measures the operator, not the JVM
+                delta2 = (
+                    log.withColumn("id", F.col("id") + 910_000_000)
+                    .withColumn("epoch", F.col("epoch") + 600_000_000)
+                )
+                coll.ingest(delta2)
+                t0 = time.time()
+                coll.refresh_indexes()
+                rec("refresh_indexes_incremental_warm", time.time() - t0)
                 # recovery: reopen the collection cold (fresh object,
                 # cleared file-listing caches — the single-JVM analog of
                 # kill→restart) and time the first correct read over
@@ -459,9 +508,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if REPEATS > 1:
-        full["repeats"] = REPEATS
+    full["repeats"] = REPEATS
+    full["adaptive_median_band_s"] = [MEDIAN_MIN_S, MEDIAN_MAX_S]
+    if p95:
         full["p95"] = p95
+    full["query_meta"] = query_meta
     # baseline-comparable telemetry (reference targets: 50k ops/s,
     # WA p50<=2.3 -- types.h:144-145), machine-readable beside the timings
     full.update(extra_metrics)
@@ -472,7 +523,9 @@ def main() -> None:
     except OSError as e:  # noqa: BLE001
         print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    line = {k: v for k, v in full.items() if k not in ("queries", "p95")}
+    line = {
+        k: v for k, v in full.items() if k not in ("queries", "p95", "query_meta")
+    }
     line["queries"] = slowest
     line["n_queries"] = len(timings)
     line["n_errors"] = len([v for v in timings.values() if v < 0])
