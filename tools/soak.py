@@ -82,9 +82,19 @@ def run_scale(spark, rep: int) -> dict[str, float]:
             .withColumn("epoch", F.col("epoch") + (rep + 1) * 1_000_000)
         )
         coll.ingest(delta)
+        # proportionality witnesses (VERDICT r05 #7): the refresh design
+        # claim is cost ∝ touched ids, NOT index size — so record the
+        # delta fraction at the worst point (delta ingested, refresh
+        # pending) and the refresh's own touched/re-encoded/rewritten
+        # counters at each soak scale. With a constant-absolute delta and
+        # a 10× index, a proportional refresh shows e ≈ 0.
+        t["delta_fraction"] = coll.delta_fraction()
         t0 = time.time()
-        coll.refresh_indexes()
+        stats = coll.refresh_indexes()
         t["refresh_indexes"] = time.time() - t0
+        t["refresh_n_touched"] = stats["n_touched"]
+        t["refresh_n_reencoded"] = stats["n_reencoded"]
+        t["refresh_n_lists_rewritten"] = stats["n_lists_rewritten"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {k: round(v, 3) for k, v in t.items()}

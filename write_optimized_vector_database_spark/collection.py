@@ -720,7 +720,14 @@ class VectorCollection:
                 "k": int(k),
                 "ladder": history,
                 "chosen": chosen,
-            }
+            },
+            # serve at the knob the recall was certified at:
+            # topk_two_phase(nprobe=None) picks this up via
+            # _default_nprobe, so the out-of-box SEARCH matches the
+            # out-of-box BUILD instead of silently probing fewer lists
+            calibrated_nprobe=int(nprobe),
+            calibrated_recall=float(chosen["recall"]),
+            calibrated_at=time.time(),
         )
         return chosen
 
