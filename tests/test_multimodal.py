@@ -350,3 +350,15 @@ class TestJpegCodec:
         full = MM.encode_jpeg([[50] * 8 for _ in range(8)])
         fmt, w, h, c, via = MM.decode_image_meta(full[:-20])
         assert via in ("header", "opaque")  # never raises
+
+
+def test_png_capability_is_per_variant():
+    """A 16-bit or interlaced PNG is NOT stdlib-decodable, so the
+    capability probe must not promise 'pixels' for it (same per-format
+    discipline as the JPEG SOF0+SOS check)."""
+    png = MM.encode_png([[(1, 2, 3)] * 4] * 3)
+    assert MM.decode_capability(png) == "pixels"
+    deep = png[:24] + bytes([16]) + png[25:]  # IHDR bit depth 8 → 16
+    assert MM.decode_capability(deep) == "header"
+    inter = png[:28] + bytes([1]) + png[29:]  # IHDR interlace → Adam7
+    assert MM.decode_capability(inter) == "header"

@@ -226,9 +226,14 @@ def decode_capability(blob: bytes | None) -> str:
     marker walk can recover dimensions, else 'opaque'."""
     if not blob:
         return "opaque"
-    if blob[:8] == b"\x89PNG\r\n\x1a\n" or blob[:6] in (b"GIF87a", b"GIF89a"):
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        # stdlib decoder covers 8-bit non-interlaced (IHDR depth at
+        # offset 24, interlace at 28); other PNGs need the PIL probe
+        if len(blob) >= 29 and blob[24] == 8 and blob[28] == 0:
+            return "pixels"
+    elif blob[:6] in (b"GIF87a", b"GIF89a"):
         return "pixels"
-    if blob[:3] == b"\xff\xd8\xff":
+    elif blob[:3] == b"\xff\xd8\xff":
         sof, has_sos = _jpeg_scan_markers(blob)
         if sof in (0xC0, 0xC1) and has_sos:
             return "pixels"

@@ -576,6 +576,110 @@ def mm_jpeg_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_feature_ann",
+    # The full multimodal pipeline through the REAL JPEG codec: encode a
+    # genuine SOF0 stream per doc, DECODE it (Huffman + IDCT), extract a
+    # 5-dim feature vector from the decoded pixels (4 block means + the
+    # AC checker amplitude p00 − mean), then exact ANN top-k over the
+    # features. Every feature is closed-form in doc_id because the
+    # pixel-exact construction (see mm_jpeg_roundtrip_decode) makes the
+    # decode lossless, so the ANN ranking is oracle-checkable end to
+    # end — a codec bug anywhere reorders a ranking and breaks the hash.
+    oracle="""
+WITH f AS (
+  SELECT d.doc_id,
+         [ (10 + d.doc_id % 180)::DOUBLE,
+           (10 + d.doc_id % 180 + 13)::DOUBLE,
+           (10 + d.doc_id % 180 + 29)::DOUBLE,
+           (10 + d.doc_id % 180 + 42)::DOUBLE,
+           (1 + d.doc_id % 5)::DOUBLE ] AS features
+  FROM documents d WHERE d.doc_id < 64
+),
+q AS (SELECT doc_id AS query_id, features AS qv FROM f WHERE doc_id < 4),
+scored AS (
+  SELECT q.query_id, f.doc_id,
+         list_inner_product(q.qv, f.features) AS score
+  FROM q CROSS JOIN f
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    survey_ref="[EXT] multimodal decode -> feature-extract -> ANN through the JPEG codec",
+    tags=["multimodal", "decode", "vector", "topk"],
+)
+def mm_jpeg_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob → decoded pixels → features → ANN, with the decode step a
+    real baseline-JPEG entropy decode instead of a stand-in. 100 TB
+    shape: decode + feature extraction is one Arrow-batched mapInPandas
+    pass (blobs never leave their partition, output is a fixed 5-float
+    vector per blob); the ANN stage is the engine's broadcast-query
+    exact top-k."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from write_optimized_vector_database_spark.operators.topk import exact_topk
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+
+    def fn(batches):
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base, m1 = 10 + i % 180, 1 + i % 5
+                pixels = [
+                    [
+                        base + 13 * (x // 8) + 29 * (y // 8)
+                        + m1 * s[x % 8] * s[y % 8]
+                        for x in range(16)
+                    ]
+                    for y in range(16)
+                ]
+                _w, _h, _nch, raw = MM.decode_jpeg(MM.encode_jpeg(pixels))
+                means = [
+                    sum(
+                        raw[(by * 8 + y) * 16 + bx * 8 + x]
+                        for y in range(8)
+                        for x in range(8)
+                    )
+                    / 64.0
+                    for by in range(2)
+                    for bx in range(2)
+                ]
+                # means comes out row-major (by, bx); feature order is
+                # (0,0),(1,0),(0,1),(1,1) in (bx,by) = col-then-row
+                f5 = [means[0], means[1], means[2], means[3], raw[0] - means[0]]
+                ids.append(i)
+                feats.append(f5)
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    feats = docs.mapInPandas(fn, schema=schema)
+    queries = feats.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), F.col("features").alias("query_vec")
+    )
+    out = exact_topk(
+        feats, queries, k=5, metric="ip", vec_id_col="doc_id", vec_col="features"
+    )
+    return out.withColumnRenamed("vec_id", "doc_id").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register(
     "mm_gif_patch_grid",
     # The stdlib GIF codec (palette build + LZW encode on the way in,
     # FULL LZW decompression + color-table mapping on the way out) under
