@@ -85,7 +85,18 @@ def main() -> None:
     # delta + raw samples, so future 0.4↔2.4 s swings are attributable
     # from BENCH_FULL alone instead of "almost certainly noise"
     query_meta: dict[str, dict] = {}
+    # Debris cap: Spark's ContextCleaner frees finished-stage shuffle
+    # files, dead broadcasts, and unreferenced persisted blocks only
+    # after a DRIVER GC — across a 167-query single-JVM run the backlog
+    # measurably taxes late queries (the r06 full run showed the
+    # two-phase family at order ~140 running 1.4-1.7x its fresh-session
+    # time; standalone re-runs matched r05 exactly). A periodic
+    # System.gc() keeps the cleaner draining without evicting any LIVE
+    # cache (unlike catalog.clearCache()).
+    GC_EVERY = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "12")))
     for order, name in enumerate(names):
+        if order and order % GC_EVERY == 0:
+            spark.sparkContext._jvm.System.gc()
         runs: list[float] = []
         gc0 = _jvm_gc_ms(spark)
         try:
@@ -516,7 +527,13 @@ def main() -> None:
     # baseline-comparable telemetry (reference targets: 50k ops/s,
     # WA p50<=2.3 -- types.h:144-145), machine-readable beside the timings
     full.update(extra_metrics)
+    # Only a FULL-registry run at the canonical SF may overwrite the
+    # committed per-query map; a SPARK_GRAFT_BENCH_QUERIES subset run or
+    # an sf0.01 smoke would silently clobber it with incomparable
+    # numbers.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    if any(n for n in BENCH_QUERIES) or sf != "0.1":
+        full_path += ".partial"
     try:
         with open(full_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)

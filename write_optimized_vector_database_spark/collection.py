@@ -488,6 +488,8 @@ class VectorCollection:
         target_recall: float | None = None,
         target_nprobe: int = 12,
         target_rerank_factor: int = 4,
+        _cur: DataFrame | None = None,
+        _centroids: DataFrame | None = None,
     ) -> dict | None:
         """Build the *stable generation*: IVF-partitioned index with PQ
         codes over the current snapshot (reference delta/stable split,
@@ -560,8 +562,15 @@ class VectorCollection:
         # current() is a shuffle (snapshot ∪ tail → latest-by-id window);
         # the build makes several passes over it (dim probe, centroid
         # sample, codebook sample, encode) — persist once, unpersist at
-        # the end, so the window runs once instead of per-pass.
-        cur = self.current().filter(F.col("vector").isNotNull()).persist()
+        # the end, so the window runs once instead of per-pass. The
+        # auto-escalation loop passes its own already-persisted snapshot
+        # (_cur) so consecutive ladder rungs share ONE materialization.
+        owns_cur = _cur is None
+        cur = (
+            self.current().filter(F.col("vector").isNotNull()).persist()
+            if owns_cur
+            else _cur
+        )
         dim = len(cur.select("vector").first()[0])
         _stage("current+dim")
         if use_opq:
@@ -582,10 +591,17 @@ class VectorCollection:
             cur_idx = rotate_vectors(cur, r_mat, "vector")
         else:
             cur_idx = cur
-        cents = train_centroids_kmeans(
-            cur_idx, nlist=nlist, vec_col="vector", id_col="id",
-            sample_fraction=sample_fraction, seed=seed,
-        )
+        # _centroids: pre-trained ORIGINAL-space centroids from the
+        # auto-escalation loop — consecutive non-OPQ rungs share one
+        # Lloyd run (identical nlist/seed/sample ⇒ identical output).
+        # Never valid under OPQ (rotated space).
+        if _centroids is not None and not use_opq:
+            cents = _centroids
+        else:
+            cents = train_centroids_kmeans(
+                cur_idx, nlist=nlist, vec_col="vector", id_col="id",
+                sample_fraction=sample_fraction, seed=seed,
+            )
         _stage("centroids")
         if residual:
             codebooks = train_ivfpq_codebooks(
@@ -629,7 +645,8 @@ class VectorCollection:
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
             self._has_changelog_files()
         ) else self._snapshot_epoch()
-        cur.unpersist()
+        if owns_cur:
+            cur.unpersist()
         # build_id is a monotonic per-build token: index_epoch alone can't
         # distinguish "rebuilt with different knobs, no new ingest" (same
         # max changelog epoch) from "nothing changed", so the artifact
@@ -662,10 +679,23 @@ class VectorCollection:
         measurement — n_sample_queries member vectors as queries, exact
         top-k as ground truth — so it costs one small two-phase search
         per rung; the rebuilds are the real cost, which is why the
-        ladder starts at the cheapest configuration and stops early."""
-        from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+        ladder starts at the cheapest configuration and stops early.
 
-        cur = self.current().filter(F.col("vector").isNotNull())
+        Three cost levers keep escalation from tripling the build bill:
+        the snapshot window is materialized ONCE and shared by every
+        rung (`_cur`), the original-space Lloyd run is trained once and
+        shared by every non-OPQ rung (`_centroids` — identical
+        nlist/seed/sample ⇒ identical centroids), and a WIDE miss jumps
+        straight to the strongest rung: when a rung's recall falls more
+        than one rung's measured headroom (~0.075 on the SCALE.md
+        ladder) below target, intermediate rungs can't close the gap,
+        so rebuilding them buys a probe result and nothing else."""
+        from write_optimized_vector_database_spark.operators.ivf import (
+            recall_at_k,
+            train_centroids_kmeans,
+        )
+
+        cur = self.current().filter(F.col("vector").isNotNull()).persist()
         dim = len(cur.select("vector").first()[0])
 
         def _div(x: int) -> int:
@@ -695,12 +725,22 @@ class VectorCollection:
         queries = self.spark.createDataFrame(
             qrows, "query_id long, query_vec array<double>"
         )
-        exact = self.topk(queries, k=k)
+        # ground truth materialized ONCE (≤ n_sample_queries × k rows):
+        # as a lazy plan it would re-run the exact scan inside every
+        # rung's recall_at_k
+        exact_rows = self.topk(queries, k=k).collect()
+        exact = self.spark.createDataFrame(exact_rows, self.topk(queries, k=k).schema)
+        cents0 = train_centroids_kmeans(
+            cur, nlist=nlist, vec_col="vector", id_col="id",
+            sample_fraction=sample_fraction, seed=seed,
+        )
         history: list[dict] = []
-        for rung in ladder:
+        i = 0
+        while i < len(ladder):
+            rung = ladder[i]
             self.build_indexes(
                 nlist=nlist, nbits=nbits, sample_fraction=sample_fraction,
-                seed=seed, residual=True, **rung,
+                seed=seed, residual=True, **rung, _cur=cur, _centroids=cents0,
             )
             approx = self.topk_two_phase(
                 queries, k=k, nprobe=nprobe, rerank_factor=rerank_factor
@@ -711,6 +751,12 @@ class VectorCollection:
             history.append({**rung, "recall": round(r, 4)})
             if r >= target_recall:
                 break
+            # gap-jump: a miss wider than one rung's headroom goes
+            # straight to the strongest configuration
+            i = len(ladder) - 1 if (
+                target_recall - r > 0.075 and i < len(ladder) - 2
+            ) else i + 1
+        cur.unpersist()
         chosen = history[-1]
         self._meta_update(
             auto_tune={
