@@ -695,8 +695,21 @@ class VectorCollection:
             train_centroids_kmeans,
         )
 
+        import os as _os
+        import sys as _sys
+
+        _prof = _os.environ.get("SPARK_GRAFT_BUILD_PROFILE") == "1"
+        _t = [time.time()]
+
+        def _stage(name: str) -> None:
+            if _prof:
+                now = time.time()
+                print(f"auto[{name}]: {now - _t[0]:.2f}s", file=_sys.stderr)
+                _t[0] = now
+
         cur = self.current().filter(F.col("vector").isNotNull()).persist()
         dim = len(cur.select("vector").first()[0])
+        _stage("current+dim")
 
         def _div(x: int) -> int:
             # largest divisor of dim that is ≤ x (PQ needs m | dim)
@@ -730,10 +743,12 @@ class VectorCollection:
         # rung's recall_at_k
         exact_rows = self.topk(queries, k=k).collect()
         exact = self.spark.createDataFrame(exact_rows, self.topk(queries, k=k).schema)
+        _stage("exact-gt")
         cents0 = train_centroids_kmeans(
             cur, nlist=nlist, vec_col="vector", id_col="id",
             sample_fraction=sample_fraction, seed=seed,
         )
+        _stage("centroids0")
         history: list[dict] = []
         i = 0
         while i < len(ladder):
@@ -742,12 +757,14 @@ class VectorCollection:
                 nlist=nlist, nbits=nbits, sample_fraction=sample_fraction,
                 seed=seed, residual=True, **rung, _cur=cur, _centroids=cents0,
             )
+            _stage(f"rung{i}-build")
             approx = self.topk_two_phase(
                 queries, k=k, nprobe=nprobe, rerank_factor=rerank_factor
             )
             r = float(
                 recall_at_k(approx, exact, k=k).agg(F.avg("recall")).first()[0]
             )
+            _stage(f"rung{i}-probe")
             history.append({**rung, "recall": round(r, 4)})
             if r >= target_recall:
                 break

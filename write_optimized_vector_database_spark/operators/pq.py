@@ -347,13 +347,22 @@ def _pq_fit_np(
     for s in range(m):
         sub = x[:, s * d_sub : (s + 1) * d_sub]
         c = centers[s] if centers is not None else _kmeans_np(sub, k, rng)
+        prev = None
         for _ in range(3):  # refine assignments against current data
             d = (c * c).sum(-1)[None, :] - 2.0 * (sub @ c.T)
             assign = d.argmin(1)
-            for j in range(len(c)):
-                mask = assign == j
-                if mask.any():
-                    c[j] = sub[mask].mean(0)
+            # fixed point: unchanged assignments ⇒ unchanged means
+            if prev is not None and np.array_equal(assign, prev):
+                break
+            prev = assign
+            # means via bincount (same trick as _kmeans_np) — the naive
+            # per-center masked mean is k Python-level passes per refine
+            # step and dominated the whole OPQ training wall time
+            counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+            nz = counts > 0
+            for j in range(sub.shape[1]):
+                sums = np.bincount(assign, weights=sub[:, j], minlength=len(c))
+                c[nz, j] = sums[nz] / counts[nz]
         d = (c * c).sum(-1)[None, :] - 2.0 * (sub @ c.T)
         assign = d.argmin(1)
         codes[:, s] = assign
