@@ -79,3 +79,20 @@ def test_autotune_m_divides_dim(spark, tmp_path):
     c.compact()
     chosen = c.build_indexes(nlist=2, target_recall=0.5)
     assert 10 % chosen["m"] == 0
+
+
+def test_escalation_gap_jump_policy():
+    # pure rung-advance policy (no Spark): the gap-jump that keeps a
+    # wide miss from rebuilding intermediate rungs it cannot pass
+    from write_optimized_vector_database_spark.collection import _escalation_next
+
+    # narrow miss: step to the next rung
+    assert _escalation_next(0, 3, shortfall=0.05) == 1
+    # wide miss at the bottom of a 3-rung ladder: jump to the top
+    assert _escalation_next(0, 3, shortfall=0.10) == 2
+    # wide miss one below the top: plain step (nothing to skip)
+    assert _escalation_next(1, 3, shortfall=0.20) == 2
+    # wide miss AT the top rung: walks off the ladder (loop terminates)
+    assert _escalation_next(2, 3, shortfall=0.20) == 3
+    # 2-rung ladder: never anything to skip
+    assert _escalation_next(0, 2, shortfall=0.30) == 1

@@ -46,6 +46,23 @@ def _fault(point: str) -> None:
         FAULT_INJECT_HOOK(point)
 
 
+# One rung's measured headroom on the SCALE.md knob ladder (m=8/spill=1
+# 0.75 → m=16/spill=2 0.90 → spill=3 0.9625 → +OPQ 0.975): consecutive
+# rungs buy ≲0.075 recall, so a shortfall wider than that cannot be
+# closed by the next rung and escalation jumps straight to the top.
+_ESCALATION_RUNG_HEADROOM = 0.075
+
+
+def _escalation_next(i: int, n_rungs: int, shortfall: float) -> int:
+    """Next ladder index after a miss at rung `i` (shortfall > 0):
+    step to i+1 normally; jump to the LAST rung when the miss is wider
+    than one rung's headroom and at least one intermediate rung would
+    otherwise be rebuilt just to measure a foregone conclusion."""
+    if shortfall > _ESCALATION_RUNG_HEADROOM and i < n_rungs - 2:
+        return n_rungs - 1
+    return i + 1
+
+
 class VectorCollection:
     def __init__(
         self,
@@ -768,11 +785,7 @@ class VectorCollection:
             history.append({**rung, "recall": round(r, 4)})
             if r >= target_recall:
                 break
-            # gap-jump: a miss wider than one rung's headroom goes
-            # straight to the strongest configuration
-            i = len(ladder) - 1 if (
-                target_recall - r > 0.075 and i < len(ladder) - 2
-            ) else i + 1
+            i = _escalation_next(i, len(ladder), target_recall - r)
         cur.unpersist()
         chosen = history[-1]
         self._meta_update(
