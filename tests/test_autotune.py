@@ -96,3 +96,18 @@ def test_escalation_gap_jump_policy():
     assert _escalation_next(2, 3, shortfall=0.20) == 3
     # 2-rung ladder: never anything to skip
     assert _escalation_next(0, 2, shortfall=0.30) == 1
+
+
+def test_knob_explicit_rebuild_stales_certification(spark, coll):
+    coll.build_indexes(nlist=4, target_recall=0.9)
+    assert coll._default_nprobe() == 12  # certified serving knob
+    # a knob-explicit rebuild overwrites the certified index: the recall
+    # promise no longer describes what is on disk, so serving must fall
+    # back to the plain default instead of the stale certified knob
+    coll.build_indexes(nlist=4, m=2)
+    assert coll._meta()["calibrated_stale"] is True
+    assert coll._default_nprobe() == 8
+    # re-running the auto build re-certifies
+    coll.build_indexes(nlist=4, target_recall=0.9)
+    assert coll._meta()["calibrated_stale"] is False
+    assert coll._default_nprobe() == 12

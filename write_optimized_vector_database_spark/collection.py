@@ -668,13 +668,26 @@ class VectorCollection:
         # distinguish "rebuilt with different knobs, no new ingest" (same
         # max changelog epoch) from "nothing changed", so the artifact
         # cache keys on build_id, not epoch.
+        meta_now = self._meta()
         self._meta_update(
             index_epoch=int(max_epoch),
-            index_build_id=int(self._meta().get("index_build_id", 0)) + 1,
+            index_build_id=int(meta_now.get("index_build_id", 0)) + 1,
             index_centroids_path="index_centroids_stable",
             index_residual=bool(residual),
             index_spill=int(spill),
             index_opq=bool(use_opq),
+            # a knob-explicit rebuild invalidates a prior auto-build
+            # certification: the recall it promised was measured against
+            # an index that no longer exists, so serving falls back to
+            # the plain nprobe default until re-certified. The escalation
+            # loop's own inner builds hit this too, but its final meta
+            # write re-certifies (calibrated_stale=False) after the last
+            # rung.
+            **(
+                {"calibrated_stale": True}
+                if meta_now.get("calibrated_family") == "ivfpq"
+                else {}
+            ),
         )
         self._evict_index_artifacts()
 
@@ -804,6 +817,12 @@ class VectorCollection:
             calibrated_nprobe=int(nprobe),
             calibrated_recall=float(chosen["recall"]),
             calibrated_at=time.time(),
+            # bind the certification to THIS build: a later knob-explicit
+            # rebuild marks it stale rather than serving a recall promise
+            # measured against an overwritten index
+            calibrated_family="ivfpq",
+            calibrated_build_id=int(self._meta().get("index_build_id", 0)),
+            calibrated_stale=False,
         )
         return chosen
 
@@ -1025,11 +1044,16 @@ class VectorCollection:
             calibrated_nprobe=int(nprobe),
             calibrated_recall=float(recall),
             calibrated_at=time.time(),
+            calibrated_family="ivf",
+            calibrated_stale=False,
         )
         return nprobe, recall
 
     def _default_nprobe(self, fallback: int = 8) -> int:
-        return int(self._meta().get("calibrated_nprobe", fallback))
+        meta = self._meta()
+        if meta.get("calibrated_stale"):
+            return fallback
+        return int(meta.get("calibrated_nprobe", fallback))
 
     def write_amplification(self) -> dict:
         """Write-amplification telemetry (reference targets: p50 ≤ 2.3,
