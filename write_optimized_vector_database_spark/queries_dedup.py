@@ -1393,3 +1393,149 @@ def doc_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_bucket"),
         F.col("sum_sq_buckets"),
     )
+
+
+_SEMDEDUP_TAU = 0.999
+_SEMDEDUP_STRIDE = 31
+
+
+@register(
+    "emb_semantic_dedup_keep_best",
+    # SemDeDup (Abbas et al. 2023, public): cluster in embedding space,
+    # call members above a cosine threshold semantic duplicates, keep ONE
+    # per group — the member LEAST similar to its cluster centroid, which
+    # preserves the most diversity. Corpus = embeddings ∪ planted copies
+    # (every 5th vector scaled ×1.001 — cosine-1 twins; probed: the
+    # fixture has no natural ≥0.999 pair, so the output is exactly the
+    # planted structure and the whole pipeline stays hash-checkable).
+    oracle=f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.001)
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+cents AS (
+  SELECT (vec_id // {_SEMDEDUP_STRIDE})::INT AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id % {_SEMDEDUP_STRIDE} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding, c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM corpus e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.embedding, b.embedding)
+        / (sqrt(list_inner_product(a.embedding, a.embedding))
+           * sqrt(list_inner_product(b.embedding, b.embedding))) >= {_SEMDEDUP_TAU}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+walk(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+scored AS (
+  SELECT c.cluster_id, a.vec_id,
+         list_inner_product(a.embedding, ct.centroid)
+           / (sqrt(list_inner_product(a.embedding, a.embedding))
+              * sqrt(list_inner_product(ct.centroid, ct.centroid))) AS cos_c
+  FROM comp c JOIN assigned a ON a.vec_id = c.id
+              JOIN cents ct ON ct.centroid_id = a.centroid_id
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM scored GROUP BY cluster_id)
+SELECT s.cluster_id, z.cluster_size, s.vec_id AS keep_id,
+       s.cos_c AS keep_centroid_cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY cos_c ASC, vec_id ASC) AS rn
+  FROM scored
+) s JOIN sizes z USING (cluster_id)
+WHERE s.rn = 1
+""",
+    survey_ref="[EXT] SemDeDup semantic dedup (keep least-central member)",
+    tags=["dedup", "vector", "ivf", "graph"],
+)
+def emb_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: bucket the corpus by IVF cell,
+    pair ONLY within a cell (never n²), call cosine ≥ τ semantic
+    duplicates, close them into components, and keep the member LEAST
+    similar to its cell centroid (max-diversity keep rule) — dropping
+    cluster_size − 1 vectors per group.
+
+    100 TB shape: the pair join is the bucketed `emb_near_dup_bucketed`
+    plan (pair mass ∝ Σ bucket², telemetry'd by `doc_lsh_bucket_stats`'s
+    embedding analog `emb_ivf_balance_stats`); components are min-label
+    propagation over the EDGE set only (O(rounds × |pairs|)); the keep
+    rule is one window over cluster members. Nothing driver-side except
+    the ≤nlist centroid rows."""
+    from write_optimized_vector_database_spark.functions.distance import (
+        dot_product,
+        l2_norm,
+    )
+    from write_optimized_vector_database_spark.operators.ivf import (
+        assign_centroids_exact,
+        centroids_from_stride,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = embd.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = embd.unionByName(copies)
+    cents = centroids_from_stride(emb, _SEMDEDUP_STRIDE)
+    assigned = assign_centroids_exact(corpus, cents)
+    buckets = assigned.select(
+        F.col("vec_id").alias("id"), F.col("centroid_id").alias("bucket")
+    )
+    pairs = D.embedding_near_dup_pairs(
+        corpus, threshold=_SEMDEDUP_TAU, bucket_by=buckets
+    )
+    comp = D.dedup_clusters(pairs, "id_a", "id_b")  # (id, cluster_id)
+    scored = (
+        comp.join(assigned, comp["id"] == assigned["vec_id"])
+        .join(cents, "centroid_id")
+        .select(
+            "cluster_id",
+            "vec_id",
+            (
+                dot_product("embedding", "centroid")
+                / (l2_norm("embedding") * l2_norm("centroid"))
+            ).alias("cos_c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cos_c").asc(), F.col("vec_id").asc()
+    )
+    sizes = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("vec_id").alias("keep_id"),
+            F.col("cos_c").alias("keep_centroid_cosine"),
+        )
+    )
