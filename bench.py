@@ -51,6 +51,21 @@ def _pctl(xs: list[float], q: float) -> float:
     return ys[i]
 
 
+def _host_steal_jiffies() -> int:
+    """Cumulative CPU-steal jiffies of the host (field 8 of /proc/stat's
+    cpu line). This box demonstrably loses tens of percent to the
+    hypervisor in half-hour windows (three same-code full runs measured
+    211.8 / 233.7 / 273.2 s with a UNIFORM per-query inflation), so each
+    query records its steal delta — the one number that separates 'the
+    code got slower' from 'the host got noisier'."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except Exception:  # noqa: BLE001 — non-Linux or unreadable
+        return -1
+
+
 def _jvm_gc_ms(spark) -> int:
     """Cumulative stop-the-world GC milliseconds of the driver JVM —
     recorded per query (VERDICT r05 #6) so a timing swing can be
@@ -99,6 +114,7 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         runs: list[float] = []
         gc0 = _jvm_gc_ms(spark)
+        steal0 = _host_steal_jiffies()
         try:
             for _ in range(REPEATS):
                 t0 = time.time()
@@ -126,6 +142,9 @@ def main() -> None:
             query_meta[name] = {
                 "order": order,
                 "gc_ms": _jvm_gc_ms(spark) - gc0,
+                # steal delta in jiffies (10 ms each): hypervisor time
+                # stolen from this box while the query's runs executed
+                "steal_jf": _host_steal_jiffies() - steal0,
                 "runs": [round(x, 3) for x in runs],
             }
         except Exception as e:  # noqa: BLE001
