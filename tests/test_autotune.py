@@ -111,3 +111,17 @@ def test_knob_explicit_rebuild_stales_certification(spark, coll):
     coll.build_indexes(nlist=4, target_recall=0.9)
     assert coll._meta()["calibrated_stale"] is False
     assert coll._default_nprobe() == 12
+
+
+def test_describe_index_observability(spark, coll):
+    coll.build_indexes(nlist=4, target_recall=0.9)
+    d = coll.describe_index()
+    assert d["certified"] is True and d["serving_nprobe"] == 12
+    assert d["certified_recall"] >= 0.9 and d["certified_family"] == "ivfpq"
+    assert d["auto_tune"]["chosen"]["recall"] == d["certified_recall"]
+    assert d["index_build_id"] >= 1 and d["centroids_path"] == "index_centroids_stable"
+    coll.build_indexes(nlist=4, m=2)
+    d2 = coll.describe_index()
+    assert d2["certified"] is False and d2["certified_recall"] is None
+    assert d2["serving_nprobe"] == 8  # fallback, not the stale knob
+    assert d2["index_build_id"] == d["index_build_id"] + 1

@@ -1506,6 +1506,35 @@ class VectorCollection:
             self.changelog().withColumn("segment", F.input_file_name()), "segment"
         )
 
+    def describe_index(self) -> dict:
+        """Serving-observability snapshot of the stable index (M4
+        telemetry surface, reference config.h:138-147's stored-decision
+        analog): which build generation is live, the quantization knobs
+        it was built with, and whether the serving knob still carries a
+        VALID recall certification (a knob-explicit rebuild marks it
+        stale). Pure manifest read — zero Spark jobs, safe to call per
+        request."""
+        meta = self._meta()
+        return {
+            "index_epoch": meta.get("index_epoch"),
+            "index_build_id": meta.get("index_build_id"),
+            "residual": meta.get("index_residual"),
+            "spill": meta.get("index_spill"),
+            "opq": meta.get("index_opq"),
+            "centroids_path": meta.get("index_centroids_path", "index_centroids"),
+            "auto_tune": meta.get("auto_tune"),
+            "serving_nprobe": self._default_nprobe(),
+            "certified": bool(
+                meta.get("calibrated_nprobe") is not None
+                and not meta.get("calibrated_stale")
+            ),
+            "certified_recall": (
+                None if meta.get("calibrated_stale")
+                else meta.get("calibrated_recall")
+            ),
+            "certified_family": meta.get("calibrated_family"),
+        }
+
     # -- read path ----------------------------------------------------------
 
     def topk(
