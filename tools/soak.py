@@ -139,6 +139,35 @@ def run_corpus_scale(spark, rep: int) -> dict[str, float]:
         )
         big.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
         t["n_docs"] = spark.read.parquet(f"{tmp}/documents.parquet").count()
+        # embeddings scale with the corpus too (the semantic-dedup soak
+        # target). Replicas are DIRECTION-perturbed (±10%·rep on
+        # alternating dims → cosine to the original ≈ 0.995·rep-steps,
+        # well under the 0.999 dup threshold), so they are distinct
+        # vectors — replicas that were mere rescalings would be cosine-1
+        # twins and measure the dup-cluster workload, not op scaling.
+        # The id stride (1e7) clears the +1e6 band the semantic-dedup
+        # query plants its copies in.
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        big_e = (
+            emb.crossJoin(spark.range(rep).select(F.col("id").alias("__rep")))
+            .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, i: x
+                    * (
+                        F.lit(1.0)
+                        + F.lit(0.1)
+                        * F.col("__rep").cast("double")
+                        * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+                    ),
+                ),
+            )
+            .drop("__rep")
+        )
+        big_e.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        t["n_vecs"] = spark.read.parquet(f"{tmp}/embeddings.parquet").count()
         for qname in CORPUS_QUERIES:
             t0 = time.time()
             reg[qname].fn(spark, tmp).count()
@@ -167,6 +196,28 @@ def run_corpus_scale(spark, rep: int) -> dict[str, float]:
         t["lsh_max_bucket"] = int(row.max_bucket)
         t["lsh_p99_bucket"] = int(row.p99_bucket)
         t["lsh_sum_sq_buckets"] = int(row.sum_sq_buckets)
+        # Semantic dedup SCALE path (not the registry query: that one is
+        # the hash-checkable witness — stride centroids + bit-exact JVM
+        # assignment, O(n²/stride) by design, first soak measured it at
+        # exponent 1.58). The production operator keeps bucket size
+        # constant (nlist ∝ n/31) with Arrow/BLAS assignment → pair mass
+        # and assignment both O(n).
+        from write_optimized_vector_database_spark.operators.dedup import (
+            semantic_dedup,
+        )
+        from write_optimized_vector_database_spark.operators.ivf import (
+            train_centroids_kmeans,
+        )
+
+        emb_big = spark.read.parquet(f"{tmp}/embeddings.parquet")
+        t0 = time.time()
+        cents = train_centroids_kmeans(
+            emb_big, nlist=max(8, int(t["n_vecs"]) // 31),
+            vec_col="embedding", id_col="vec_id", seed=42,
+        )
+        n_clusters = semantic_dedup(emb_big, cents, threshold=0.999).count()
+        t["semantic_dedup_scale"] = time.time() - t0
+        t["semantic_dedup_clusters"] = n_clusters
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {k: round(v, 3) for k, v in t.items()}
@@ -197,7 +248,7 @@ def main() -> None:
         lo = run_corpus_scale(spark, lo_rep)
         hi = run_corpus_scale(spark, hi_rep)
         factor = hi["n_docs"] / lo["n_docs"]
-        keys = CORPUS_QUERIES
+        keys = CORPUS_QUERIES + ["semantic_dedup_scale"]
         out = {"sf_dir": SF_DIR, "rep_lo": lo_rep, "rep_hi": hi_rep, "lo": lo, "hi": hi}
         size_key = "n_docs"
     else:

@@ -453,3 +453,75 @@ def dedup_clusters(
     out = labels.select("id", F.col("label").alias("cluster_id"))
     edges.unpersist()
     return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup scale path (Abbas et al. 2023): bucket by nearest
+    centroid, call cosine ≥ threshold within a bucket semantic
+    duplicates, close them into components, keep the member LEAST
+    similar to its bucket centroid (max-diversity keep rule). Returns
+    (cluster_id, cluster_size, keep_id, keep_centroid_cosine).
+
+    This is the PRODUCTION twin of the hash-checked registry query
+    `emb_semantic_dedup_keep_best`: the caller supplies centroids
+    (k-means with nlist ∝ corpus/target_bucket keeps bucket sizes
+    CONSTANT as the corpus grows → pair mass O(n)), and assignment is
+    the Arrow/BLAS argmin — O(n·nlist) matmul flops. The registry query
+    instead uses stride centroids + the bit-exact JVM fold assignment so
+    DuckDB hash-equality holds; that witness path is O(n²/stride) BY
+    DESIGN and must not be soaked (measured: exponent 1.58 at ×10 —
+    docs/SCALE.md "Semantic dedup" row)."""
+    from write_optimized_vector_database_spark.functions.distance import (
+        dot_product,
+        l2_norm,
+    )
+    from write_optimized_vector_database_spark.operators.ivf import assign_centroids
+
+    embd = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    assigned = assign_centroids(embd, centroids, vec_col="embedding")
+    buckets = assigned.select(
+        F.col("vec_id").alias("id"), F.col("centroid_id").alias("bucket")
+    )
+    pairs = embedding_near_dup_pairs(
+        embd, threshold=threshold, id_col="vec_id", vec_col="embedding",
+        bucket_by=buckets,
+    )
+    comp = dedup_clusters(pairs, "id_a", "id_b")
+    scored = (
+        comp.join(assigned, comp["id"] == assigned["vec_id"])
+        .join(centroids, "centroid_id")
+        .select(
+            "cluster_id",
+            "vec_id",
+            (
+                dot_product("embedding", "centroid")
+                / (l2_norm("embedding") * l2_norm("centroid"))
+            ).alias("cos_c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cos_c").asc(), F.col("vec_id").asc()
+    )
+    sizes = scored.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("vec_id").alias("keep_id"),
+            F.col("cos_c").alias("keep_centroid_cosine"),
+        )
+    )
