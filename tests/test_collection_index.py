@@ -120,3 +120,21 @@ def test_planner_stats_path_zero_jobs_same_decisions(spark, loaded):
     assert abs(sel_g - m_g[1]) < 0.05
     # combined filter: independence estimate stays on the pre side
     assert strat_c == "pre" and sel_c < sel_g
+
+
+def test_build_indexes_empty_collection_clear_error(spark, tmp_path):
+    import pytest
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+
+    c = VectorCollection(spark, str(tmp_path / "empty"), metric="ip")
+    c.ingest(spark.createDataFrame(
+        [("INSERT", 1, "t0", "ns0", [1.0, 2.0], [0], 1),
+         ("DELETE", 1, "t0", "ns0", None, None, 2)],
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long",
+    ))
+    with pytest.raises(ValueError, match="no visible vectors"):
+        c.build_indexes(nlist=2)
+    with pytest.raises(ValueError, match="no visible vectors"):
+        c.build_indexes(nlist=2, target_recall=0.9)

@@ -588,7 +588,13 @@ class VectorCollection:
             if owns_cur
             else _cur
         )
-        dim = len(cur.select("vector").first()[0])
+        first = cur.select("vector").first()
+        if first is None:
+            raise ValueError(
+                "build_indexes: collection has no visible vectors to index "
+                "(empty, all-tombstoned, or all-null) — ingest before building"
+            )
+        dim = len(first[0])
         _stage("current+dim")
         if use_opq:
             if not residual:
@@ -738,7 +744,13 @@ class VectorCollection:
                 _t[0] = now
 
         cur = self.current().filter(F.col("vector").isNotNull()).persist()
-        dim = len(cur.select("vector").first()[0])
+        first = cur.select("vector").first()
+        if first is None:
+            raise ValueError(
+                "build_indexes: collection has no visible vectors to index "
+                "(empty, all-tombstoned, or all-null) — ingest before building"
+            )
+        dim = len(first[0])
         _stage("current+dim")
 
         def _div(x: int) -> int:
