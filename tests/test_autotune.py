@@ -39,8 +39,10 @@ def coll(spark, tmp_path):
 def test_autotune_meets_target_and_records_ladder(spark, coll):
     chosen = coll.build_indexes(nlist=4, target_recall=0.9)
     assert chosen["recall"] >= 0.9
+    assert chosen["target_met"] is True
     tune = coll._meta()["auto_tune"]
-    assert tune["chosen"] == chosen
+    assert tune["target_met"] is True
+    assert tune["chosen"] == {k: v for k, v in chosen.items() if k != "target_met"}
     assert tune["nprobe"] == 12 and tune["rerank_factor"] == 4
     assert 1 <= len(tune["ladder"]) <= 3
     # ladder entries carry the full knob set + measured recall
@@ -86,16 +88,37 @@ def test_escalation_gap_jump_policy():
     # wide miss from rebuilding intermediate rungs it cannot pass
     from write_optimized_vector_database_spark.collection import _escalation_next
 
-    # narrow miss: step to the next rung
+    # the jump threshold is the LARGEST measured single-rung gain
+    # (+0.15, rung 0 → rung 1 on the SCALE.md ladder) — a 0.10 miss is
+    # closable by the next rung and must NOT skip it (ADVICE r06)
     assert _escalation_next(0, 3, shortfall=0.05) == 1
+    assert _escalation_next(0, 3, shortfall=0.10) == 1
+    assert _escalation_next(0, 3, shortfall=0.15) == 1
     # wide miss at the bottom of a 3-rung ladder: jump to the top
-    assert _escalation_next(0, 3, shortfall=0.10) == 2
+    assert _escalation_next(0, 3, shortfall=0.20) == 2
     # wide miss one below the top: plain step (nothing to skip)
     assert _escalation_next(1, 3, shortfall=0.20) == 2
     # wide miss AT the top rung: walks off the ladder (loop terminates)
     assert _escalation_next(2, 3, shortfall=0.20) == 3
     # 2-rung ladder: never anything to skip
     assert _escalation_next(0, 2, shortfall=0.30) == 1
+
+
+def test_autotune_exhausted_ladder_records_miss(spark, coll):
+    # unreachable target: the ladder runs out below it. The strongest
+    # rung still serves, but the miss must be recorded (target_met=False)
+    # and the certification left stale so describe_index()/serving never
+    # present a missed target as certified (ADVICE r06 medium).
+    chosen = coll.build_indexes(nlist=4, target_recall=1.01)
+    assert chosen["target_met"] is False
+    meta = coll._meta()
+    assert meta["auto_tune"]["target_met"] is False
+    assert meta["calibrated_stale"] is True
+    d = coll.describe_index()
+    assert d["certified"] is False and d["certified_recall"] is None
+    assert d["serving_nprobe"] == 8  # plain default, not the missed knob
+    # the measured ladder is still recorded for observability
+    assert len(meta["auto_tune"]["ladder"]) >= 1
 
 
 def test_knob_explicit_rebuild_stales_certification(spark, coll):

@@ -341,14 +341,120 @@ class TestJpegCodec:
         # requires SOF0 AND an SOS — ADVICE r05 #3's per-format probe)
         stub = MM.encode_jpeg_stub(20, 10, 3)
         assert MM.decode_capability(stub) == "header"
-        # progressive (SOF2) degrades to the header walk
-        prog = full.replace(b"\xff\xc0", b"\xff\xc2", 1)
-        assert MM.decode_capability(prog) == "header"
-        assert MM.decode_image_meta(prog)[4] == "header"
+        # real progressive (SOF2) is decodable as of r07
+        prog = MM.encode_jpeg_progressive([[50] * 8 for _ in range(8)])
+        assert MM.decode_capability(prog) == "pixels"
+        assert MM.decode_image_meta(prog) == ("image/jpeg", 8, 8, 1, "pixels")
+        # arithmetic-coded / exotic SOF markers still degrade
+        arith = full.replace(b"\xff\xc0", b"\xff\xc9", 1)
+        assert MM.decode_capability(arith) == "header"
+        assert MM.decode_image_meta(arith)[4] == "header"
+
+    def test_12bit_precision_degrades(self):
+        """SOF1 permits 12-bit samples; the 8-bit entropy decoder must
+        refuse them (precision gate, ADVICE r06) instead of silently
+        mis-decoding, and capability must not claim 'pixels'."""
+        import pytest
+
+        full = MM.encode_jpeg([[50] * 8 for _ in range(8)])
+        # SOF payload starts right after the 4-byte segment head; byte 0
+        # is the sample precision — patch 8 → 12 and relabel SOF0 → SOF1
+        i = full.index(b"\xff\xc0")
+        deep = (
+            full[:i] + b"\xff\xc1" + full[i + 2 : i + 4]
+            + bytes([12]) + full[i + 5 :]
+        )
+        sof, has_sos, prec = MM._jpeg_scan_markers(deep)
+        assert (sof, has_sos, prec) == (0xC1, True, 12)
+        assert MM.decode_capability(deep) == "header"
+        assert MM.decode_image_meta(deep)[4] == "header"
+        with pytest.raises(NotImplementedError, match="precision"):
+            MM.decode_jpeg(deep)
 
     def test_truncated_stream_degrades(self):
         full = MM.encode_jpeg([[50] * 8 for _ in range(8)])
         fmt, w, h, c, via = MM.decode_image_meta(full[:-20])
+        assert via in ("header", "opaque")  # never raises
+
+
+class TestJpegProgressive:
+    """Progressive JPEG (SOF2) — T.81 Annex G spectral selection +
+    successive approximation; cross-certified against the baseline
+    codec (same DCT/quantize front half ⇒ identical pixels)."""
+
+    def _assert_matches_baseline(self, pixels, **kw):
+        import numpy as np
+
+        base = MM.decode_jpeg(MM.encode_jpeg(pixels, **kw))
+        prog = MM.decode_jpeg_progressive(MM.encode_jpeg_progressive(pixels, **kw))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(
+            np.frombuffer(base[3], np.uint8), np.frombuffer(prog[3], np.uint8)
+        )
+        return prog
+
+    def test_flat_grayscale_pixel_exact(self):
+        import numpy as np
+
+        w, h, nch, raw = self._assert_matches_baseline([[77] * 16] * 16)
+        assert (w, h, nch) == (16, 16, 1)
+        assert (np.frombuffer(raw, np.uint8) == 77).all()
+
+    def test_checker_sa_refinement_paths(self):
+        """DC + F(4,4) content: the default scan script decodes the
+        (4,4) coefficient in the Al=2 band-6-63 first scan (after a
+        ZRL-coded zero run) then refines it twice; DC goes through a
+        first scan at Al=1 plus a refinement — all SA paths load-bearing
+        for pixel-exactness."""
+        s = [1, -1, -1, 1, 1, -1, -1, 1]
+        px = [[100 + 5 * s[x % 8] * s[y % 8] for x in range(16)]
+              for y in range(16)]
+        self._assert_matches_baseline(px)
+
+    def test_eob_runs_across_blocks(self):
+        """A large mostly-flat image: the band-1-5 AC scan is all zeros
+        over 64 blocks, forcing multi-block EOBn run coding (r up to 6)
+        on encode and the eobrun skip/refine paths on decode."""
+        px = [[60 + (1 if (x, y) == (4, 4) else 0) for x in range(64)]
+              for y in range(64)]
+        self._assert_matches_baseline(px)
+
+    def test_random_grayscale_odd_dims(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        self._assert_matches_baseline(rng.integers(0, 256, (23, 37)).tolist())
+
+    def test_random_rgb_444_and_420(self):
+        import numpy as np
+
+        rng = np.random.default_rng(12)
+        px = [
+            [(int(r), int(g), int(b)) for r, g, b in row]
+            for row in rng.integers(0, 256, (21, 19, 3))
+        ]
+        self._assert_matches_baseline(px)
+        self._assert_matches_baseline(px, subsample=2)
+
+    def test_real_quant_table(self):
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        q = [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+             14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+             18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+             92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+             100, 103, 99]
+        px = rng.integers(0, 256, (17, 24)).tolist()
+        self._assert_matches_baseline(px, quant=q)
+
+    def test_decode_image_dispatches_sof2(self):
+        blob = MM.encode_jpeg_progressive([[90] * 12] * 9)
+        assert MM.decode_image(blob) == (12, 9, 1)
+
+    def test_truncated_progressive_degrades(self):
+        blob = MM.encode_jpeg_progressive([[90] * 16] * 16)
+        fmt, w, h, c, via = MM.decode_image_meta(blob[:-30])
         assert via in ("header", "opaque")  # never raises
 
 

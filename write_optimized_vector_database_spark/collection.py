@@ -47,10 +47,14 @@ def _fault(point: str) -> None:
 
 
 # One rung's measured headroom on the SCALE.md knob ladder (m=8/spill=1
-# 0.75 → m=16/spill=2 0.90 → spill=3 0.9625 → +OPQ 0.975): consecutive
-# rungs buy ≲0.075 recall, so a shortfall wider than that cannot be
-# closed by the next rung and escalation jumps straight to the top.
-_ESCALATION_RUNG_HEADROOM = 0.075
+# 0.75 → m=16/spill=2 0.90 → spill=3 0.9625 → +OPQ 0.975): the LARGEST
+# single-rung gain observed is +0.15 (rung 0 → rung 1), so only a
+# shortfall wider than that is provably unclosable by the next rung and
+# justifies jumping straight to the top. Using the ~0.075 average
+# instead (as before r07) gap-jumped past a middle rung that would
+# likely have passed, paying for the most expensive OPQ rung
+# unnecessarily (ADVICE r06).
+_ESCALATION_RUNG_HEADROOM = 0.15
 
 
 def _escalation_next(i: int, n_rungs: int, shortfall: float) -> int:
@@ -723,9 +727,14 @@ class VectorCollection:
         shared by every non-OPQ rung (`_centroids` — identical
         nlist/seed/sample ⇒ identical centroids), and a WIDE miss jumps
         straight to the strongest rung: when a rung's recall falls more
-        than one rung's measured headroom (~0.075 on the SCALE.md
+        than one rung's LARGEST measured gain (+0.15 on the SCALE.md
         ladder) below target, intermediate rungs can't close the gap,
-        so rebuilding them buys a probe result and nothing else."""
+        so rebuilding them buys a probe result and nothing else.
+
+        If the ladder is exhausted below `target_recall`, the result
+        carries ``target_met=False`` and the serving certification is
+        left STALE — describe_index / search must not present a missed
+        target as certified (ADVICE r06 medium)."""
         from write_optimized_vector_database_spark.operators.ivf import (
             recall_at_k,
             train_centroids_kmeans,
@@ -813,6 +822,7 @@ class VectorCollection:
             i = _escalation_next(i, len(ladder), target_recall - r)
         cur.unpersist()
         chosen = history[-1]
+        target_met = chosen["recall"] >= target_recall
         self._meta_update(
             auto_tune={
                 "target_recall": float(target_recall),
@@ -821,6 +831,11 @@ class VectorCollection:
                 "k": int(k),
                 "ladder": history,
                 "chosen": chosen,
+                # exhausted-ladder miss is recorded, never masked: the
+                # strongest rung still serves (it's the best index we
+                # have) but nothing downstream may call it "certified at
+                # target_recall" (ADVICE r06 medium)
+                "target_met": bool(target_met),
             },
             # serve at the knob the recall was certified at:
             # topk_two_phase(nprobe=None) picks this up via
@@ -834,9 +849,12 @@ class VectorCollection:
             # measured against an overwritten index
             calibrated_family="ivfpq",
             calibrated_build_id=int(self._meta().get("index_build_id", 0)),
-            calibrated_stale=False,
+            # a missed target leaves the certification stale: serving and
+            # observability treat the measured recall as informational,
+            # not as a met promise
+            calibrated_stale=not target_met,
         )
-        return chosen
+        return {**chosen, "target_met": bool(target_met)}
 
     def _save_rotation(self, r_mat) -> None:
         rows = [(int(i), [float(x) for x in r_mat[i]]) for i in range(len(r_mat))]

