@@ -37,6 +37,12 @@ REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
 MEDIAN_MIN_S = float(os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_MIN_S", "1.0"))
 MEDIAN_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_MAX_S", "20.0"))
 
+# Entries governed by medians even ABOVE the adaptive band (VERDICT r06
+# #2): the costliest registry entry must not be the one with a single
+# sample. Its per-rung breakdown additionally lands in the manifest's
+# auto_tune ladder (build_s/probe_s per rung).
+FORCE_MEDIAN = {"vec_autotune_build_recall"}
+
 # The storage lifecycle (ingest → compact → index build → two-phase →
 # refresh → recovery) ALWAYS runs ≥3 repeats and reports medians: with
 # one sample, JVM/page-cache pressure made the same code measure 11.9 s
@@ -122,7 +128,9 @@ def main() -> None:
                 df.count()
                 runs.append(time.time() - t0)
             # adaptive medians: noisy-band entries get 2 extra runs
-            if REPEATS == 1 and MEDIAN_MIN_S < runs[0] <= MEDIAN_MAX_S:
+            if REPEATS == 1 and (
+                MEDIAN_MIN_S < runs[0] <= MEDIAN_MAX_S or name in FORCE_MEDIAN
+            ):
                 for _ in range(2):
                     t0 = time.time()
                     reg[name].fn(spark, SF_DIR).count()
@@ -210,11 +218,44 @@ def main() -> None:
             .withColumn("epoch", F.col("epoch") + 500_000_000)
         )
 
-        def rec(name: str, secs: float) -> None:
-            storage_runs.setdefault(name, []).append(secs)
-            print(f"storage[{name}] run={secs:.2f}s", file=sys.stderr)
+        # Per-repeat provenance for the storage section (VERDICT r06 #1):
+        # the registry section already records {order, gc_ms, steal_jf,
+        # runs} per query, but the one unadjudicated 2x swing of r06
+        # (build_indexes_ivfpq runs [14.1, 31.0, 28.4]) was in the
+        # storage section, which recorded bare seconds. Each timed step
+        # now carries its repeat index + steal/GC deltas so excursions
+        # can be attributed from BENCH_FULL alone.
+        storage_meta: dict[str, list[dict]] = {}
+        from contextlib import contextmanager
 
-        for _rep in range(STORAGE_REPEATS):
+        @contextmanager
+        def timed(name: str, rep: int):
+            s0, g0 = _host_steal_jiffies(), _jvm_gc_ms(spark)
+            t0 = time.time()
+            yield
+            dt = time.time() - t0
+            storage_runs.setdefault(name, []).append(dt)
+            storage_meta.setdefault(name, []).append(
+                {
+                    "rep": rep,
+                    "run": round(dt, 3),
+                    "steal_jf": _host_steal_jiffies() - s0,
+                    "gc_ms": _jvm_gc_ms(spark) - g0,
+                }
+            )
+            print(f"storage[{name}] rep={rep} run={dt:.2f}s", file=sys.stderr)
+
+        # Excursion guard, extended to the storage section (VERDICT r06
+        # #1): when any step's spread is implausible for an unchanged
+        # plan (max > 3x min — the documented CPU-steal signature), run
+        # up to 2 extra full lifecycles so the median is not governed by
+        # a polluted sample.
+        MAX_STORAGE_REPEATS = STORAGE_REPEATS + 2
+        _rep = 0
+        while _rep < STORAGE_REPEATS or (
+            _rep < MAX_STORAGE_REPEATS
+            and any(max(v) > 3 * min(v) for v in storage_runs.values())
+        ):
             # release cross-repeat JVM debris (localCheckpoint blocks from
             # refresh_indexes, shuffle files, finished-stage state): the
             # ContextCleaner only frees them after a driver-side GC
@@ -222,29 +263,27 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             tmp = tempfile.mkdtemp(prefix="bench_ingest_")
             try:
-                t0 = time.time()
-                coll = VectorCollection(spark, tmp, metric="ip")
-                coll.ingest(big)
-                dt = time.time() - t0
-                rec("ingest_changelog", dt)
-                ops_per_s_runs.append(n_ops / dt)
-                t0 = time.time()
-                coll.compact()
-                rec("compact_snapshot", time.time() - t0)
+                with timed("ingest_changelog", _rep):
+                    coll = VectorCollection(spark, tmp, metric="ip")
+                    coll.ingest(big)
+                ops_per_s_runs.append(n_ops / storage_runs["ingest_changelog"][-1])
+                with timed("compact_snapshot", _rep):
+                    coll.compact()
                 # the flagship read path: residual-IVFPQ stable index +
                 # delta merge + exact rerank, build and search separately
-                t0 = time.time()
-                coll.build_indexes(nlist=32, m=8, nbits=8)
-                rec("build_indexes_ivfpq", time.time() - t0)
-                t0 = time.time()
-                coll.topk_two_phase(qdf, k=10, nprobe=8, rerank_factor=4).collect()
-                rec("two_phase_search", time.time() - t0)
+                with timed("build_indexes_ivfpq", _rep):
+                    coll.build_indexes(nlist=32, m=8, nbits=8)
+                with timed("two_phase_search", _rep):
+                    coll.topk_two_phase(
+                        qdf, k=10, nprobe=8, rerank_factor=4
+                    ).collect()
                 # second identical search on the same collection: what a
                 # serving deployment actually pays per call once the
                 # epoch-keyed artifact cache (centroids+codebooks) is warm
-                t0 = time.time()
-                coll.topk_two_phase(qdf, k=10, nprobe=8, rerank_factor=4).collect()
-                rec("two_phase_search_warm", time.time() - t0)
+                with timed("two_phase_search_warm", _rep):
+                    coll.topk_two_phase(
+                        qdf, k=10, nprobe=8, rerank_factor=4
+                    ).collect()
                 # incremental maintenance: ingest a ~1% delta and fold it
                 # into the stable index without retraining — the contrast
                 # with build_indexes_ivfpq IS the write-optimized story
@@ -257,9 +296,8 @@ def main() -> None:
                 cur = coll.current()
                 n_delta = cur.filter(F.col("epoch") > idx_epoch).count()
                 delta_fraction = round(n_delta / max(cur.count(), 1), 4)
-                t0 = time.time()
-                coll.refresh_indexes()
-                rec("refresh_indexes_incremental", time.time() - t0)
+                with timed("refresh_indexes_incremental", _rep):
+                    coll.refresh_indexes()
                 # warm twin (VERDICT r05 #4): a SECOND delta ingest +
                 # refresh on the same collection — identical operator
                 # work, but past the JVM/page-cache warmup the first
@@ -270,23 +308,22 @@ def main() -> None:
                     .withColumn("epoch", F.col("epoch") + 600_000_000)
                 )
                 coll.ingest(delta2)
-                t0 = time.time()
-                coll.refresh_indexes()
-                rec("refresh_indexes_incremental_warm", time.time() - t0)
+                with timed("refresh_indexes_incremental_warm", _rep):
+                    coll.refresh_indexes()
                 # recovery: reopen the collection cold (fresh object,
                 # cleared file-listing caches — the single-JVM analog of
                 # kill→restart) and time the first correct read over
                 # snapshot ∪ un-compacted tail. Reference target: ≤30 s
                 # to first read (config.h:188-190).
                 spark.catalog.clearCache()
-                t0 = time.time()
-                reopened = VectorCollection(spark, tmp, metric="ip")
-                n_recovered = reopened.current().count()
-                rec("recovery", time.time() - t0)
+                with timed("recovery", _rep):
+                    reopened = VectorCollection(spark, tmp, metric="ip")
+                    n_recovered = reopened.current().count()
                 assert n_recovered > 0
                 wa = coll.write_amplification()
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
+            _rep += 1
 
         storage_p95: dict[str, float] = {}
         storage_min: dict[str, float] = {}
@@ -310,9 +347,14 @@ def main() -> None:
             "write_amplification_p50": wa.get("wa_p50"),
             "write_amplification_p95": wa.get("wa_p95"),
             "recovery_s": round(_pctl(storage_runs["recovery"], 0.5), 3),
-            "storage_repeats": STORAGE_REPEATS,
+            # actual lifecycles run (> STORAGE_REPEATS when the excursion
+            # guard added repeats)
+            "storage_repeats": _rep,
             "storage_p95": storage_p95,
             "storage_min": storage_min,
+            # per-repeat {rep, run, steal_jf, gc_ms} — the provenance the
+            # registry section already had (VERDICT r06 #1)
+            "storage_meta": storage_meta,
             # raw per-repeat samples — lets a reader separate host-noise
             # excursions from real regressions without rerunning
             "storage_runs": {
@@ -345,16 +387,116 @@ def main() -> None:
         q100 = emb100.filter(F.col("vec_id") < 100).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        t0 = time.time()
-        n_rows = exact_topk(emb100, q100, k=10, metric="ip").count()
-        dt100 = time.time() - t0
-        assert n_rows == 100 * 10
+        # 3-run median with steal provenance (VERDICT r06 #6): the r06
+        # single sample showed +29% vs r05, outside the drift band, and
+        # could not be adjudicated without repeats.
+        b100_runs: list[float] = []
+        s0 = _host_steal_jiffies()
+        for _ in range(3):
+            t0 = time.time()
+            n_rows = exact_topk(emb100, q100, k=10, metric="ip").count()
+            b100_runs.append(time.time() - t0)
+            assert n_rows == 100 * 10
+        dt100 = _pctl(b100_runs, 0.5)
         extra_metrics["exact_topk_batch100"] = {
             "wall_s": round(dt100, 3),
             "ms_per_query": round(dt100 * 1000.0 / 100, 2),
+            "runs": [round(x, 3) for x in b100_runs],
+            "steal_jf": _host_steal_jiffies() - s0,
         }
     except Exception as e:  # noqa: BLE001
         print(f"bench error in batch100: {e}", file=sys.stderr)
+
+    # Sustained streaming ingest (VERDICT r06 #7): the reference target is
+    # a SUSTAINED rate — 50k vectors/s under an 8 ms group commit
+    # (types.h:142, config.h:46) — while ingest_ops_per_s above is a
+    # batch-append figure. Drive start_changelog_ingest from a
+    # rate-limited `rate` source for >= 60 s (12 s on smoke SFs) and
+    # report sustained ops/s + micro-batch latency p99 from the stream's
+    # own progress telemetry. The rate source self-balances: if a batch
+    # overruns the 1 s trigger the next batch reads proportionally more
+    # rows, so processed-rows/wall IS the sustained capacity (capped at
+    # the offered rate).
+    try:
+        from pyspark.sql import functions as F
+
+        from write_optimized_vector_database_spark.streaming.ingest import (
+            start_changelog_ingest,
+        )
+
+        is_full_sf = SF_DIR.rstrip("/").endswith("0.1")
+        sustain_s = float(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_SUSTAIN_S", "60" if is_full_sf else "12"
+            )
+        )
+        rate = int(os.environ.get("SPARK_GRAFT_BENCH_SUSTAIN_RATE", "100000"))
+        tmp = tempfile.mkdtemp(prefix="bench_sustain_")
+        ckpt = tempfile.mkdtemp(prefix="bench_sustain_ckpt_")
+        try:
+            src = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", rate)
+                .option("numPartitions", 8)
+                .load()
+                .select(
+                    F.lit("INSERT").alias("op"),
+                    F.col("value").alias("id"),
+                    F.lit("t0").alias("tenant"),
+                    F.pmod(F.col("value"), F.lit(4)).cast("string").alias("namespace"),
+                    # 32-dim vector synthesized JVM-side, deterministic in id
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(31)),
+                        lambda j: F.pmod(
+                            F.xxhash64(F.col("value"), j), F.lit(1000)
+                        ).cast("double")
+                        / F.lit(1000.0),
+                    ).cast("array<float>").alias("vector"),
+                    F.array(
+                        F.pmod(F.col("value"), F.lit(8)).cast("int")
+                    ).alias("tags"),
+                )
+            )
+            steal0 = _host_steal_jiffies()
+            q = start_changelog_ingest(src, tmp, ckpt, trigger_seconds=1)
+            t_start = time.time()
+            time.sleep(sustain_s)
+            progress = []
+            for p in q.recentProgress:
+                if not isinstance(p, dict):
+                    j = getattr(p, "json")
+                    p = json.loads(j() if callable(j) else j)
+                progress.append(p)
+            q.stop()
+            wall = time.time() - t_start
+            done = [p for p in progress if p.get("numInputRows", 0) > 0]
+            if not done:
+                raise RuntimeError("no completed micro-batches in window")
+            rows = sum(p["numInputRows"] for p in done)
+            durs = sorted(
+                p["durationMs"]["triggerExecution"] for p in done
+            )
+            extra_metrics["sustained_ingest"] = {
+                "offered_rows_per_s": rate,
+                "sustained_ops_per_s": round(rows / wall, 1),
+                "duration_s": round(wall, 1),
+                "n_batches": len(done),
+                "batch_latency_p50_ms": _pctl([float(d) for d in durs], 0.5),
+                "batch_latency_p99_ms": _pctl([float(d) for d in durs], 0.99),
+                "steal_jf": _host_steal_jiffies() - steal0,
+            }
+            print(
+                f"sustained ingest: {rows} rows in {wall:.1f}s = "
+                f"{rows / wall:,.0f} ops/s (offered {rate}/s, "
+                f"{len(done)} micro-batches, trigger p99 "
+                f"{extra_metrics['sustained_ingest']['batch_latency_p99_ms']} ms)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in sustained ingest: {e}", file=sys.stderr)
 
     # recall telemetry: measured recall@10 of each ANN path vs the exact
     # scan at SERVING settings (the tunable knob swept like the

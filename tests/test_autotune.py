@@ -45,9 +45,11 @@ def test_autotune_meets_target_and_records_ladder(spark, coll):
     assert tune["chosen"] == {k: v for k, v in chosen.items() if k != "target_met"}
     assert tune["nprobe"] == 12 and tune["rerank_factor"] == 4
     assert 1 <= len(tune["ladder"]) <= 3
-    # ladder entries carry the full knob set + measured recall
+    # ladder entries carry the full knob set + measured recall + per-rung
+    # wall times (bench governance, VERDICT r06 #2)
     for rung in tune["ladder"]:
-        assert set(rung) == {"m", "spill", "use_opq", "recall"}
+        assert {"m", "spill", "use_opq", "recall", "build_s", "probe_s"} == set(rung)
+        assert rung["build_s"] > 0 and rung["probe_s"] > 0
     # clustered fixture: the cheap first rung should suffice (early stop)
     assert len(tune["ladder"]) == 1
     assert tune["ladder"][0]["use_opq"] is False

@@ -223,6 +223,96 @@ def run_corpus_scale(spark, rep: int) -> dict[str, float]:
     return {k: round(v, 3) for k, v in t.items()}
 
 
+def run_dim768_scale(spark, n: int) -> dict[str, float]:
+    """Reference-dimensionality witness (VERDICT r06 #4): every other
+    recall/bench number rides the 32/64-dim fixtures, but the reference
+    envelope is dim=768 with PQ m=96 (config.h:19-21,84-94, types.h:117).
+    Build + search a synthetic dim-768 clustered collection at the given
+    row count through the PRODUCTION path — OPQ rotation (768² closure),
+    m=96 codebooks (96×256 LUTs), spill=3 residual encode, Arrow batch
+    assignment — and measure recall@10 at the reference serving knobs
+    (nprobe=12, rerank_factor=4).
+
+    Training collects are bounded by a CONSTANT absolute sample
+    (~20k rows) regardless of n, exactly as a 100 TB build would be, so
+    train cost is flat and ingest/encode scale linearly."""
+    from pyspark.sql import functions as F
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+
+    dim, n_clusters = 768, 64
+    tmp = tempfile.mkdtemp(prefix=f"soak768_{n}_")
+    t: dict[str, float] = {"n_vecs": float(n)}
+    try:
+        # clustered synthetic corpus: 64 well-separated centers (coords
+        # ±10, deterministic in (id % 64, j)) + per-id noise (±0.1) — the
+        # production-shaped geometry where IVF recall is meaningful
+        rows = spark.range(n).select(
+            F.lit("INSERT").alias("op"),
+            F.col("id"),
+            F.lit("t0").alias("tenant"),
+            F.lit("ns0").alias("namespace"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.pmod(F.col("id"), F.lit(n_clusters)), j),
+                            F.lit(2000),
+                        )
+                        - F.lit(1000)
+                    )
+                    / F.lit(100.0)
+                    + (
+                        F.pmod(F.xxhash64(F.col("id"), j, F.lit(7)), F.lit(200))
+                        - F.lit(100)
+                    )
+                    / F.lit(1000.0)
+                ),
+            ).cast("array<float>").alias("vector"),
+            F.array(F.lit(0)).alias("tags"),
+            F.col("id").alias("epoch"),
+        )
+        coll = VectorCollection(spark, tmp, metric="ip")
+        t0 = time.time()
+        coll.ingest(rows)
+        t["ingest"] = time.time() - t0
+        t0 = time.time()
+        coll.compact()
+        t["compact"] = time.time() - t0
+        # constant absolute training sample (the 100 TB discipline)
+        sample = min(1.0, 20_000 / n)
+        t0 = time.time()
+        coll.build_indexes(
+            nlist=n_clusters, m=96, nbits=8, spill=3, use_opq=True,
+            sample_fraction=sample,
+        )
+        t["build_m96_opq"] = time.time() - t0
+        qdf = (
+            coll.current()
+            .orderBy("id")
+            .limit(8)
+            .select(F.col("id").alias("query_id"), F.col("vector").alias("query_vec"))
+        )
+        qrows = qdf.collect()
+        qdf = spark.createDataFrame(qrows, "query_id long, query_vec array<double>")
+        t0 = time.time()
+        approx = coll.topk_two_phase(qdf, k=10, nprobe=12, rerank_factor=4)
+        approx_rows = approx.collect()
+        t["two_phase_search"] = time.time() - t0
+        approx = spark.createDataFrame(approx_rows, approx.schema)
+        t0 = time.time()
+        exact = coll.topk(qdf, k=10)
+        t["exact_topk"] = time.time() - t0
+        t["recall_at_10"] = float(
+            recall_at_k(approx, exact, k=10).agg(F.avg("recall")).first()[0]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {k: round(v, 4) for k, v in t.items()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # per-mode defaults resolved after parsing (ADVICE r03: comparing
@@ -233,16 +323,29 @@ def main() -> None:
     ap.add_argument("--hi", type=int, default=None,
                     help="replication factor, high point (default 1600; 30 with --corpus)")
     ap.add_argument("--corpus", action="store_true")
+    ap.add_argument("--dim768", action="store_true",
+                    help="reference-dimensionality witness: lo/hi are row "
+                         "counts (default 10000 / 100000), dim=768, m=96, OPQ")
     args = ap.parse_args()
     if args.lo is None:
-        args.lo = 1 if args.corpus else 160
+        args.lo = 10_000 if args.dim768 else (1 if args.corpus else 160)
     if args.hi is None:
-        args.hi = 30 if args.corpus else 1600
+        args.hi = 100_000 if args.dim768 else (30 if args.corpus else 1600)
 
     from write_optimized_vector_database_spark.session import get_spark
 
     spark = get_spark("soak")
-    if args.corpus:
+    if args.dim768:
+        lo = run_dim768_scale(spark, args.lo)
+        hi = run_dim768_scale(spark, args.hi)
+        factor = hi["n_vecs"] / lo["n_vecs"]
+        keys = ["ingest", "compact", "build_m96_opq", "two_phase_search",
+                "exact_topk"]
+        out = {"dim": 768, "m": 96, "n_lo": args.lo, "n_hi": args.hi,
+               "lo": lo, "hi": hi,
+               "recall_at_10_reference_knobs": hi["recall_at_10"]}
+        size_key = "n_vecs"
+    elif args.corpus:
         lo_rep = args.lo
         hi_rep = args.hi
         lo = run_corpus_scale(spark, lo_rep)

@@ -804,10 +804,12 @@ class VectorCollection:
         i = 0
         while i < len(ladder):
             rung = ladder[i]
+            t_build = time.time()
             self.build_indexes(
                 nlist=nlist, nbits=nbits, sample_fraction=sample_fraction,
                 seed=seed, residual=True, **rung, _cur=cur, _centroids=cents0,
             )
+            t_probe = time.time()
             _stage(f"rung{i}-build")
             approx = self.topk_two_phase(
                 queries, k=k, nprobe=nprobe, rerank_factor=rerank_factor
@@ -816,7 +818,14 @@ class VectorCollection:
                 recall_at_k(approx, exact, k=k).agg(F.avg("recall")).first()[0]
             )
             _stage(f"rung{i}-probe")
-            history.append({**rung, "recall": round(r, 4)})
+            # per-rung wall times land in the manifest so bench/VERDICT
+            # can govern the costliest entry rung by rung instead of as
+            # one opaque total (VERDICT r06 #2)
+            history.append({
+                **rung, "recall": round(r, 4),
+                "build_s": round(t_probe - t_build, 3),
+                "probe_s": round(time.time() - t_probe, 3),
+            })
             if r >= target_recall:
                 break
             i = _escalation_next(i, len(ladder), target_recall - r)
