@@ -448,6 +448,31 @@ class TestJpegProgressive:
         px = rng.integers(0, 256, (17, 24)).tolist()
         self._assert_matches_baseline(px, quant=q)
 
+    def test_restart_markers(self):
+        """DRI + RSTn in every scan: DC predictors, EOB runs, and
+        buffered correction bits reset at each boundary; the decoder
+        byte-aligns across the markers. Interval 1 forces a restart
+        between EVERY data unit — the harshest case."""
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        px = rng.integers(0, 256, (33, 41)).tolist()
+        for ri in (1, 2, 7):
+            base = MM.decode_jpeg(MM.encode_jpeg(px))
+            prog = MM.decode_jpeg_progressive(
+                MM.encode_jpeg_progressive(px, restart_interval=ri)
+            )
+            assert base[:3] == prog[:3]
+            assert base[3] == prog[3], f"restart_interval={ri}"
+        # flat image: multi-block EOB runs interrupted by restarts
+        flat = [[50] * 64 for _ in range(64)]
+        assert (
+            MM.decode_jpeg_progressive(
+                MM.encode_jpeg_progressive(flat, restart_interval=5)
+            )[3]
+            == MM.decode_jpeg(MM.encode_jpeg(flat))[3]
+        )
+
     def test_decode_image_dispatches_sof2(self):
         blob = MM.encode_jpeg_progressive([[90] * 12] * 9)
         assert MM.decode_image(blob) == (12, 9, 1)

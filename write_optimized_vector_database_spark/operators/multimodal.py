@@ -1046,18 +1046,31 @@ def _default_progressive_scans(ncomp: int) -> list[tuple]:
     ]
 
 
+def _jpeg_emit_rst(bw: "_JpegBitWriter", idx: int) -> None:
+    """Byte-align (1-padding per T.81 F.1.2.3) and emit RSTn. Appends
+    the marker bytes directly — markers are intentional 0xFF pairs and
+    must NOT go through the writer's byte stuffing."""
+    while bw.n:
+        bw.write(1, 1)
+    bw.buf += bytes((0xFF, 0xD0 + (idx & 7)))
+
+
 def encode_jpeg_progressive(
     pixels: list[list],
     quant: list[int] | None = None,
     subsample: int = 1,
     scans: list[tuple] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL progressive JPEG encoder (SOF2), stdlib + numpy. The DCT /
     quantize front half is bit-identical to encode_jpeg, so with the
     same `quant` table the progressive stream decodes to EXACTLY the
     same pixels as the baseline stream — the pixel-exact oracle the
     registry query pins. Scan script per _default_progressive_scans
-    (successive approximation one bit at a time, per T.81 G.1)."""
+    (successive approximation one bit at a time, per T.81 G.1).
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs/data-units in every scan (DC predictors, EOB runs,
+    and buffered correction bits reset at each boundary, T.81 G.1.2)."""
     import struct
 
     import numpy as np
@@ -1124,11 +1137,31 @@ def encode_jpeg_progressive(
     entropy: list[bytes] = []
     for kind, cis, ss, se, ah, al in scans:
         bw = _JpegBitWriter()
+        rst = {"n": 0, "idx": 0}
+
+        def at_boundary(flush=None) -> bool:
+            # True at a restart boundary (before the rst["n"]-th unit)
+            hit = (
+                restart_interval
+                and rst["n"]
+                and rst["n"] % restart_interval == 0
+            )
+            rst["n"] += 1
+            if not hit:
+                return False
+            if flush is not None:
+                flush()
+            _jpeg_emit_rst(bw, rst["idx"])
+            rst["idx"] += 1
+            return True
+
         if kind == "dc" and ah == 0:
             preds = {ci: 0 for ci in cis}
             if len(cis) > 1:
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
+                        if at_boundary():
+                            preds = {ci: 0 for ci in cis}
                         for ci in cis:
                             _cid, ch, cv = comps[ci]
                             for by in range(cv):
@@ -1146,6 +1179,8 @@ def encode_jpeg_progressive(
                 bh_, bw_b = _nonint_grid(ci)
                 for by in range(bh_):
                     for bx in range(bw_b):
+                        if at_boundary():
+                            preds = {ci: 0}
                         dc = int(coefs[ci][by, bx, 0])
                         t = dc >> al
                         size, bits_ = _jpeg_magnitude(t - preds[ci])
@@ -1158,6 +1193,7 @@ def encode_jpeg_progressive(
             if len(cis) > 1:
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
+                        at_boundary()
                         for ci in cis:
                             _cid, ch, cv = comps[ci]
                             for by in range(cv):
@@ -1169,6 +1205,7 @@ def encode_jpeg_progressive(
                 bh_, bw_b = _nonint_grid(ci)
                 for by in range(bh_):
                     for bx in range(bw_b):
+                        at_boundary()
                         bw.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
         elif ah == 0:  # AC first scan (single component per T.81 G.1.1)
             ci = cis[0]
@@ -1187,6 +1224,7 @@ def encode_jpeg_progressive(
 
             for by in range(bh_):
                 for bx in range(bw_b):
+                    at_boundary(flush_eob)  # EOB runs never span a restart
                     block = coefs[ci][by, bx]
                     r = 0
                     for k in range(ss, se + 1):
@@ -1234,6 +1272,7 @@ def encode_jpeg_progressive(
 
             for by in range(bh_):
                 for bx in range(bw_b):
+                    at_boundary(flush_eob2)  # EOB runs + buffered bits reset
                     block = coefs[ci][by, bx]
                     absv = {}
                     eob_k = ss - 1  # last index that turns nonzero this scan
@@ -1291,6 +1330,8 @@ def encode_jpeg_progressive(
         + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
         + seg(0xC4, bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
     )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for (kind, cis, ss, se, ah, al), data in zip(scans, entropy):
         sos = bytes([len(cis)]) + b"".join(
             bytes([comps[ci][0], 0x00]) for ci in cis
