@@ -41,7 +41,7 @@ def main() -> None:
         entries = by_module[mod]
         lines.append(f"## {mod} ({len(entries)})")
         lines.append("")
-        lines.append("| query | survey ref | tags | in r3 window |")
+        lines.append("| query | survey ref | tags | in driver window |")
         lines.append("|---|---|---|---|")
         for name, q in sorted(entries):
             w = "yes" if name in window else ""
