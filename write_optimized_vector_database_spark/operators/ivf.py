@@ -95,18 +95,20 @@ def train_centroids_kmeans(
     return spark.createDataFrame(centers, "centroid_id int, centroid array<double>")
 
 
-def _assign_udf(centroids_np: np.ndarray, vec_col: str):
+def _assign_udf(centroids_bc, vec_col: str):
     """mapInArrow batch argmin: nearest centroid by L2 (equivalently max
     dot for normalized spaces; L2 is what FAISS IVF uses for assignment).
     The vector column's Arrow list buffer reshapes straight into the
-    matmul matrix — no per-row boxing (this pass touches every vector)."""
-
-    c = centroids_np  # (nlist, dim)
-    c_sq = (c * c).sum(axis=1)
+    matmul matrix — no per-row boxing (this pass touches every vector).
+    Centroids arrive via a Spark broadcast (once per executor): at the
+    reference stable-index shape (nlist=4096, dim=768) the matrix is
+    25 MiB — far past the task-closure guideline."""
 
     def fn(batches):
         import pyarrow as pa
 
+        c = centroids_bc.value  # (nlist, dim)
+        c_sq = (c * c).sum(axis=1)
         for batch in batches:
             n = batch.num_rows
             if not n:
@@ -132,16 +134,18 @@ def assign_centroids(
 ) -> DataFrame:
     """Add `centroid_id` = nearest centroid (ingest-time pre-assignment,
     types.h:62). Centroids are collected to the driver (≤ nlist×dim
-    doubles) and closed over the Arrow-batched UDF — the broadcast path."""
+    doubles) and shipped to executors as a Spark BROADCAST — once per
+    executor, not re-pickled into every task closure."""
     rows = centroids.orderBy("centroid_id").collect()
     c = np.asarray([r.centroid for r in rows], dtype=np.float64)
+    bc = vectors.sparkSession.sparkContext.broadcast(c)
     from pyspark.sql import types as T
 
     # note: StructType.add mutates in place — never call it on df.schema
     out_schema = T.StructType(
         list(vectors.schema.fields) + [T.StructField("centroid_id", T.IntegerType())]
     )
-    return vectors.mapInArrow(_assign_udf(c, vec_col), schema=out_schema)
+    return vectors.mapInArrow(_assign_udf(bc, vec_col), schema=out_schema)
 
 
 def assign_centroids_exact(

@@ -326,9 +326,21 @@ def ivfpq_adc_topk(
 
     from write_optimized_vector_database_spark.functions.nputil import arrow_matrix
 
+    # LUTs go out as a broadcast, not a task closure: at the API max
+    # batch (100 queries) and reference shape (m=96), the IP LUT is
+    # ~19 MiB and the per-list L2 LUTs are nprobe× that — a broadcast
+    # ships once per executor instead of re-serializing per scan task
+    lut_bc = index.sparkSession.sparkContext.broadcast(
+        (lut, offset) if metric == "ip" else lut_qc
+    )
+
     def fn(batches):
         import pyarrow as pa
 
+        if metric == "ip":
+            lut, offset = lut_bc.value
+        else:
+            lut_qc = lut_bc.value
         for batch in batches:
             if not batch.num_rows:
                 continue

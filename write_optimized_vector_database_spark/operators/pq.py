@@ -430,11 +430,17 @@ def rotate_vectors(
     df: DataFrame, r_mat: np.ndarray, vec_col: str
 ) -> DataFrame:
     """Replace `vec_col` with its rotation x·R (array<double>), one Arrow
-    batch matmul per partition; R ships in the task closure (dim² doubles,
-    ~32 KiB at dim=64 — far under broadcast thresholds)."""
+    batch matmul per partition. R ships as a Spark BROADCAST, not in the
+    task closure: at dim=64 the closure (32 KiB) was harmless, but the
+    reference envelope is dim=768 where R is 768² doubles = 4.6 MiB —
+    past Spark's 1 MiB task-size guideline and re-serialized per task
+    instead of once per executor (measured: the dim-768 soak tripped the
+    TaskSetManager warning until this landed)."""
     from pyspark.sql import types as T
 
-    r64 = np.asarray(r_mat, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(r_mat, dtype=np.float64)
+    )
     from write_optimized_vector_database_spark.functions.nputil import (
         arrow_list_column,
         arrow_matrix,
@@ -443,6 +449,7 @@ def rotate_vectors(
     def fn(batches):
         import pyarrow as pa
 
+        r64 = bc.value
         for batch in batches:
             if not batch.num_rows:
                 continue
@@ -479,7 +486,11 @@ def opq_encode(
     cb, m, _k = _codebooks_np(codebooks)
     d_sub = cb.shape[2]
     cb_sq = (cb * cb).sum(-1)
-    r64 = np.asarray(r_mat, dtype=np.float64)
+    # broadcast, not closure: R + codebooks are ~6.1 MiB at the reference
+    # shape (dim=768, m=96) — see rotate_vectors
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        (np.asarray(r_mat, dtype=np.float64), cb, cb_sq)
+    )
 
     from write_optimized_vector_database_spark.functions.nputil import (
         arrow_list_column,
@@ -487,6 +498,7 @@ def opq_encode(
     )
 
     def fn(batches):
+        r64, cb_, cb_sq_ = bc.value
         for batch in batches:
             if not batch.num_rows:
                 continue
@@ -494,7 +506,7 @@ def opq_encode(
             codes = np.empty((len(v), m), dtype=np.int32)
             for s in range(m):
                 sub = v[:, s * d_sub : (s + 1) * d_sub]
-                d = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
+                d = cb_sq_[s][None, :] - 2.0 * (sub @ cb_[s].T)
                 codes[:, s] = d.argmin(1)
             yield batch.append_column("codes", arrow_list_column(codes))
 
@@ -590,7 +602,9 @@ def pq_encode(
     One Arrow pass; per batch the work is m NumPy matrix multiplies."""
     cb, m, k = _codebooks_np(codebooks)
     d_sub = cb.shape[2]
-    cb_sq = (cb * cb).sum(-1)  # (m, k)
+    # codebooks go out as a broadcast (once per executor, not per task
+    # closure): dim·256 doubles is 1.5 MiB at the reference dim=768
+    bc = vectors.sparkSession.sparkContext.broadcast((cb, (cb * cb).sum(-1)))
 
     from write_optimized_vector_database_spark.functions.nputil import (
         arrow_list_column,
@@ -600,6 +614,7 @@ def pq_encode(
     def fn(batches):
         import pyarrow as pa  # noqa: F401
 
+        cb_, cb_sq = bc.value
         for batch in batches:
             if not batch.num_rows:
                 continue
@@ -607,7 +622,7 @@ def pq_encode(
             codes = np.empty((len(v), m), dtype=np.int32)
             for s in range(m):
                 sub = v[:, s * d_sub : (s + 1) * d_sub]
-                d = cb_sq[s][None, :] - 2.0 * (sub @ cb[s].T)
+                d = cb_sq[s][None, :] - 2.0 * (sub @ cb_[s].T)
                 codes[:, s] = d.argmin(1)
             yield batch.append_column("codes", arrow_list_column(codes))
 
@@ -655,9 +670,15 @@ def pq_adc_topk(
 
     from write_optimized_vector_database_spark.functions.nputil import arrow_matrix
 
+    # LUT as a broadcast: Q·m·k doubles is ~19 MiB at the API's max batch
+    # (100 queries) at the reference shape m=96 — once per executor, not
+    # re-serialized into every scan task
+    lut_bc = encoded.sparkSession.sparkContext.broadcast(lut)
+
     def fn(batches):
         import pyarrow as pa
 
+        lut_ = lut_bc.value
         s_idx = np.arange(m)
         nq = len(qids)
         qarr = pa.array(list(qids))
@@ -667,7 +688,7 @@ def pq_adc_topk(
                 continue
             codes = arrow_matrix(batch, "codes", dtype=np.int64)  # (n, m)
             # (q, n): sum over subspaces of LUT[q, s, codes[n, s]]
-            scores = lut[:, s_idx, codes].sum(-1)
+            scores = lut_[:, s_idx, codes].sum(-1)
             ids = batch.column(batch.schema.get_field_index(vec_id_col))
             yield pa.RecordBatch.from_arrays(
                 [
