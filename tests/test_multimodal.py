@@ -477,6 +477,39 @@ class TestJpegProgressive:
         blob = MM.encode_jpeg_progressive([[90] * 12] * 9)
         assert MM.decode_image(blob) == (12, 9, 1)
 
+    def test_16bit_dqt_tables(self):
+        """DQT pq=1 (16-bit quantizer entries, T.81 B.2.4.1): both
+        decoders read the wide form; same values ⇒ same pixels. The
+        encoders only emit pq=0, so the stream is rewritten in place."""
+        import struct
+
+        import numpy as np
+
+        def widen_dqt(blob: bytes) -> bytes:
+            i = blob.index(b"\xff\xdb")
+            (length,) = struct.unpack(">H", blob[i + 2 : i + 4])
+            payload = blob[i + 4 : i + 2 + length]
+            assert payload[0] >> 4 == 0
+            wide = bytes([0x10 | (payload[0] & 0x0F)]) + b"".join(
+                struct.pack(">H", v) for v in payload[1:65]
+            )
+            return (
+                blob[:i]
+                + struct.pack(">BBH", 0xFF, 0xDB, len(wide) + 2)
+                + wide
+                + blob[i + 2 + length :]
+            )
+
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, (17, 23)).tolist()
+        base = MM.encode_jpeg(px)
+        assert MM.decode_jpeg(base)[3] == MM.decode_jpeg(widen_dqt(base))[3]
+        prog = MM.encode_jpeg_progressive(px)
+        assert (
+            MM.decode_jpeg_progressive(prog)[3]
+            == MM.decode_jpeg_progressive(widen_dqt(prog))[3]
+        )
+
     def test_truncated_progressive_degrades(self):
         blob = MM.encode_jpeg_progressive([[90] * 16] * 16)
         fmt, w, h, c, via = MM.decode_image_meta(blob[:-30])
