@@ -1,0 +1,123 @@
+"""QueryRequest filters through the flagship two-phase read path.
+
+The reference intersects tenant/namespace/tag filters inside the probe
+scan (msg-buf.h:236-255) and samples with sample_p (types.h:74); round 7
+gives topk_two_phase the same surface topk()/topk_ivf() already had.
+With a candidate budget that covers the whole (small) fixture corpus,
+the rerank makes the filtered two-phase EXACTLY equal to the exact
+filtered top-k — so these gates are equalities, not recall bounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.collection import VectorCollection
+from write_optimized_vector_database_spark.operators.changelog import synthetic_changelog
+
+
+@pytest.fixture()
+def coll(spark, tmp_path, sf_dir):
+    c = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    c.ingest(synthetic_changelog(spark, sf_dir))
+    c.compact()
+    c.build_indexes(nlist=8, m=8, nbits=8)
+    return c
+
+
+@pytest.fixture()
+def queries(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(1, 2, 4))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+
+def _key_set(df):
+    return {(r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()}
+
+
+def test_filters_respected_and_exact_with_covering_budget(spark, coll, queries):
+    # budget 5×90 = 450 ≥ the whole visible corpus → the ADC phase passes
+    # every allowed row to the exact rerank ⇒ result == exact filtered top-k
+    exact = coll.topk(queries, k=5, tenant="t0")
+    for strategy in ("pre", "post", "auto"):
+        got = coll.topk_two_phase(
+            queries, k=5, nprobe=8, rerank_factor=90,
+            tenant="t0", filter_strategy=strategy,
+        )
+        assert _key_set(got) == _key_set(exact), strategy
+
+
+def test_filter_compliance_at_production_budget(spark, coll, queries):
+    # modest rerank_factor: results may be approximate, but every row
+    # must satisfy the filter — the contract the strategies share
+    allowed = {
+        r["id"]
+        for r in coll.current().filter(F.col("tenant") == "t0").select("id").collect()
+    }
+    for strategy in ("pre", "post"):
+        rows = coll.topk_two_phase(
+            queries, k=5, nprobe=8, rerank_factor=4,
+            tenant="t0", filter_strategy=strategy,
+        ).collect()
+        assert rows, strategy
+        assert all(r["vec_id"] in allowed for r in rows), strategy
+
+
+def test_tag_and_sample_filters(spark, coll, queries):
+    # tag ANY-of: rare tag → planner picks pre; equality vs exact topk
+    exact = coll.topk(queries, k=3, tags_any=[7])
+    got = coll.topk_two_phase(
+        queries, k=3, nprobe=8, rerank_factor=90, tags_any=[7],
+    )
+    assert _key_set(got) == _key_set(exact)
+    # deterministic sampling composes with the same equality
+    exact_s = coll.topk(queries, k=3, sample_p=0.5)
+    got_s = coll.topk_two_phase(
+        queries, k=3, nprobe=8, rerank_factor=90, sample_p=0.5,
+    )
+    assert _key_set(got_s) == _key_set(exact_s)
+
+
+def test_unfiltered_path_unchanged(spark, coll, queries):
+    # no filters → zero new work, same results as before the r07 change
+    a = coll.topk_two_phase(queries, k=5, nprobe=8, rerank_factor=90)
+    b = coll.topk(queries, k=5)
+    assert _key_set(a) == _key_set(b)
+
+
+def test_delta_rows_respect_filters(spark, coll, queries):
+    # rows ingested AFTER the index build flow through the exact delta
+    # branch — a post-build row matching the filter must be findable, a
+    # non-matching one must not appear
+    schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    qvec = queries.filter(F.col("query_id") == 1).first()["query_vec"]
+    big = [float(x) * 10.0 for x in qvec]  # IP-dominant for query 1
+    coll.ingest(
+        spark.createDataFrame(
+            [
+                ("INSERT", 900_001, "t0", "ns0", big, [1], 50_000_000),
+                ("INSERT", 900_002, "t1", "ns0", big, [1], 50_000_001),
+            ],
+            schema,
+        )
+    )
+    got = coll.topk_two_phase(
+        queries.filter(F.col("query_id") == 1), k=3, nprobe=8,
+        rerank_factor=90, tenant="t0",
+    ).collect()
+    ids = {r["vec_id"] for r in got}
+    assert 900_001 in ids and 900_002 not in ids
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["vec_id"] == 900_001  # the dominant t0 row wins rank 1
+
+
+def test_bad_strategy_raises(spark, coll, queries):
+    with pytest.raises(ValueError, match="filter_strategy"):
+        coll.topk_two_phase(queries, k=5, tenant="t0", filter_strategy="nope")

@@ -1124,6 +1124,11 @@ class VectorCollection:
         k: int = 10,
         nprobe: int | None = None,
         rerank_factor: int = 4,
+        tenant: str | None = None,
+        namespace: str | None = None,
+        tags_any: list[int | str] | None = None,
+        sample_p: float | None = None,
+        filter_strategy: str = "auto",
     ) -> DataFrame:
         """The reference's full read path (SURVEY §3.2) over both
         generations:
@@ -1136,7 +1141,26 @@ class VectorCollection:
         - **merge + rerank**: candidate ids fetch *current* full vectors
           (so tombstoned/superseded ids drop out — the latest-epoch dedup
           of latest-by-id.h:181-190), exact re-score, global top-k.
-        """
+
+        QueryRequest filters (types.h:67-75: tenant/namespace equality,
+        tag ANY-of, deterministic sample_p) apply to the WHOLE path, the
+        same surface topk()/topk_ivf() expose — the reference intersects
+        filters inside the probe scan (msg-buf.h:236-255). Strategy per
+        plan_filtered_strategy ('auto' reads manifest stats, zero jobs):
+
+        - **pre** (selective): semi-join the allowed ids into the pruned
+          posting lists, so ADC scores only qualifying rows — no recall
+          cliff at high selectivity;
+        - **post** (permissive): ADC over-fetches budget/selectivity
+          candidates and the filter applies at the rerank join.
+
+        Either way the delta scan is filter-pushed and the exact rerank
+        joins the FILTERED visible view, so every returned row satisfies
+        the filters exactly; the strategy only changes candidate
+        generation cost/recall, never the filter contract."""
+        from write_optimized_vector_database_spark.operators.filters import (
+            apply_query_filters,
+        )
         from write_optimized_vector_database_spark.operators.ivf import probe_centroids
         from write_optimized_vector_database_spark.operators.pq import pq_adc_topk
         from write_optimized_vector_database_spark.operators.topk import (
@@ -1157,6 +1181,41 @@ class VectorCollection:
         from write_optimized_vector_database_spark.config import candidate_budget
 
         budget = candidate_budget(k, rerank_factor, n_branches=2)
+
+        filtered = any(
+            x is not None for x in (tenant, namespace, tags_any, sample_p)
+        )
+        if filtered:
+            if filter_strategy == "auto":
+                filter_strategy, sel = self.plan_filtered_strategy(
+                    tenant, namespace, tags_any, sample_p
+                )
+            elif filter_strategy == "post":
+                _, sel = self.plan_filtered_strategy(
+                    tenant, namespace, tags_any, sample_p
+                )
+            elif filter_strategy != "pre":
+                raise ValueError(f"unknown filter_strategy {filter_strategy!r}")
+            if filter_strategy == "pre":
+                # allowed-id semi-join BEFORE the ADC scan: runs after the
+                # centroid_id partition pruning inside the ADC operator,
+                # so its cost scales with the probed lists, not the index
+                allowed = apply_query_filters(
+                    self.current(), tenant, namespace, tags_any, sample_p,
+                    tag_dict=self._tag_dict_for(tags_any),
+                ).select("id")
+                index = index.join(allowed, "id", "semi")
+            else:
+                # permissive filter: over-fetch so ~budget survivors
+                # remain after the rerank join drops non-matching rows
+                import math
+
+                from write_optimized_vector_database_spark.config import QueryLimits
+
+                budget = min(
+                    QueryLimits().max_candidates,
+                    max(budget, 2 * math.ceil(budget / max(sel, 1e-6))),
+                )
 
         # stable candidates: probe → ADC over pruned posting lists.
         # cosine collections are L2-normalized at ingest, so ADC runs IP
@@ -1202,8 +1261,16 @@ class VectorCollection:
         # after the index build. Sourced from current() (not the raw
         # changelog tail) so rows survive compact()+vacuum() — the
         # snapshot keeps per-row epochs, and the epoch filter keeps the
-        # delta scan small by construction.
+        # delta scan small by construction. Query filters conjoin here
+        # and push into the same scan; the rerank below joins the SAME
+        # filtered view, so post-strategy candidates that fail the
+        # filters drop before ranking.
         full_current = self.current()
+        if filtered:
+            full_current = apply_query_filters(
+                full_current, tenant, namespace, tags_any, sample_p,
+                tag_dict=self._tag_dict_for(tags_any),
+            )
         delta_vis = full_current.filter(
             (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
         )

@@ -1015,6 +1015,104 @@ def vec_ivfpq_two_phase_deterministic(spark: SparkSession, sf_dir: str) -> DataF
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_FILTERED_2P_ORACLE = """
+WITH visible AS (
+  SELECT e.vec_id AS id,
+         't' || (e.vec_id % 2) AS tenant,
+         CASE WHEN e.vec_id % 5 = 0 THEN [((e.vec_id * 13 + 1) % 50)::INT]
+              ELSE ([ (e.vec_id % 50)::INT,
+                      ((e.vec_id * 7 + 3) % 50)::INT ])[1:(e.vec_id % 2 + 1)::INT]
+         END AS tags,
+         e.embedding::DOUBLE[] AS v
+  FROM embeddings e WHERE e.vec_id % 10 != 3
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 4)),
+scen AS (
+  SELECT 'tenant_t0' AS scenario, q.query_id, visible.id AS vec_id,
+         list_inner_product(q.qv, visible.v) AS score
+  FROM q CROSS JOIN visible WHERE visible.tenant = 't0'
+  UNION ALL
+  SELECT 'tag_any_7', q.query_id, visible.id,
+         list_inner_product(q.qv, visible.v)
+  FROM q CROSS JOIN visible WHERE list_contains(visible.tags, 7)
+)
+SELECT scenario, query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY scenario, query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scen
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "vec_two_phase_filtered",
+    # Q5×Q7×Q8 composite (round 7): QueryRequest filters through the
+    # FLAGSHIP two-phase read path — the reference intersects
+    # tenant/tag filters inside the probe scan (msg-buf.h:236-255,
+    # types.h:67-75). The oracle is the exact filtered top-k over the
+    # synthetic changelog's visible state: with nprobe = nlist and a
+    # candidate budget covering the whole corpus (k×rerank ≥ visible
+    # rows at every SF), the ADC phase passes EVERY allowed row to the
+    # exact rerank, so the learned k-means/PQ layer cannot perturb the
+    # result — the full pipeline (build → probe → ADC → allowed-id
+    # semi-join or over-fetch → filtered rerank) executes and is
+    # hash-pinned end to end. Production budgets are recall-gated in
+    # tests/test_filtered_two_phase.py.
+    oracle=_FILTERED_2P_ORACLE,
+    survey_ref="Q5,Q7,Q8 (filtered ANN through the two-phase path)",
+    tags=["vector", "ivf", "pq", "filters", "topk"],
+)
+def vec_two_phase_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered two-phase search on a scratch collection built from the
+    synthetic changelog: tenant equality exercises the planner's POST
+    branch (t0 keeps ~half the rows), the rare tag-7 ANY-of exercises
+    PRE (allowed-id semi-join into the pruned posting lists); both end
+    in the exact rerank over the filtered visible view. 100 TB shape:
+    the semi-join scales with the probed lists, the over-fetch with
+    k/selectivity — never with the table."""
+    import shutil
+    import tempfile
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.changelog import (
+        synthetic_changelog,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="filtered2p_")
+    try:
+        coll = VectorCollection(spark, tmp, metric="ip")
+        coll.ingest(synthetic_changelog(spark, sf_dir))
+        coll.compact()
+        coll.build_indexes(nlist=8, m=8, nbits=8)
+        queries = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id").isin(1, 2, 4))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        )
+        out = None
+        for scenario, kw in (
+            ("tenant_t0", {"tenant": "t0"}),
+            ("tag_any_7", {"tags_any": [7]}),
+        ):
+            part = coll.topk_two_phase(
+                queries, k=5, nprobe=8, rerank_factor=400, **kw
+            ).select(
+                F.lit(scenario).alias("scenario"),
+                "query_id", "vec_id", "score",
+                F.col("rank").cast("long").alias("rank"),
+            )
+            out = part if out is None else out.unionByName(part)
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _ASOF_EPOCH = 100_050  # after all INSERTs, mid-UPSERT band, before DELETEs
 
 _VISIBLE_ASOF_CTE = f"""
