@@ -77,6 +77,29 @@ def test_indexed_batch_respects_filters(coll, qvecs):
     assert all(r.id % 2 == 0 for r in out)  # tenant t0 = even ids
 
 
+def test_indexed_batch_via_two_phase_stable_index(spark, tmp_path, sf_dir, qvecs):
+    """A collection indexed ONLY via build_indexes() (the flagship stable
+    PQ index, no plain-IVF index on disk) must serve use_index=True
+    requests through topk_two_phase — filtered and unfiltered. Before
+    r07 this errored (topk_ivf read the absent index_ivf) or dropped
+    filters."""
+    c = VectorCollection(spark, str(tmp_path / "c2p"), metric="ip")
+    c.ingest(synthetic_changelog(spark, sf_dir))
+    c.compact()
+    c.build_indexes(nlist=8, m=8, nbits=8)
+    reqs = [
+        QueryRequest(query=v, top_k=5, tenant="t0", query_id=qid)
+        for qid, v in qvecs.items()
+    ]
+    out = run_batch(c, reqs, use_index=True).collect()
+    assert out, "indexed filtered batch returned nothing"
+    assert all(r.id % 2 == 0 for r in out)  # tenant t0 = even ids
+    # unfiltered goes through the same stable path
+    reqs_u = [QueryRequest(query=v, top_k=5, query_id=qid) for qid, v in qvecs.items()]
+    out_u = run_batch(c, reqs_u, use_index=True).collect()
+    assert {r.query_id for r in out_u} == set(qvecs)
+
+
 def test_mixed_filter_batch(coll, qvecs):
     v = list(qvecs.values())[0]
     reqs = [

@@ -89,7 +89,24 @@ def run_batch(
         )
         if use_index:
             filtered = bool(tenant or namespace or tags_any) or sample_p is not None
-            if filtered:
+            # index dispatch: the flagship two-phase (stable PQ) path when
+            # build_indexes() has run — the reference's read path, Q5 —
+            # else the plain-IVF index from build_ivf_index(). Both take
+            # the full QueryRequest filter surface as of r07, so a
+            # filtered request never falls back to an unindexed scan.
+            has_stable = collection.fs.exists(f"{collection.path}/index_stable")
+            if has_stable:
+                part = collection.topk_two_phase(
+                    qdf,
+                    k=top_k,
+                    # request override > persisted calibration > default
+                    nprobe=nprobe,
+                    tenant=tenant or None,
+                    namespace=namespace or None,
+                    tags_any=list(tags_any) or None,
+                    sample_p=sample_p,
+                )
+            elif filtered:
                 # planner-chosen pre/post filtering (selectivity-measured)
                 part = collection.topk_filtered(
                     qdf,
@@ -105,7 +122,6 @@ def run_batch(
                 part = collection.topk_ivf(
                     qdf,
                     k=top_k,
-                    # request override > persisted calibration > engine default
                     nprobe=nprobe,
                 )
         else:
