@@ -73,6 +73,16 @@ def run_scale(spark, rep: int) -> dict[str, float]:
         t0 = time.time()
         coll.topk_two_phase(qdf, k=10, nprobe=8, rerank_factor=4).collect()
         t["two_phase_search"] = time.time() - t0
+        # filtered read path (r07): selective tag filter exercises the
+        # PRE branch (allowed-id semi-join into the pruned posting
+        # lists) — the semi-join must scale with the probed lists, not
+        # the table, so its exponent belongs in this table
+        t0 = time.time()
+        coll.topk_two_phase(
+            qdf, k=10, nprobe=8, rerank_factor=4, tags_any=[7],
+            filter_strategy="pre",
+        ).collect()
+        t["two_phase_filtered_pre"] = time.time() - t0
         # constant-absolute-size refresh delta (the scheduled-maintenance
         # shape); offsets scale with rep so delta ids land beyond the
         # replica band and delta epochs stay ABOVE the index high-water
@@ -406,7 +416,8 @@ def main() -> None:
         lo = run_scale(spark, args.lo)
         hi = run_scale(spark, args.hi)
         factor = hi["n_ops"] / lo["n_ops"]
-        keys = ["ingest", "compact", "build_indexes", "two_phase_search", "refresh_indexes"]
+        keys = ["ingest", "compact", "build_indexes", "two_phase_search",
+                "two_phase_filtered_pre", "refresh_indexes"]
         out = {"sf_dir": SF_DIR, "rep_lo": args.lo, "rep_hi": args.hi, "lo": lo, "hi": hi}
         size_key = "n_ops"
     exps = {}
