@@ -516,6 +516,69 @@ class TestJpegProgressive:
         assert via in ("header", "opaque")  # never raises
 
 
+class TestDecodeRobustness:
+    """decode_image_meta promises never-raises on arbitrary bytes — the
+    graceful-degradation contract a 100 TB mixed-corpus scan depends on.
+    Round-7 fuzzing found two holes, both pinned here."""
+
+    def test_truncation_and_bitflip_fuzz(self):
+        """Truncations + byte flips across all four codec families must
+        degrade (pixels/header/opaque), never raise. The seed count is
+        kept small for suite time; the off-by-one this found crashed on
+        SOF-truncated JPEGs (parse_media_header read past the guard)."""
+        import numpy as np
+
+        rng = np.random.default_rng(99)
+        # 8x8 seeds keep corrupt-dimension grids bounded. Case count is
+        # deliberately small: a byte-flipped stream that still parses as
+        # valid entropy data costs 1-3 s of garbage decode before it
+        # errors (measured), which is CORRECT behavior but adds up — the
+        # wide 4800-case sweep ran once during round 7 and lives in the
+        # commit message record, not the suite.
+        seeds = [
+            MM.encode_jpeg_progressive(rng.integers(0, 256, (8, 8)).tolist()),
+            MM.encode_jpeg(rng.integers(0, 256, (8, 8)).tolist()),
+            MM.encode_png([[(1, 2, 3)] * 9] * 7),
+            MM.encode_gif([[(250, 0, 0)] * 6] * 5),
+        ]
+        for seed_blob in seeds:
+            cases = [bytes(seed_blob[:n]) for n in (3, 9, 21, len(seed_blob) // 2,
+                                                    len(seed_blob) - 7)]
+            for _ in range(4):  # a few byte flips (the slow class)
+                b = bytearray(seed_blob)
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+                cases.append(bytes(b))
+            for b in cases:
+                out = MM.decode_image_meta(b)
+                assert isinstance(out, tuple) and len(out) == 5
+                assert out[4] in ("pixels", "header", "opaque")
+
+    def test_implausible_dims_refused_before_allocation(self):
+        """A corrupt SOF claiming 65535x65535 must be refused BEFORE the
+        decoders allocate dims-sized plane/coefficient arrays (~34 GB) —
+        the fuzz-found executor-stall hazard."""
+        import struct
+
+        import pytest
+
+        for enc in (MM.encode_jpeg, MM.encode_jpeg_progressive):
+            blob = enc([[50] * 8 for _ in range(8)])
+            i = blob.index(b"\xff\xc0" if enc is MM.encode_jpeg else b"\xff\xc2")
+            huge = (
+                blob[: i + 5]
+                + struct.pack(">HH", 65535, 65535)
+                + blob[i + 9 :]
+            )
+            dec = (
+                MM.decode_jpeg if enc is MM.encode_jpeg
+                else MM.decode_jpeg_progressive
+            )
+            with pytest.raises(ValueError, match="implausible"):
+                dec(huge)
+            # and the graceful wrapper degrades instead of raising
+            assert MM.decode_image_meta(huge)[4] in ("header", "opaque")
+
+
 def test_png_capability_is_per_variant():
     """A 16-bit or interlaced PNG is NOT stdlib-decodable, so the
     capability probe must not promise 'pixels' for it (same per-format

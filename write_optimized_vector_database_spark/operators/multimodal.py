@@ -828,6 +828,23 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+# Decode-side allocation guard: both JPEG decoders allocate dims-sized
+# plane/coefficient arrays BEFORE reading entropy data, so a corrupt SOF
+# claiming 65535x65535 would try a ~34 GB allocation and stall the
+# executor (found by fuzzing). 2^26 pixels (= a 8192x8192 image, ~1.6 GB
+# of float64 planes at 4:4:4) is far above any fixture and still bounds
+# the worst corrupt blob; callers degrade to the header walk.
+_JPEG_MAX_PIXELS = 1 << 26
+
+
+def _jpeg_check_dims(width: int, height: int) -> None:
+    if width <= 0 or height <= 0 or width * height > _JPEG_MAX_PIXELS:
+        raise ValueError(
+            f"implausible JPEG dimensions {width}x{height} "
+            f"(> {_JPEG_MAX_PIXELS} pixels) — refusing the allocation"
+        )
+
+
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     """REAL baseline JPEG decode, stdlib + numpy: full marker parse
     (DQT/DHT/SOF0-1/DRI/SOS with generic Huffman-table read), entropy
@@ -886,6 +903,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + nv
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             _prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            _jpeg_check_dims(width, height)
             if _prec != 8:
                 # SOF1 allows 12-bit samples; decoding them with 8-bit
                 # dequant/level-shift would silently corrupt every pixel
@@ -1401,6 +1419,7 @@ def decode_jpeg_progressive(blob: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + nv
         elif marker == 0xC2:
             prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            _jpeg_check_dims(width, height)
             if prec != 8:
                 raise NotImplementedError(
                     f"JPEG sample precision {prec} (only 8-bit supported)"
@@ -1661,7 +1680,10 @@ def parse_media_header(blob: bytes | None) -> tuple[str, int, int, int]:
                 pos += 2  # standalone marker, no length field
                 continue
             (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
-            if marker in _JPEG_SOF_MARKERS and pos + 9 <= len(blob):
+            # guard covers the full 6-byte unpack window [pos+4, pos+10):
+            # pos+9 was an off-by-one that crashed on SOF-truncated blobs
+            # (found by fuzzing; decode_image_meta promises never-raises)
+            if marker in _JPEG_SOF_MARKERS and pos + 10 <= len(blob):
                 _prec, height, width, ncomp = struct.unpack(
                     ">BHHB", blob[pos + 4 : pos + 10]
                 )
