@@ -461,6 +461,11 @@ def main() -> None:
             q = start_changelog_ingest(src, tmp, ckpt, trigger_seconds=1)
             t_start = time.time()
             time.sleep(sustain_s)
+            # capture the wall BEFORE progress parsing / stream teardown
+            # (ADVICE r07): the counted rows were ingested inside this
+            # window, so the denominator must not include the seconds
+            # recentProgress iteration and q.stop() take afterwards
+            wall = time.time() - t_start
             progress = []
             for p in q.recentProgress:
                 if not isinstance(p, dict):
@@ -468,7 +473,6 @@ def main() -> None:
                     p = json.loads(j() if callable(j) else j)
                 progress.append(p)
             q.stop()
-            wall = time.time() - t_start
             done = [p for p in progress if p.get("numInputRows", 0) > 0]
             if not done:
                 raise RuntimeError("no completed micro-batches in window")

@@ -150,3 +150,20 @@ def test_describe_index_observability(spark, coll):
     assert d2["certified"] is False and d2["certified_recall"] is None
     assert d2["serving_nprobe"] == 8  # fallback, not the stale knob
     assert d2["index_build_id"] == d["index_build_id"] + 1
+
+
+def test_default_nprobe_family_guard(spark, coll):
+    # ADVICE r07: an nprobe certified for one index family (e.g. plain
+    # IVF via build_ivf_index's calibration) must not serve a read path
+    # of a DIFFERENT family — two-phase asks for family="ivfpq" and gets
+    # the plain default on mismatch instead of a foreign certified knob.
+    coll._meta_update(
+        calibrated_nprobe=24, calibrated_family="ivf", calibrated_stale=False
+    )
+    assert coll._default_nprobe() == 24  # unguarded: stored knob
+    assert coll._default_nprobe(family="ivf") == 24  # matching family
+    assert coll._default_nprobe(family="ivfpq") == 8  # mismatch -> fallback
+    # and symmetrically for a two-phase certification serving plain IVF
+    coll._meta_update(calibrated_family="ivfpq")
+    assert coll._default_nprobe(family="ivfpq") == 24
+    assert coll._default_nprobe(family="ivf") == 8

@@ -1088,9 +1088,17 @@ class VectorCollection:
         )
         return nprobe, recall
 
-    def _default_nprobe(self, fallback: int = 8) -> int:
+    def _default_nprobe(self, fallback: int = 8, family: str | None = None) -> int:
+        """Serving nprobe: the certified knob, guarded by the index FAMILY
+        it was certified for (ADVICE r07): a collection can hold both a
+        plain-IVF index (build_ivf_index) and a stable PQ index
+        (build_indexes); an nprobe calibrated on one says nothing about
+        the recall of the other, so a family mismatch serves `fallback`
+        instead of a knob certified for a different read path."""
         meta = self._meta()
         if meta.get("calibrated_stale"):
+            return fallback
+        if family is not None and meta.get("calibrated_family") != family:
             return fallback
         return int(meta.get("calibrated_nprobe", fallback))
 
@@ -1170,7 +1178,7 @@ class VectorCollection:
         )
 
         if nprobe is None:
-            nprobe = self._default_nprobe()  # calibrated value if stored
+            nprobe = self._default_nprobe(family="ivfpq")  # certified two-phase knob
         spark = self.spark
         index = spark.read.parquet(f"{self.path}/index_stable")
         cents, codebooks = self._index_artifacts()
@@ -1322,7 +1330,7 @@ class VectorCollection:
         if k > limits.max_candidates:
             raise ValueError(f"k={k} exceeds max_candidates={limits.max_candidates}")
         if nprobe is None:
-            nprobe = self._default_nprobe()  # calibrated value if stored
+            nprobe = self._default_nprobe(family="ivf")  # certified plain-IVF knob
         index = self.spark.read.parquet(f"{self.path}/index_ivf")
         cents = self.spark.read.parquet(f"{self.path}/index_centroids")
         allowed = None
@@ -1569,7 +1577,7 @@ class VectorCollection:
 
         fetch = min(limits.max_candidates, max(k, 2 * math.ceil(k / max(sel, 1e-6))))
         if nprobe is None:
-            nprobe = self._default_nprobe()
+            nprobe = self._default_nprobe(family="ivf")
         index = self.spark.read.parquet(f"{self.path}/index_ivf")
         cents = self.spark.read.parquet(f"{self.path}/index_centroids")
         over = ivf_topk(

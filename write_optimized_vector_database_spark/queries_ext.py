@@ -1045,72 +1045,96 @@ SELECT scenario, query_id, vec_id, score, rank FROM (
 """
 
 
+# Process-lifetime scratch fixture for vec_two_phase_filtered (VERDICT
+# r07 #2): the r07 witness paid a full ingest+compact+build_indexes on
+# EVERY call (16.7 s at sf0.1), so the registry entry timed the build,
+# not the read path it exists to witness. Build once per sf_dir, keep
+# the directory until process exit, and hand out fresh handles — repeat
+# runs (and the bench's median repeats) time candidate generation +
+# rerank only. Keyed by sf_dir; the handle is re-created per call so a
+# restarted SparkSession never sees a stale session reference.
+_FILTERED_2P_DIRS: dict[str, tuple[str, int]] = {}
+
+
+def _filtered_2p_collection(spark: SparkSession, sf_dir: str):
+    """Return (collection, visible_row_count) over the shared fixture."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+
+    hit = _FILTERED_2P_DIRS.get(sf_dir)
+    if hit is not None and os.path.isdir(os.path.join(hit[0], "index_stable")):
+        return VectorCollection(spark, hit[0], metric="ip"), hit[1]
+    tmp = tempfile.mkdtemp(prefix="filtered2p_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    coll = VectorCollection(spark, tmp, metric="ip")
+    coll.ingest(synthetic_changelog(spark, sf_dir))
+    coll.compact()
+    coll.build_indexes(nlist=8, m=8, nbits=8)
+    n_visible = coll.current().count()
+    _FILTERED_2P_DIRS[sf_dir] = (tmp, n_visible)
+    return coll, n_visible
+
+
 @register(
     "vec_two_phase_filtered",
     # Q5×Q7×Q8 composite (round 7): QueryRequest filters through the
     # FLAGSHIP two-phase read path — the reference intersects
     # tenant/tag filters inside the probe scan (msg-buf.h:236-255,
     # types.h:67-75). The oracle is the exact filtered top-k over the
-    # synthetic changelog's visible state: with nprobe = nlist and a
-    # candidate budget covering the whole corpus (k×rerank ≥ visible
-    # rows at every SF), the ADC phase passes EVERY allowed row to the
-    # exact rerank, so the learned k-means/PQ layer cannot perturb the
-    # result — the full pipeline (build → probe → ADC → allowed-id
-    # semi-join or over-fetch → filtered rerank) executes and is
-    # hash-pinned end to end. Production budgets are recall-gated in
-    # tests/test_filtered_two_phase.py.
+    # synthetic changelog's visible state: with nprobe = nlist and
+    # rerank_factor derived at runtime as ceil(visible/k) (ADVICE r07),
+    # the per-branch budget covers the whole corpus wherever the
+    # max_candidates cap permits (the registry SFs: ≤0.1), so the ADC
+    # phase passes EVERY allowed row to the exact rerank and the learned
+    # k-means/PQ layer cannot perturb the result — the full pipeline
+    # (probe → ADC → allowed-id semi-join or over-fetch → filtered
+    # rerank) executes and is hash-pinned end to end. Beyond the cap
+    # (sf≫0.1) exactness is no longer budget-guaranteed; production
+    # budgets are recall-gated in tests/test_filtered_two_phase.py.
     oracle=_FILTERED_2P_ORACLE,
     survey_ref="Q5,Q7,Q8 (filtered ANN through the two-phase path)",
     tags=["vector", "ivf", "pq", "filters", "topk"],
 )
 def vec_two_phase_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered two-phase search on a scratch collection built from the
-    synthetic changelog: tenant equality exercises the planner's POST
-    branch (t0 keeps ~half the rows), the rare tag-7 ANY-of exercises
-    PRE (allowed-id semi-join into the pruned posting lists); both end
-    in the exact rerank over the filtered visible view. 100 TB shape:
-    the semi-join scales with the probed lists, the over-fetch with
-    k/selectivity — never with the table."""
-    import shutil
-    import tempfile
+    """Filtered two-phase search on a shared scratch collection built
+    once from the synthetic changelog (VERDICT r07 #2: the build is
+    fixture, not read path): tenant equality exercises the planner's
+    POST branch (t0 keeps ~half the rows), the rare tag-7 ANY-of
+    exercises PRE (allowed-id semi-join into the pruned posting lists);
+    both end in the exact rerank over the filtered visible view. 100 TB
+    shape: the semi-join scales with the probed lists, the over-fetch
+    with k/selectivity — never with the table."""
+    import math
 
-    from write_optimized_vector_database_spark.collection import VectorCollection
-    from write_optimized_vector_database_spark.operators.changelog import (
-        synthetic_changelog,
-    )
-
-    tmp = tempfile.mkdtemp(prefix="filtered2p_")
-    try:
-        coll = VectorCollection(spark, tmp, metric="ip")
-        coll.ingest(synthetic_changelog(spark, sf_dir))
-        coll.compact()
-        coll.build_indexes(nlist=8, m=8, nbits=8)
-        queries = (
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .filter(F.col("vec_id").isin(1, 2, 4))
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("query_vec"),
-            )
+    coll, n_visible = _filtered_2p_collection(spark, sf_dir)
+    k = 5
+    rerank = max(1, math.ceil(n_visible / k))  # k×rerank ≥ visible rows
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(1, 2, 4))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
         )
-        out = None
-        for scenario, kw in (
-            ("tenant_t0", {"tenant": "t0"}),
-            ("tag_any_7", {"tags_any": [7]}),
-        ):
-            part = coll.topk_two_phase(
-                queries, k=5, nprobe=8, rerank_factor=400, **kw
-            ).select(
-                F.lit(scenario).alias("scenario"),
-                "query_id", "vec_id", "score",
-                F.col("rank").cast("long").alias("rank"),
-            )
-            out = part if out is None else out.unionByName(part)
-        # materialize before the scratch dir disappears
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )
+    out = None
+    for scenario, kw in (
+        ("tenant_t0", {"tenant": "t0"}),
+        ("tag_any_7", {"tags_any": [7]}),
+    ):
+        part = coll.topk_two_phase(
+            queries, k=k, nprobe=8, rerank_factor=rerank, **kw
+        ).select(
+            F.lit(scenario).alias("scenario"),
+            "query_id", "vec_id", "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 _ASOF_EPOCH = 100_050  # after all INSERTs, mid-UPSERT band, before DELETEs
