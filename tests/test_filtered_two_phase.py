@@ -121,3 +121,43 @@ def test_delta_rows_respect_filters(spark, coll, queries):
 def test_bad_strategy_raises(spark, coll, queries):
     with pytest.raises(ValueError, match="filter_strategy"):
         coll.topk_two_phase(queries, k=5, tenant="t0", filter_strategy="nope")
+
+
+def test_stale_stats_planner_falls_back_to_pre(spark, coll, queries):
+    # VERDICT r07 #5: the POST over-fetch is sized from manifest stats;
+    # when the data shifts under the stats (rows appended since the last
+    # analyze), a selectivity over-estimate would silently under-fetch
+    # and cost recall. The planner tracks a zero-job staleness odometer
+    # and must fall back to PRE — the branch with no recall cliff.
+    strategy, sel = coll.plan_filtered_strategy(tenant="t0")
+    assert strategy == "post" and sel > 0.2  # fresh stats: permissive → post
+
+    # shift the tenant mix: append > stale_fraction × n new rows, all t1
+    n = int(coll._meta()["stats"]["n"])
+    schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    dim = len(queries.first()["query_vec"])
+    rows = [
+        ("INSERT", 800_000 + i, "t1", "ns0",
+         [float((i + j) % 5) for j in range(dim)], [1], 60_000_000 + i)
+        for i in range(max(8, n // 2))
+    ]
+    coll.ingest(spark.createDataFrame(rows, schema))
+
+    # stats now describe a snapshot that is >20% out of date → PRE,
+    # regardless of what the (stale) selectivity estimate says
+    strategy2, _ = coll.plan_filtered_strategy(tenant="t0")
+    assert strategy2 == "pre"
+    # and the guarded path stays exact vs the filtered ground truth
+    exact = coll.topk(queries, k=5, tenant="t0")
+    got = coll.topk_two_phase(queries, k=5, nprobe=8, rerank_factor=200,
+                              tenant="t0")
+    assert _key_set(got) == _key_set(exact)
+
+    # re-analyzing (or compacting) resets the odometer and re-arms POST
+    coll.analyze()
+    strategy3, _ = coll.plan_filtered_strategy(tenant="t0")
+    assert strategy3 == "post"
+    assert coll._meta()["rows_since_analyze"] == 0

@@ -34,6 +34,20 @@ def main() -> None:
         "Regenerate with `python tools/gen_operator_index.py` — this file is",
         "derived from the registry and never edited by hand.",
         "",
+        "## Planner contracts",
+        "",
+        "- **Filtered two-phase pre/post (VERDICT r07 #5):** "
+        "`plan_filtered_strategy` sizes the POST branch's over-fetch from "
+        "manifest selectivity stats (zero jobs). Because a stale "
+        "over-estimate would silently under-fetch and cost recall, the "
+        "manifest tracks a `rows_since_analyze` odometer (bumped by "
+        "`ingest`, reset by `analyze`/`compact`); once appends exceed "
+        "20% of the analyzed row count the planner falls back to **pre** "
+        "— the allowed-id semi-join, which has no recall cliff — until "
+        "stats are refreshed. Explicit `filter_strategy=\"post\"` still "
+        "forces post. Gate: "
+        "`tests/test_filtered_two_phase.py::test_stale_stats_planner_falls_back_to_pre`.",
+        "",
     ]
     order = list(reg)
     window = set(order[:50])

@@ -197,6 +197,10 @@ class VectorCollection:
         self._meta_update(
             bytes_logical=meta.get("bytes_logical", 0) + written,
             bytes_physical=meta.get("bytes_physical", 0) + written,
+            # staleness odometer for the filtered-search planner (VERDICT
+            # r07 #5): manifest-only, so plan_filtered_strategy can
+            # distrust selectivity estimates without running a job
+            rows_since_analyze=meta.get("rows_since_analyze", 0) + n,
         )
         return n
 
@@ -1430,7 +1434,7 @@ class VectorCollection:
                     for r in name_rows
                     if str(r.tag_id) in stats["tag"]
                 }
-        self._meta_update(stats=stats)
+        self._meta_update(stats=stats, rows_since_analyze=0)
         return stats
 
     def _estimate_selectivity(
@@ -1497,6 +1501,7 @@ class VectorCollection:
         sample_p: float | None = None,
         pre_filter_threshold: float = 0.2,
         use_stats: bool = True,
+        stale_fraction: float = 0.2,
     ) -> tuple[str, float]:
         """Pick pre- vs post-filtering for a filtered ANN query from the
         filter's selectivity — the planner decision every filtered-search
@@ -1517,14 +1522,32 @@ class VectorCollection:
         answer (string tag missing from the name map) does the planner
         fall back to measuring with two pushed-down count()s — at 100 TB
         the measured path costs two scans before the query even runs,
-        which is exactly what a planner must not do per query."""
+        which is exactly what a planner must not do per query.
+
+        **Stale-stats recall guard (VERDICT r07 #5):** the POST branch's
+        over-fetch is sized from the estimated selectivity and capped at
+        max_candidates — a selectivity OVER-estimate from stale stats
+        (e.g. the tenant mix shifted since the last analyze) silently
+        under-fetches and costs recall. The manifest tracks a zero-job
+        staleness odometer (`rows_since_analyze`, bumped by ingest,
+        reset by analyze/compact); when more than `stale_fraction` of
+        the analyzed row count has been appended since the stats were
+        collected, the planner distrusts the estimate and returns
+        **pre** — the strategy with no recall cliff (the allowed-id
+        semi-join passes every qualifying row to ADC regardless of how
+        wrong the estimate is). An explicit `filter_strategy="post"`
+        override still forces post."""
         if use_stats:
-            stats = self._meta().get("stats")
+            meta = self._meta()
+            stats = meta.get("stats")
             if stats:
                 sel = self._estimate_selectivity(
                     stats, tenant, namespace, tags_any, sample_p
                 )
                 if sel is not None:
+                    appended = int(meta.get("rows_since_analyze", 0))
+                    if appended > stale_fraction * max(int(stats.get("n", 0)), 1):
+                        return "pre", sel
                     return ("pre" if sel < pre_filter_threshold else "post"), sel
         total = self.current().count()
         kept = apply_query_filters(
