@@ -251,10 +251,57 @@ def main() -> None:
         # up to 2 extra full lifecycles so the median is not governed by
         # a polluted sample.
         MAX_STORAGE_REPEATS = STORAGE_REPEATS + 2
+
+        # Steal-saturation policy (VERDICT r07 #1): the r07 artifact
+        # closed with EVERY build_indexes_ivfpq repeat inside a CPU-steal
+        # burst (steal_jf 13k-24k), so its shipped median measured the
+        # hypervisor, not the code. No storage entry may close all-stolen
+        # while budget remains: if every repeat of some entry exceeds
+        # STEAL_SAT_JF jiffies (~5 s of stolen CPU), WAIT for the host to
+        # calm down (a low-steal probe window) and run extra lifecycles —
+        # and ship per-entry `steal_saturated` flags either way so a
+        # saturated entry is excluded from round-over-round comparison.
+        STEAL_SAT_JF = int(os.environ.get("SPARK_GRAFT_STEAL_SAT_JF", "500"))
+        COOLDOWN_MAX_S = float(os.environ.get("SPARK_GRAFT_STEAL_COOLDOWN_S", "240"))
+        MAX_TOTAL_REPEATS = MAX_STORAGE_REPEATS + 2
+
+        def _steal_saturated_entries() -> list[str]:
+            return [
+                n
+                for n, reps in storage_meta.items()
+                if all(r["steal_jf"] > STEAL_SAT_JF for r in reps)
+            ]
+
+        def _wait_for_low_steal(max_wait_s: float) -> bool:
+            """Block until a 5 s probe window shows a near-idle steal
+            rate (<25 jf ≈ 5% stolen), or the budget runs out. Returns
+            whether the host calmed down — False ships saturated."""
+            waited = 0.0
+            while waited < max_wait_s:
+                s0 = _host_steal_jiffies()
+                time.sleep(5)
+                waited += 5
+                if _host_steal_jiffies() - s0 < 25:
+                    return True
+            print(
+                f"steal cool-down: host never calmed within {max_wait_s}s; "
+                f"shipping saturated entries {_steal_saturated_entries()}",
+                file=sys.stderr,
+            )
+            return False
+
         _rep = 0
-        while _rep < STORAGE_REPEATS or (
-            _rep < MAX_STORAGE_REPEATS
-            and any(max(v) > 3 * min(v) for v in storage_runs.values())
+        while (
+            _rep < STORAGE_REPEATS
+            or (
+                _rep < MAX_STORAGE_REPEATS
+                and any(max(v) > 3 * min(v) for v in storage_runs.values())
+            )
+            or (
+                _rep < MAX_TOTAL_REPEATS
+                and _steal_saturated_entries()
+                and _wait_for_low_steal(COOLDOWN_MAX_S)
+            )
         ):
             # release cross-repeat JVM debris (localCheckpoint blocks from
             # refresh_indexes, shuffle files, finished-stage state): the
@@ -327,8 +374,26 @@ def main() -> None:
 
         storage_p95: dict[str, float] = {}
         storage_min: dict[str, float] = {}
+        storage_saturated: dict[str, bool] = {}
+        storage_clean_n: dict[str, int] = {}
+        storage_med: dict[str, float] = {}
         for name, runs in storage_runs.items():
-            med, p95v = round(_pctl(runs, 0.5), 3), round(_pctl(runs, 0.95), 3)
+            # shipped medians are over CLEAN repeats (steal_jf within
+            # threshold) when any exist — stolen samples measure the
+            # hypervisor, not the code (VERDICT r07 #1). An entry with
+            # zero clean repeats ships its all-sample median but is
+            # stamped steal_saturated=True, excluding it from
+            # round-over-round comparison.
+            clean = [
+                r["run"]
+                for r in storage_meta[name]
+                if r["steal_jf"] <= STEAL_SAT_JF
+            ]
+            storage_saturated[name] = not clean
+            storage_clean_n[name] = len(clean)
+            use = clean if clean else runs
+            med, p95v = round(_pctl(use, 0.5), 3), round(_pctl(runs, 0.95), 3)
+            storage_med[name] = med
             if name != "recovery":
                 timings[name] = med
             storage_p95[name] = p95v
@@ -337,16 +402,17 @@ def main() -> None:
             # excursions (an 87 s build next to a 25 s one, same code,
             # same session), which medians dampen and the min escapes
             storage_min[name] = round(min(runs), 3)
-        dt_med = _pctl(storage_runs["ingest_changelog"], 0.5)
+        dt_med = storage_med["ingest_changelog"]
         extra_metrics = {
-            "ingest_ops_per_s": round(_pctl(ops_per_s_runs, 0.5), 1),
+            # derived from the clean median (same steal policy as above)
+            "ingest_ops_per_s": round(n_ops / storage_med["ingest_changelog"], 1),
             "write_amplification": wa["wa_now"],
             # BASELINE targets are percentile-shaped (p50<=2.3 / p95<=2.6,
             # types.h:144-145) — report the compaction history percentiles
             # alongside the point sample
             "write_amplification_p50": wa.get("wa_p50"),
             "write_amplification_p95": wa.get("wa_p95"),
-            "recovery_s": round(_pctl(storage_runs["recovery"], 0.5), 3),
+            "recovery_s": storage_med["recovery"],
             # actual lifecycles run (> STORAGE_REPEATS when the excursion
             # guard added repeats)
             "storage_repeats": _rep,
@@ -355,6 +421,14 @@ def main() -> None:
             # per-repeat {rep, run, steal_jf, gc_ms} — the provenance the
             # registry section already had (VERDICT r06 #1)
             "storage_meta": storage_meta,
+            # steal-saturation verdicts (VERDICT r07 #1): medians above
+            # are over the `clean_n` repeats with steal_jf <= threshold;
+            # a True flag means NO clean repeat was obtainable within the
+            # repeat + cool-down budget and the entry's numbers describe
+            # a stolen host window, not the code
+            "storage_steal_saturated": storage_saturated,
+            "storage_clean_n": storage_clean_n,
+            "steal_sat_jf_threshold": STEAL_SAT_JF,
             # raw per-repeat samples — lets a reader separate host-noise
             # excursions from real regressions without rerunning
             "storage_runs": {
@@ -364,8 +438,8 @@ def main() -> None:
             "delta_fraction": delta_fraction,
         }
         print(
-            f"ingested {n_ops} ops in {dt_med:.2f}s (median of "
-            f"{STORAGE_REPEATS}) = {n_ops / dt_med:,.0f} ops/s; "
+            f"ingested {n_ops} ops in {dt_med:.2f}s (clean median of "
+            f"{storage_clean_n['ingest_changelog'] or _rep}) = {n_ops / dt_med:,.0f} ops/s; "
             f"write amplification {wa['wa_now']} "
             f"(baseline p50<=2.3/p95<=2.6, types.h:144-145)",
             file=sys.stderr,
@@ -501,6 +575,141 @@ def main() -> None:
             shutil.rmtree(ckpt, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
         print(f"bench error in sustained ingest: {e}", file=sys.stderr)
+
+    # Concurrent read/write serving witness (VERDICT r07 #6): the
+    # reference's serving story is queries against a collection WHILE
+    # ingest is live (buffer scan during writes, msg-buf.h:220-260). The
+    # sustained-ingest and query benches above run separately; this
+    # entry runs topk_two_phase in a loop against a collection that a
+    # rate-limited ingest stream is appending to, measures query latency
+    # under write load, and asserts READ-YOUR-WRITES freshness: a query
+    # filtered to the stream's tenant can only be answered by rows
+    # ingested AFTER the index build (epoch > index_epoch), i.e. through
+    # the exact delta branch — returning any row IS the RYW witness.
+    try:
+        from pyspark.sql import functions as F
+
+        from write_optimized_vector_database_spark.collection import VectorCollection
+        from write_optimized_vector_database_spark.operators.changelog import (
+            synthetic_changelog,
+        )
+        from write_optimized_vector_database_spark.streaming.ingest import (
+            EPOCH_STRIDE,
+            changelog_batch_writer,
+        )
+
+        is_full_sf = SF_DIR.rstrip("/").endswith("0.1")
+        serve_s = float(
+            os.environ.get("SPARK_GRAFT_BENCH_SERVE_S", "20" if is_full_sf else "8")
+        )
+        rate = int(os.environ.get("SPARK_GRAFT_BENCH_SERVE_RATE", "20000"))
+        tmp = tempfile.mkdtemp(prefix="bench_serve_")
+        ckpt = tempfile.mkdtemp(prefix="bench_serve_ckpt_")
+        try:
+            coll = VectorCollection(spark, tmp, metric="ip")
+            coll.ingest(synthetic_changelog(spark, SF_DIR))
+            coll.compact()
+            # rotate the WAL tail the snapshot covers so the changelog
+            # dir holds ONLY the stream's batch= layout (mixed flat +
+            # partitioned layouts are unreadable by design)
+            coll.vacuum()
+            coll.build_indexes(nlist=8, m=8, nbits=8)
+            idx_epoch = coll._index_epoch()
+            epoch_base = (
+                max(coll._snapshot_epoch(), idx_epoch) // EPOCH_STRIDE + 1
+            ) * EPOCH_STRIDE
+            emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            dim = len(emb.select("embedding").first()[0])
+            qdf = emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            src = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", rate)
+                .option("numPartitions", 4)
+                .load()
+                .select(
+                    F.lit("INSERT").alias("op"),
+                    (F.col("value") + F.lit(5_000_000_000)).alias("id"),
+                    F.lit("stream").alias("tenant"),
+                    F.lit("ns0").alias("namespace"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: F.pmod(
+                            F.xxhash64(F.col("value"), j), F.lit(1000)
+                        ).cast("double")
+                        / F.lit(1000.0),
+                    ).cast("array<float>").alias("vector"),
+                    F.array(F.lit(0)).alias("tags"),
+                )
+            )
+            steal0 = _host_steal_jiffies()
+            q = (
+                src.writeStream.foreachBatch(
+                    changelog_batch_writer(tmp, epoch_base=epoch_base)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="1 seconds")
+                .start()
+            )
+            t0 = time.time()
+            lat: list[float] = []
+            fresh = 0
+            try:
+                while time.time() - t0 < serve_s:
+                    t1 = time.time()
+                    n = coll.topk_two_phase(
+                        qdf, k=10, nprobe=8, rerank_factor=4
+                    ).count()
+                    lat.append(time.time() - t1)
+                    assert n > 0
+                # RYW freshness: the stream's tenant only exists in rows
+                # newer than the index — surfacing any of them through
+                # the full read path proves the delta branch serves live
+                # writes
+                for _ in range(5):
+                    fresh = coll.topk_two_phase(
+                        qdf, k=5, nprobe=8, rerank_factor=4, tenant="stream"
+                    ).count()
+                    if fresh:
+                        break
+                    time.sleep(2)
+                wall = time.time() - t0
+            finally:
+                q.stop()
+            assert fresh > 0, "RYW violated: no live-ingested row served"
+            n_streamed = (
+                coll.current().filter(F.col("tenant") == "stream").count()
+            )
+            lat_ms = sorted(x * 1000.0 for x in lat)
+            extra_metrics["concurrent_serving"] = {
+                "offered_rows_per_s": rate,
+                "serve_window_s": round(wall, 1),
+                "queries_served": len(lat),
+                "query_p50_ms": round(_pctl(lat_ms, 0.5), 1),
+                "query_p95_ms": round(_pctl(lat_ms, 0.95), 1),
+                "rows_ingested_during_serve": int(n_streamed),
+                "ryw_fresh_rows": int(fresh),
+                "ryw_witnessed": True,
+                "steal_jf": _host_steal_jiffies() - steal0,
+            }
+            timings["concurrent_serving_query"] = round(
+                _pctl(lat, 0.5), 3
+            )
+            print(
+                f"concurrent serving: {len(lat)} queries p50 "
+                f"{extra_metrics['concurrent_serving']['query_p50_ms']} ms "
+                f"while ingesting {n_streamed} rows; RYW fresh rows "
+                f"{fresh}",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in concurrent serving: {e}", file=sys.stderr)
 
     # recall telemetry: measured recall@10 of each ANN path vs the exact
     # scan at SERVING settings (the tunable knob swept like the

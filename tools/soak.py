@@ -277,10 +277,16 @@ def run_dim768_scale(spark, n: int) -> dict[str, float]:
         # theory predicts on all four; only the premise-satisfying
         # geometry is a meaningful recall witness.
         blat = F.sequence(F.lit(0), F.lit(7))
+        # filterable attributes (VERDICT r07 #3): tenant splits the corpus
+        # in half (permissive → the planner's POST shape) and tag 7 marks
+        # ~1% of rows (selective → PRE's allowed-id semi-join); both
+        # filtered variants run below at the same reference knobs
         rows = spark.range(n).select(
             F.lit("INSERT").alias("op"),
             F.col("id"),
-            F.lit("t0").alias("tenant"),
+            F.concat(
+                F.lit("t"), F.pmod(F.col("id"), F.lit(2)).cast("string")
+            ).alias("tenant"),
             F.lit("ns0").alias("namespace"),
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -329,7 +335,11 @@ def run_dim768_scale(spark, n: int) -> dict[str, float]:
                     / F.lit(1000.0)
                 ),
             ).cast("array<float>").alias("vector"),
-            F.array(F.lit(0)).alias("tags"),
+            F.when(
+                F.pmod(F.col("id"), F.lit(97)) == 0, F.array(F.lit(7))
+            ).otherwise(
+                F.array(F.pmod(F.col("id"), F.lit(5)).cast("int"))
+            ).alias("tags"),
             F.col("id").alias("epoch"),
         )
         coll = VectorCollection(spark, tmp, metric="ip")
@@ -366,6 +376,27 @@ def run_dim768_scale(spark, n: int) -> dict[str, float]:
         t["recall_at_10"] = float(
             recall_at_k(approx, exact, k=10).agg(F.avg("recall")).first()[0]
         )
+        # filtered two-phase at the reference shape (VERDICT r07 #3):
+        # the r07 flagship addition (full QueryRequest filter surface)
+        # witnessed unfiltered-only at dim=768 — run BOTH planner
+        # branches here at the same serving knobs, timing + recall vs
+        # the exact filtered top-k
+        for scen, kw, strat in (
+            ("filtered_pre_tag7", {"tags_any": [7]}, "pre"),
+            ("filtered_post_tenant_t0", {"tenant": "t0"}, "post"),
+        ):
+            t0 = time.time()
+            appr_f = coll.topk_two_phase(
+                qdf, k=10, nprobe=12, rerank_factor=4,
+                filter_strategy=strat, **kw,
+            )
+            rows_f = appr_f.collect()
+            t[f"two_phase_{scen}"] = time.time() - t0
+            appr_f = spark.createDataFrame(rows_f, appr_f.schema)
+            exact_f = coll.topk(qdf, k=10, **kw)
+            t[f"recall_{scen}"] = float(
+                recall_at_k(appr_f, exact_f, k=10).agg(F.avg("recall")).first()[0]
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {k: round(v, 4) for k, v in t.items()}
@@ -398,10 +429,13 @@ def main() -> None:
         hi = run_dim768_scale(spark, args.hi)
         factor = hi["n_vecs"] / lo["n_vecs"]
         keys = ["ingest", "compact", "build_m96_opq", "two_phase_search",
-                "exact_topk"]
+                "two_phase_filtered_pre_tag7",
+                "two_phase_filtered_post_tenant_t0", "exact_topk"]
         out = {"dim": 768, "m": 96, "n_lo": args.lo, "n_hi": args.hi,
                "lo": lo, "hi": hi,
-               "recall_at_10_reference_knobs": hi["recall_at_10"]}
+               "recall_at_10_reference_knobs": hi["recall_at_10"],
+               "recall_filtered_pre": hi["recall_filtered_pre_tag7"],
+               "recall_filtered_post": hi["recall_filtered_post_tenant_t0"]}
         size_key = "n_vecs"
     elif args.corpus:
         lo_rep = args.lo
