@@ -658,6 +658,10 @@ def main() -> None:
             lat: list[float] = []
             fresh = 0
             try:
+                from write_optimized_vector_database_spark.operators.pq import (
+                    release_query_broadcasts,
+                )
+
                 while time.time() - t0 < serve_s:
                     t1 = time.time()
                     n = coll.topk_two_phase(
@@ -665,6 +669,11 @@ def main() -> None:
                     ).count()
                     lat.append(time.time() - t1)
                     assert n > 0
+                    # serving-wrapper discipline (ADVICE r07): the LUT
+                    # broadcast is per-query; release it eagerly after
+                    # materialization so sustained serving stays
+                    # memory-flat between driver GCs
+                    release_query_broadcasts()
                 # RYW freshness: the stream's tenant only exists in rows
                 # newer than the index — surfacing any of them through
                 # the full read path proves the delta branch serves live

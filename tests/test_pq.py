@@ -68,3 +68,23 @@ def test_adc_alone_reasonable(encoded, queries, codebooks, exact):
     rec = recall_at_k(approx, exact, k=10)
     mean_recall = rec.agg(F.avg("recall")).collect()[0][0]
     assert mean_recall >= 0.5, f"ADC-only mean recall@10 {mean_recall}"
+
+
+def test_release_query_broadcasts(encoded, queries, codebooks, exact):
+    """ADVICE r07: each ADC call registers its LUT broadcast; a serving
+    wrapper releases them eagerly after materialization, and a released
+    registry must not break subsequent queries."""
+    from write_optimized_vector_database_spark.operators.pq import (
+        _QUERY_BROADCASTS,
+        release_query_broadcasts,
+    )
+
+    release_query_broadcasts()  # drain anything earlier tests registered
+    pq_adc_topk(encoded, queries, codebooks, k=10, metric="ip").count()
+    assert len(_QUERY_BROADCASTS) >= 1
+    assert release_query_broadcasts() >= 1
+    assert not _QUERY_BROADCASTS
+    # the path still serves after a release (fresh broadcast per call)
+    n = pq_adc_topk(encoded, queries, codebooks, k=10, metric="ip").count()
+    assert n > 0
+    release_query_broadcasts()

@@ -330,8 +330,14 @@ def ivfpq_adc_topk(
     # batch (100 queries) and reference shape (m=96), the IP LUT is
     # ~19 MiB and the per-list L2 LUTs are nprobe× that — a broadcast
     # ships once per executor instead of re-serializing per scan task
-    lut_bc = index.sparkSession.sparkContext.broadcast(
-        (lut, offset) if metric == "ip" else lut_qc
+    from write_optimized_vector_database_spark.operators.pq import (
+        _register_query_broadcast,
+    )
+
+    lut_bc = _register_query_broadcast(
+        index.sparkSession.sparkContext.broadcast(
+            (lut, offset) if metric == "ip" else lut_qc
+        )
     )
 
     def fn(batches):

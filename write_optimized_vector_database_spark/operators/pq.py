@@ -39,6 +39,38 @@ from write_optimized_vector_database_spark.functions.hashing import (
 )
 from write_optimized_vector_database_spark.operators.topk import score_column, topk_per_group
 
+# Per-query broadcast registry (ADVICE r07): every ADC call ships its
+# LUT to executors as a broadcast (~19 MiB at the API's max batch of 100
+# queries at the reference shape m=96). After the job the Python handle
+# goes unreferenced and the JVM ContextCleaner reclaims the blocks on
+# the next driver GC — fine for batch, but on a long-lived serving
+# driver under sustained load they accumulate BETWEEN GCs. A serving
+# wrapper can call release_query_broadcasts() after each request's
+# results are materialized to return the blocks eagerly.
+_QUERY_BROADCASTS: list = []
+
+
+def _register_query_broadcast(bc):
+    _QUERY_BROADCASTS.append(bc)
+    return bc
+
+
+def release_query_broadcasts(blocking: bool = False) -> int:
+    """Eagerly unpersist every LUT broadcast created by ADC query calls
+    since the last release. Call ONLY after the query results are
+    materialized (collect/count/write): a still-lazy plan that holds a
+    released broadcast will fail when finally evaluated. Returns the
+    number of broadcasts released."""
+    n = 0
+    for bc in _QUERY_BROADCASTS:
+        try:
+            bc.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # noqa: BLE001 — already GC'd / context gone
+            pass
+    _QUERY_BROADCASTS.clear()
+    return n
+
 
 def subspace_dims(dim: int, m: int) -> int:
     if dim % m != 0:
@@ -673,7 +705,9 @@ def pq_adc_topk(
     # LUT as a broadcast: Q·m·k doubles is ~19 MiB at the API's max batch
     # (100 queries) at the reference shape m=96 — once per executor, not
     # re-serialized into every scan task
-    lut_bc = encoded.sparkSession.sparkContext.broadcast(lut)
+    lut_bc = _register_query_broadcast(
+        encoded.sparkSession.sparkContext.broadcast(lut)
+    )
 
     def fn(batches):
         import pyarrow as pa
