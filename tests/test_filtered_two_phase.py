@@ -161,3 +161,23 @@ def test_stale_stats_planner_falls_back_to_pre(spark, coll, queries):
     strategy3, _ = coll.plan_filtered_strategy(tenant="t0")
     assert strategy3 == "post"
     assert coll._meta()["rows_since_analyze"] == 0
+
+
+def test_pre_nprobe_escalation(spark, coll, queries):
+    # round 8: under a selective PRE filter the qualifying rows are
+    # scattered across many posting lists, so nprobe scales inversely
+    # with selectivity (clamped to nlist). Nearly free: the semi-join
+    # already pruned the lists, so ADC cost stays ∝ allowed rows.
+    assert coll._effective_pre_nprobe(2, 0.01) == 8  # clamped to nlist
+    assert coll._effective_pre_nprobe(2, 0.5) == 4
+    assert coll._effective_pre_nprobe(2, 1.0) == 2  # permissive: unchanged
+    assert coll._effective_pre_nprobe(2, 0.0) == 2  # unknown: unchanged
+    # e2e: nprobe=1 would probe a single list and miss most of the rare
+    # tag's survivors; escalation widens to every list, and the covering
+    # rerank budget then makes the result exactly the filtered top-k
+    exact = coll.topk(queries, k=3, tags_any=[7])
+    got = coll.topk_two_phase(
+        queries, k=3, nprobe=1, rerank_factor=90,
+        tags_any=[7], filter_strategy="pre",
+    )
+    assert _key_set(got) == _key_set(exact)

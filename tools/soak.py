@@ -280,12 +280,21 @@ def run_dim768_scale(spark, n: int) -> dict[str, float]:
         # filterable attributes (VERDICT r07 #3): tenant splits the corpus
         # in half (permissive → the planner's POST shape) and tag 7 marks
         # ~1% of rows (selective → PRE's allowed-id semi-join); both
-        # filtered variants run below at the same reference knobs
+        # filtered variants run below at the same reference knobs.
+        # Tenant is HASH-assigned, deliberately independent of the
+        # cluster geometry — the operating premise of selectivity-planned
+        # POST. The adversarial correlated case (tenant ≡ sub-cluster
+        # parity: id%2 with 4096 | even stride) was measured in round 8:
+        # POST recall collapses to 0.5 (odd queries' allowed neighbors
+        # live outside the unfiltered shortlist) while PRE stays 1.0 —
+        # documented in SCALE.md as the planner's correlation blind spot
+        # and the reason correlated filters should force strategy="pre".
         rows = spark.range(n).select(
             F.lit("INSERT").alias("op"),
             F.col("id"),
             F.concat(
-                F.lit("t"), F.pmod(F.col("id"), F.lit(2)).cast("string")
+                F.lit("t"),
+                F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(2)).cast("string"),
             ).alias("tenant"),
             F.lit("ns0").alias("namespace"),
             F.transform(

@@ -690,6 +690,7 @@ class VectorCollection:
             index_residual=bool(residual),
             index_spill=int(spill),
             index_opq=bool(use_opq),
+            index_nlist=int(nlist),
             # a knob-explicit rebuild invalidates a prior auto-build
             # certification: the recall it promised was measured against
             # an index that no longer exists, so serving falls back to
@@ -1092,6 +1093,21 @@ class VectorCollection:
         )
         return nprobe, recall
 
+    def _effective_pre_nprobe(self, nprobe: int, sel: float) -> int:
+        """Escalated nprobe for PRE-filtered two-phase search: scale the
+        probe count inversely with the filter's selectivity (clamped to
+        nlist) so the expected number of QUALIFYING rows inside the
+        probed lists matches what the unfiltered nprobe was tuned to
+        see. Cheap by construction — in PRE the allowed-id semi-join has
+        already pruned the posting lists, so scanning more lists costs
+        ∝ allowed rows, never ∝ the table."""
+        import math
+
+        nlist = int(self._meta().get("index_nlist", 0))
+        if not nlist or sel >= 1.0 or sel <= 0.0:
+            return nprobe
+        return min(nlist, max(nprobe, math.ceil(nprobe / sel)))
+
     def _default_nprobe(self, fallback: int = 8, family: str | None = None) -> int:
         """Serving nprobe: the certified knob, guarded by the index FAMILY
         it was certified for (ADVICE r07): a collection can hold both a
@@ -1198,16 +1214,26 @@ class VectorCollection:
             x is not None for x in (tenant, namespace, tags_any, sample_p)
         )
         if filtered:
-            if filter_strategy == "auto":
-                filter_strategy, sel = self.plan_filtered_strategy(
-                    tenant, namespace, tags_any, sample_p
-                )
-            elif filter_strategy == "post":
-                _, sel = self.plan_filtered_strategy(
-                    tenant, namespace, tags_any, sample_p
-                )
-            elif filter_strategy != "pre":
+            if filter_strategy not in ("auto", "post", "pre"):
                 raise ValueError(f"unknown filter_strategy {filter_strategy!r}")
+            if filter_strategy == "pre":
+                # explicit pre: selectivity is only wanted for nprobe
+                # escalation — read it from manifest stats if present,
+                # never measure (two count jobs) just to escalate
+                stats = self._meta().get("stats")
+                sel = (
+                    self._estimate_selectivity(
+                        stats, tenant, namespace, tags_any, sample_p
+                    )
+                    if stats
+                    else None
+                )
+            else:
+                planned, sel = self.plan_filtered_strategy(
+                    tenant, namespace, tags_any, sample_p
+                )
+                if filter_strategy == "auto":
+                    filter_strategy = planned
             if filter_strategy == "pre":
                 # allowed-id semi-join BEFORE the ADC scan: runs after the
                 # centroid_id partition pruning inside the ADC operator,
@@ -1217,6 +1243,20 @@ class VectorCollection:
                     tag_dict=self._tag_dict_for(tags_any),
                 ).select("id")
                 index = index.join(allowed, "id", "semi")
+                # nprobe escalation under selective filters (round 8):
+                # the unfiltered nprobe is tuned for "top-k among ALL
+                # rows in the probed lists", but a selective filter's
+                # survivors are scattered across MANY lists — probing 12
+                # of 64 lists for a 1% filter misses most qualifying
+                # rows no matter how good the shortlist is (measured:
+                # recall 0.9 at dim=768 before escalation, 1.0 after).
+                # Probing more lists is nearly free in PRE: the semi-join
+                # already pruned the posting lists, so ADC cost stays
+                # ∝ allowed rows in probed lists ≤ |allowed| — the same
+                # economics that make filtered HNSW/IVF engines raise
+                # ef/nprobe under filters.
+                if sel is not None:
+                    nprobe = self._effective_pre_nprobe(nprobe, sel)
             else:
                 # permissive filter: over-fetch so ~budget survivors
                 # remain after the rerank join drops non-matching rows
