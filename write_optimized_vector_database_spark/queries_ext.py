@@ -1137,6 +1137,76 @@ def vec_two_phase_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ESCALATION_ORACLE = """
+WITH visible AS (
+  SELECT e.vec_id AS id,
+         CASE WHEN e.vec_id % 5 = 0 THEN [((e.vec_id * 13 + 1) % 50)::INT]
+              ELSE ([ (e.vec_id % 50)::INT,
+                      ((e.vec_id * 7 + 3) % 50)::INT ])[1:(e.vec_id % 2 + 1)::INT]
+         END AS tags,
+         e.embedding::DOUBLE[] AS v
+  FROM embeddings e WHERE e.vec_id % 10 != 3
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 4)),
+scen AS (
+  SELECT q.query_id, visible.id AS vec_id,
+         list_inner_product(q.qv, visible.v) AS score
+  FROM q CROSS JOIN visible WHERE list_contains(visible.tags, 7)
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scen
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "vec_two_phase_filtered_escalation",
+    # Round 8: driver evidence for _effective_pre_nprobe — the caller
+    # passes nprobe=1 (a single posting list of 8), but the rare tag-7
+    # filter's qualifying rows scatter across ALL lists; the planner
+    # escalates the probe count from the manifest selectivity estimate
+    # (ceil(1/sel), clamped to nlist — ZERO jobs) so the semi-joined ADC
+    # phase sees every allowed row, and the covering rerank budget then
+    # makes the result EXACTLY the filtered top-k, hash-pinned against
+    # DuckDB. Un-escalated nprobe=1 measurably misses (the pytest e2e
+    # gate in tests/test_filtered_two_phase.py); exactness here holds
+    # wherever the max_candidates cap covers the visible corpus (the
+    # registry SFs), like its sibling vec_two_phase_filtered.
+    oracle=_ESCALATION_ORACLE,
+    survey_ref="Q5,Q7,Q8,Q15 (selective-filter nprobe escalation)",
+    tags=["vector", "ivf", "pq", "filters", "topk", "planner"],
+)
+def vec_two_phase_filtered_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-tag PRE search at nprobe=1 through the shared two-phase
+    scratch fixture: correctness rides entirely on the selectivity-driven
+    nprobe escalation (1 → nlist) since the allowed rows live in lists
+    the un-escalated probe would never open. 100 TB shape: escalation is
+    manifest-only, and probing more lists under PRE costs ∝ allowed rows
+    because the semi-join already pruned the posting lists."""
+    import math
+
+    coll, n_visible = _filtered_2p_collection(spark, sf_dir)
+    k = 5
+    rerank = max(1, math.ceil(n_visible / k))
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(1, 2, 4))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    return coll.topk_two_phase(
+        queries, k=k, nprobe=1, rerank_factor=rerank,
+        tags_any=[7], filter_strategy="pre",
+    ).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 _ASOF_EPOCH = 100_050  # after all INSERTs, mid-UPSERT band, before DELETEs
 
 _VISIBLE_ASOF_CTE = f"""
