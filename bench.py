@@ -115,49 +115,107 @@ def main() -> None:
     # System.gc() keeps the cleaner draining without evicting any LIVE
     # cache (unlike catalog.clearCache()).
     GC_EVERY = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "12")))
+
+    # Registry steal policy (round 8, extending VERDICT r07 #1 beyond the
+    # storage section): per-RUN steal provenance, medians over the clean
+    # runs only, and a deferred re-run pass for any query whose every run
+    # was stolen — the r08 full run shipped doc_ngram_jaccard_verify at a
+    # 12.7 s median from runs [6.8, 16.5, 12.7] under steal_jf 12,662,
+    # which describes the hypervisor, not the plan.
+    REG_STEAL_SAT_JF = int(os.environ.get("SPARK_GRAFT_REG_STEAL_SAT_JF", "500"))
+
+    def _run_query_once(name: str) -> tuple[float, int]:
+        s0 = _host_steal_jiffies()
+        t0 = time.time()
+        reg[name].fn(spark, SF_DIR).count()
+        return time.time() - t0, _host_steal_jiffies() - s0
+
+    def _median_and_meta(name: str, order: int, samples: list[tuple[float, int]],
+                         gc_delta: int) -> None:
+        runs = [s[0] for s in samples]
+        clean = [s[0] for s in samples if s[1] <= REG_STEAL_SAT_JF]
+        timings[name] = round(_pctl(clean if clean else runs, 0.5), 3)
+        if len(runs) > 1:
+            p95[name] = round(_pctl(runs, 0.95), 3)
+        query_meta[name] = {
+            "order": order,
+            "gc_ms": gc_delta,
+            # total steal across the runs plus the per-run split — the
+            # per-run deltas are what let a reader (and the rerun pass
+            # below) separate a stolen sample from a slow plan
+            "steal_jf": sum(s[1] for s in samples),
+            "runs": [round(x, 3) for x in runs],
+            "runs_steal_jf": [s[1] for s in samples],
+            "clean_n": len(clean),
+        }
+
+    def _measure_query(name: str, order: int) -> None:
+        gc0 = _jvm_gc_ms(spark)
+        samples: list[tuple[float, int]] = [
+            _run_query_once(name) for _ in range(REPEATS)
+        ]
+        # adaptive medians: noisy-band entries get 2 extra runs
+        if REPEATS == 1 and (
+            MEDIAN_MIN_S < samples[0][0] <= MEDIAN_MAX_S or name in FORCE_MEDIAN
+        ):
+            samples += [_run_query_once(name) for _ in range(2)]
+            # excursion guard: this host shows multi-second CPU-steal
+            # bursts (r06 saw the same plan measure [1.5, 6.1, 49.2]
+            # back-to-back) — a 3-sample median is still polluted when
+            # a burst spans two of them, so take up to 2 extra samples
+            # while the spread stays implausible for an unchanged plan
+            while len(samples) < 5 and (
+                max(s[0] for s in samples) > 3 * min(s[0] for s in samples)
+            ):
+                samples.append(_run_query_once(name))
+        _median_and_meta(name, order, samples, _jvm_gc_ms(spark) - gc0)
+
     for order, name in enumerate(names):
         if order and order % GC_EVERY == 0:
             spark.sparkContext._jvm.System.gc()
-        runs: list[float] = []
-        gc0 = _jvm_gc_ms(spark)
-        steal0 = _host_steal_jiffies()
         try:
-            for _ in range(REPEATS):
-                t0 = time.time()
-                df = reg[name].fn(spark, SF_DIR)
-                df.count()
-                runs.append(time.time() - t0)
-            # adaptive medians: noisy-band entries get 2 extra runs
-            if REPEATS == 1 and (
-                MEDIAN_MIN_S < runs[0] <= MEDIAN_MAX_S or name in FORCE_MEDIAN
-            ):
-                for _ in range(2):
-                    t0 = time.time()
-                    reg[name].fn(spark, SF_DIR).count()
-                    runs.append(time.time() - t0)
-                # excursion guard: this host shows multi-second CPU-steal
-                # bursts (r06 saw the same plan measure [1.5, 6.1, 49.2]
-                # back-to-back) — a 3-sample median is still polluted when
-                # a burst spans two of them, so take up to 2 extra samples
-                # while the spread stays implausible for an unchanged plan
-                while len(runs) < 5 and max(runs) > 3 * min(runs):
-                    t0 = time.time()
-                    reg[name].fn(spark, SF_DIR).count()
-                    runs.append(time.time() - t0)
-            timings[name] = round(_pctl(runs, 0.5), 3)
-            if len(runs) > 1:
-                p95[name] = round(_pctl(runs, 0.95), 3)
-            query_meta[name] = {
-                "order": order,
-                "gc_ms": _jvm_gc_ms(spark) - gc0,
-                # steal delta in jiffies (10 ms each): hypervisor time
-                # stolen from this box while the query's runs executed
-                "steal_jf": _host_steal_jiffies() - steal0,
-                "runs": [round(x, 3) for x in runs],
-            }
+            _measure_query(name, order)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+
+    # Deferred re-run pass: queries in the >1 s median band whose EVERY
+    # run was stolen get one more chance after a bounded low-steal
+    # cool-down; a sub-band query's absolute error is bounded by the
+    # band floor, so only the adjudicable ones pay the rerun. Entries
+    # still all-stolen after the pass ship steal_saturated=True.
+    def _registry_saturated() -> list[str]:
+        return [
+            n
+            for n, m in query_meta.items()
+            if m.get("clean_n") == 0 and timings.get(n, -1) > MEDIAN_MIN_S
+        ]
+
+    saturated = _registry_saturated()
+    if saturated:
+        print(
+            f"registry steal rerun: {len(saturated)} all-stolen entries "
+            f"{saturated[:8]}...",
+            file=sys.stderr,
+        )
+        waited = 0.0
+        max_wait = float(os.environ.get("SPARK_GRAFT_STEAL_COOLDOWN_S", "240"))
+        while waited < max_wait:
+            s0 = _host_steal_jiffies()
+            time.sleep(5)
+            waited += 5
+            if _host_steal_jiffies() - s0 < 25:
+                break
+        for name in saturated:
+            try:
+                _measure_query(name, query_meta[name]["order"])
+                query_meta[name]["rerun_after_steal"] = True
+            except Exception as e:  # noqa: BLE001
+                print(f"bench rerun error in {name}: {e}", file=sys.stderr)
+    for name, m in query_meta.items():
+        m["steal_saturated"] = (
+            m.get("clean_n") == 0 and timings.get(name, -1) > MEDIAN_MIN_S
+        )
 
     # Ingest-throughput bench (BASELINE.md: changelog append throughput):
     # synthesize the WAL-shaped changelog from the embeddings fixture and
