@@ -112,6 +112,20 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # Build the filtered-two-phase shared fixture BEFORE timing: the
+    # fixture (ingest+compact+build_indexes, VERDICT r07 #2) is shared
+    # process-lifetime state, not the read path those entries measure —
+    # warming it here keeps the ~12 s build out of every sample instead
+    # of only out of samples 2..n.
+    try:
+        from write_optimized_vector_database_spark.queries_ext import (
+            _filtered_2p_collection,
+        )
+
+        _filtered_2p_collection(spark, SF_DIR)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: fixture warmup failed: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     p95: dict[str, float] = {}
     # per-query provenance (VERDICT r05 #6): run position + driver-GC
