@@ -178,6 +178,61 @@ def test_pre_nprobe_escalation(spark, coll, queries):
     exact = coll.topk(queries, k=3, tags_any=[7])
     got = coll.topk_two_phase(
         queries, k=3, nprobe=1, rerank_factor=90,
+        tags_any=[7], filter_strategy="pre", escalate_nprobe=True,
+    )
+    assert _key_set(got) == _key_set(exact)
+    # ADVICE r08: an EXPLICIT nprobe with no opt-in stays authoritative —
+    # a single probed list of 8 cannot cover the rare tag's survivors,
+    # so the un-escalated result must MISS vs the exact oracle (the same
+    # measurable gap the escalated call closes above)
+    pinned = coll.topk_two_phase(
+        queries, k=3, nprobe=1, rerank_factor=90,
         tags_any=[7], filter_strategy="pre",
+    )
+    assert _key_set(pinned) != _key_set(exact)
+
+
+def test_stale_stats_escalation_pessimism(spark, coll, queries):
+    # VERDICT r08 #2: the escalation factor 1/sel trusts the manifest
+    # selectivity. Plant the failure it must survive — tag 7 looked
+    # DENSE at analyze time (90% of rows → escalation 1 → 2 of 8 lists)
+    # but the corpus shifted since (appends tripped the odometer), so
+    # the true survivors are scattered far wider than the stale estimate
+    # says. The guarded escalation distrusts the estimate and probes
+    # every list — nearly free in PRE (cost ∝ filter survivors).
+    meta = coll._meta()
+    stats = dict(meta["stats"])
+    n = int(stats["n"])
+    tag_h = dict(stats.get("tag", {}))
+    tag_h["7"] = int(n * 0.9)  # the planted over-estimate
+    stats["tag"] = tag_h
+    coll._meta_update(stats=stats)
+    sel = coll._estimate_selectivity(stats, None, None, [7], None)
+    assert sel is not None and sel >= 0.5
+    # fresh odometer: the over-estimate under-escalates (1 → 2 lists)
+    assert coll._effective_pre_nprobe(1, sel) == 2
+
+    # append > stale_fraction × n rows WITHOUT tag 7: the stats now
+    # describe a corpus that no longer exists
+    schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    dim = len(queries.first()["query_vec"])
+    rows = [
+        ("INSERT", 810_000 + i, "t1", "ns0",
+         [float((i + j) % 3) for j in range(dim)], [1], 70_000_000 + i)
+        for i in range(max(8, n // 2))
+    ]
+    coll.ingest(spark.createDataFrame(rows, schema))
+    # stale odometer → pessimistic escalation straight to nlist
+    assert coll._effective_pre_nprobe(1, sel) == 8
+
+    # e2e: the guarded path still matches the exact filtered oracle at
+    # a pinned-but-opted-in nprobe=1 despite the planted over-estimate
+    exact = coll.topk(queries, k=3, tags_any=[7])
+    got = coll.topk_two_phase(
+        queries, k=3, nprobe=1, rerank_factor=90,
+        tags_any=[7], filter_strategy="pre", escalate_nprobe=True,
     )
     assert _key_set(got) == _key_set(exact)

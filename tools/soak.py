@@ -391,7 +391,9 @@ def run_dim768_scale(spark, n: int) -> dict[str, float]:
         # branches here at the same serving knobs, timing + recall vs
         # the exact filtered top-k
         for scen, kw, strat in (
-            ("filtered_pre_tag7", {"tags_any": [7]}, "pre"),
+            # explicit nprobe=12 is pinned below, so the selective-tag
+            # scenario opts into escalation (the r08 witness: 0.9 → 1.0)
+            ("filtered_pre_tag7", {"tags_any": [7], "escalate_nprobe": True}, "pre"),
             ("filtered_post_tenant_t0", {"tenant": "t0"}, "post"),
         ):
             t0 = time.time()

@@ -515,6 +515,7 @@ class VectorCollection:
         target_rerank_factor: int = 4,
         _cur: DataFrame | None = None,
         _centroids: DataFrame | None = None,
+        _collect_corr: bool = True,
     ) -> dict | None:
         """Build the *stable generation*: IVF-partitioned index with PQ
         codes over the current snapshot (reference delta/stable split,
@@ -676,6 +677,12 @@ class VectorCollection:
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
             self._has_changelog_files()
         ) else self._snapshot_epoch()
+        # filter↔geometry correlation stats for the planner (VERDICT r08
+        # #1): per-filter-value centroid histograms, collected while the
+        # build snapshot is still persisted (one narrow join + two small
+        # groupBys — negligible next to the encode pass above)
+        if _collect_corr:
+            self._collect_correlation_stats(cur)
         if owns_cur:
             cur.unpersist()
         # build_id is a monotonic per-build token: index_epoch alone can't
@@ -813,6 +820,9 @@ class VectorCollection:
             self.build_indexes(
                 nlist=nlist, nbits=nbits, sample_fraction=sample_fraction,
                 seed=seed, residual=True, **rung, _cur=cur, _centroids=cents0,
+                # correlation stats describe the FINAL index's geometry;
+                # collecting them per discarded rung would only add wall
+                _collect_corr=False,
             )
             t_probe = time.time()
             _stage(f"rung{i}-build")
@@ -834,6 +844,9 @@ class VectorCollection:
             if r >= target_recall:
                 break
             i = _escalation_next(i, len(ladder), target_recall - r)
+        # the last rung built is the index that will serve — collect the
+        # planner's correlation stats against it once, not per rung
+        self._collect_correlation_stats(cur)
         cur.unpersist()
         chosen = history[-1]
         target_met = chosen["recall"] >= target_recall
@@ -1093,18 +1106,40 @@ class VectorCollection:
         )
         return nprobe, recall
 
-    def _effective_pre_nprobe(self, nprobe: int, sel: float) -> int:
+    def _effective_pre_nprobe(
+        self, nprobe: int, sel: float | None, stale_fraction: float = 0.2
+    ) -> int:
         """Escalated nprobe for PRE-filtered two-phase search: scale the
         probe count inversely with the filter's selectivity (clamped to
         nlist) so the expected number of QUALIFYING rows inside the
         probed lists matches what the unfiltered nprobe was tuned to
         see. Cheap by construction — in PRE the allowed-id semi-join has
         already pruned the posting lists, so scanning more lists costs
-        ∝ allowed rows, never ∝ the table."""
+        ∝ allowed rows, never ∝ the table.
+
+        **Stale-stats pessimism (VERDICT r08 #2):** the escalation
+        factor 1/sel comes from the manifest selectivity estimate. A
+        stale OVER-estimate (tag was 50% of rows at analyze time, is 1%
+        now) under-escalates and silently costs recall — the exact
+        failure the POST branch's staleness guard defends against. When
+        the zero-job `rows_since_analyze` odometer says more than
+        `stale_fraction` of the analyzed rows have been appended since
+        the stats were collected, the estimate is distrusted and the
+        escalation goes straight to nlist: probing every list is nearly
+        free in PRE (cost stays ∝ filter survivors), so the pessimistic
+        fallback buys recall certainty for almost nothing."""
         import math
 
-        nlist = int(self._meta().get("index_nlist", 0))
-        if not nlist or sel >= 1.0 or sel <= 0.0:
+        meta = self._meta()
+        nlist = int(meta.get("index_nlist", 0))
+        if not nlist:
+            return nprobe
+        stats = meta.get("stats")
+        if stats:
+            appended = int(meta.get("rows_since_analyze", 0))
+            if appended > stale_fraction * max(int(stats.get("n", 0)), 1):
+                return nlist
+        if sel is None or sel >= 1.0 or sel <= 0.0:
             return nprobe
         return min(nlist, max(nprobe, math.ceil(nprobe / sel)))
 
@@ -1157,6 +1192,7 @@ class VectorCollection:
         tags_any: list[int | str] | None = None,
         sample_p: float | None = None,
         filter_strategy: str = "auto",
+        escalate_nprobe: bool | None = None,
     ) -> DataFrame:
         """The reference's full read path (SURVEY §3.2) over both
         generations:
@@ -1197,6 +1233,12 @@ class VectorCollection:
             topk_per_group,
         )
 
+        # escalation policy (ADVICE r08): an EXPLICIT nprobe is a pinned
+        # knob (latency-budgeted or benchmarked) and stays authoritative
+        # by default — escalation only applies when the knob was
+        # defaulted, unless the caller opts in/out via escalate_nprobe.
+        if escalate_nprobe is None:
+            escalate_nprobe = nprobe is None
         if nprobe is None:
             nprobe = self._default_nprobe(family="ivfpq")  # certified two-phase knob
         spark = self.spark
@@ -1254,8 +1296,10 @@ class VectorCollection:
                 # already pruned the posting lists, so ADC cost stays
                 # ∝ allowed rows in probed lists ≤ |allowed| — the same
                 # economics that make filtered HNSW/IVF engines raise
-                # ef/nprobe under filters.
-                if sel is not None:
+                # ef/nprobe under filters. Stale stats (rows_since_
+                # analyze odometer) escalate pessimistically to nlist —
+                # see _effective_pre_nprobe.
+                if escalate_nprobe:
                     nprobe = self._effective_pre_nprobe(nprobe, sel)
             else:
                 # permissive filter: over-fetch so ~budget survivors
@@ -1533,6 +1577,167 @@ class VectorCollection:
             sel *= sample_p
         return min(1.0, sel)
 
+    _CORR_TOP_K = 16
+
+    def _collect_correlation_stats(
+        self, cur: DataFrame, top_k: int | None = None
+    ) -> dict | None:
+        """Per-filter-value CENTROID histograms for the filtered-search
+        planner (VERDICT r08 #1). Marginal selectivity alone cannot see
+        filter↔geometry correlation: round 8 measured POST recall
+        collapsing to 0.5 when a permissive filter (tenant ≡ sub-cluster
+        parity) concentrates its survivors in HALF the posting lists —
+        the unfiltered shortlist then simply never contains the allowed
+        neighbors, and no over-fetch factor fixes that. The reference
+        sidesteps this by always filtering inside the probe scan
+        (msg-buf.h:236-255, i.e. always-PRE); at Spark scale POST is the
+        cheaper plan for independent permissive filters, so the planner
+        needs to DETECT correlation instead of assuming it away.
+
+        Collected at index-build time (the only moment the assignment
+        and the filter columns are both hot): read back the just-written
+        index (column-pruned to id+centroid_id — codes never leave the
+        parquet), join the persisted build snapshot's filter columns,
+        and aggregate counts per (dim, value, centroid). Heavy-hitter
+        bounding happens JVM-side (rank over per-value totals), so the
+        driver collect is ≤ (1 + 3·top_k) × nlist rows and the manifest
+        entry stays KB-sized at any tenant/tag cardinality — the same
+        discipline analyze() applies to the selectivity histograms.
+        Values outside the cap are rare by construction and route to PRE
+        through the selectivity threshold anyway. With spill > 1 a row
+        counts once per posting list it lives in — exactly the
+        reachable-list distribution the divergence test needs."""
+        from pyspark.sql import Window
+
+        top_k = top_k or self._CORR_TOP_K
+        cols = set(cur.columns)
+        dims = [d for d in ("tenant", "namespace") if d in cols]
+        has_tags = "tags" in cols
+        if not dims and not has_tags:
+            return None
+        spark = self.spark
+        idx = spark.read.parquet(f"{self.path}/index_stable").select(
+            "id", "centroid_id"
+        )
+        keep = ["id"] + dims + (["tags"] if has_tags else [])
+        joined = idx.join(cur.select(*keep), "id")
+        parts = [
+            joined.select(
+                F.lit("__global").alias("dim"), F.lit("_").alias("key"),
+                "centroid_id",
+            )
+        ]
+        for d in dims:
+            parts.append(
+                joined.select(
+                    F.lit(d).alias("dim"),
+                    F.col(d).cast("string").alias("key"),
+                    "centroid_id",
+                )
+            )
+        if has_tags:
+            parts.append(
+                joined.select(F.explode("tags").alias("__t"), "centroid_id").select(
+                    F.lit("tag").alias("dim"),
+                    F.col("__t").cast("string").alias("key"),
+                    "centroid_id",
+                )
+            )
+        stacked = parts[0]
+        for p in parts[1:]:
+            stacked = stacked.unionByName(p)
+        grouped = (
+            stacked.groupBy("dim", "key", "centroid_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        w = Window.partitionBy("dim").orderBy(F.desc("tot"), "key")
+        heavy = (
+            grouped.groupBy("dim", "key")
+            .agg(F.sum("c").alias("tot"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter((F.col("rk") <= top_k) | (F.col("dim") == "__global"))
+            .select("dim", "key")
+        )
+        rows = grouped.join(heavy, ["dim", "key"]).collect()
+        grouped.unpersist()
+
+        corr: dict = {"global": {}}
+        for r in rows:
+            cid = str(r.centroid_id)
+            if r.dim == "__global":
+                corr["global"][cid] = int(r.c)
+            else:
+                corr.setdefault(r.dim, {}).setdefault(r.key, {})[cid] = int(r.c)
+        if has_tags and corr.get("tag"):
+            td = self.tag_dict()
+            if td is not None:
+                # resolve heavy-hitter tag ids to names once, so string
+                # tags_any divergence checks stay manifest-only
+                ids = [int(t) for t in corr["tag"]]
+                name_rows = td.filter(F.col("tag_id").isin(ids)).collect()
+                corr["tag_name"] = {
+                    r.tag: corr["tag"][str(r.tag_id)]
+                    for r in name_rows
+                    if str(r.tag_id) in corr["tag"]
+                }
+        self._meta_update(corr_stats=corr)
+        return corr
+
+    def _correlation_divergence(
+        self,
+        tenant: str | None = None,
+        namespace: str | None = None,
+        tags_any: list[int | str] | None = None,
+    ) -> tuple[float, float] | None:
+        """(L1 divergence, sampling-noise floor) for the most divergent
+        constrained filter value's centroid distribution vs the global
+        one — a dictionary computation over the manifest's build-time
+        correlation stats, ZERO Spark jobs. Returns None when no stats
+        exist or no constrained value is covered (non-heavy-hitter
+        values are rare and route to PRE via selectivity anyway).
+
+        L1 here is twice the total variation distance: 0 for an
+        independent filter, 2 for disjoint support. The noise floor is
+        3× the expected L1 of a SAME-SIZE independent sample
+        (E‖p̂−p‖₁ ≤ √(2·nlist/(π·m)) for m multinomial draws — tight at
+        uniform p), so small fixtures and thin values don't read
+        sampling jitter as correlation while a genuinely concentrated
+        filter (e.g. half the centroids empty ⇒ L1 ≈ 1) clears it at
+        any realistic size."""
+        import math
+
+        corr = self._meta().get("corr_stats")
+        if not corr:
+            return None
+        g = corr.get("global") or {}
+        gn = sum(g.values())
+        if not gn:
+            return None
+        nlist = max(1, len(g))
+        checks: list[tuple[str, str]] = []
+        if tenant is not None:
+            checks.append(("tenant", str(tenant)))
+        if namespace is not None:
+            checks.append(("namespace", str(namespace)))
+        for t in tags_any or []:
+            checks.append(("tag_name" if isinstance(t, str) else "tag", str(t)))
+        best: tuple[float, float] | None = None
+        for dim, key in checks:
+            h = (corr.get(dim) or {}).get(key)
+            if not h:
+                continue
+            hn = sum(h.values())
+            if not hn:
+                continue
+            # h's support ⊆ global's (every indexed row is counted in
+            # the global histogram), so iterating global keys is exact
+            l1 = sum(abs(h.get(c, 0) / hn - gc / gn) for c, gc in g.items())
+            noise = 3.0 * math.sqrt(2.0 * nlist / (math.pi * hn))
+            if best is None or l1 - noise > best[0] - best[1]:
+                best = (l1, noise)
+        return best
+
     def plan_filtered_strategy(
         self,
         tenant: str | None = None,
@@ -1542,6 +1747,7 @@ class VectorCollection:
         pre_filter_threshold: float = 0.2,
         use_stats: bool = True,
         stale_fraction: float = 0.2,
+        corr_threshold: float = 0.25,
     ) -> tuple[str, float]:
         """Pick pre- vs post-filtering for a filtered ANN query from the
         filter's selectivity — the planner decision every filtered-search
@@ -1576,7 +1782,22 @@ class VectorCollection:
         **pre** — the strategy with no recall cliff (the allowed-id
         semi-join passes every qualifying row to ADC regardless of how
         wrong the estimate is). An explicit `filter_strategy="post"`
-        override still forces post."""
+        override still forces post.
+
+        **Correlation guard (VERDICT r08 #1):** a PERMISSIVE filter can
+        still break POST when its survivors correlate with the index
+        geometry — round 8 measured recall 0.5 at sel=0.5 when tenant ≡
+        sub-cluster parity concentrated the allowed rows in half the
+        posting lists (the unfiltered shortlist never contains the
+        allowed neighbors; over-fetch cannot fix absence). Before
+        choosing POST the planner checks the build-time per-filter-value
+        centroid histograms (_collect_correlation_stats): when the
+        constrained value's centroid distribution diverges from the
+        global one by more than `corr_threshold` in L1 (and above the
+        same-size sampling-noise floor), the filter is geometry-
+        correlated and the planner forces **pre** — again the branch
+        with no recall cliff. Independent filters (hash-assigned
+        tenants) sit at the noise floor and keep the cheap POST plan."""
         if use_stats:
             meta = self._meta()
             stats = meta.get("stats")
@@ -1588,6 +1809,10 @@ class VectorCollection:
                     appended = int(meta.get("rows_since_analyze", 0))
                     if appended > stale_fraction * max(int(stats.get("n", 0)), 1):
                         return "pre", sel
+                    if sel >= pre_filter_threshold and self._corr_forces_pre(
+                        tenant, namespace, tags_any, corr_threshold
+                    ):
+                        return "pre", sel
                     return ("pre" if sel < pre_filter_threshold else "post"), sel
         total = self.current().count()
         kept = apply_query_filters(
@@ -1595,7 +1820,21 @@ class VectorCollection:
             tag_dict=self._tag_dict_for(tags_any),
         ).count()
         sel = kept / total if total else 1.0
+        if sel >= pre_filter_threshold and self._corr_forces_pre(
+            tenant, namespace, tags_any, corr_threshold
+        ):
+            return "pre", sel
         return ("pre" if sel < pre_filter_threshold else "post"), sel
+
+    def _corr_forces_pre(
+        self,
+        tenant: str | None,
+        namespace: str | None,
+        tags_any: list[int | str] | None,
+        corr_threshold: float,
+    ) -> bool:
+        div = self._correlation_divergence(tenant, namespace, tags_any)
+        return div is not None and div[0] > max(corr_threshold, div[1])
 
     def topk_filtered(
         self,

@@ -47,11 +47,27 @@ from write_optimized_vector_database_spark.operators.topk import score_column, t
 # driver under sustained load they accumulate BETWEEN GCs. A serving
 # wrapper can call release_query_broadcasts() after each request's
 # results are materialized to return the blocks eagerly.
+#
+# The registry itself is BOUNDED (ADVICE r08): callers that never call
+# release_query_broadcasts() (bench registry loop, library users) must
+# not accumulate strong references for process lifetime, so registering
+# past _MAX_QUERY_BROADCASTS drains the oldest entries. Draining uses
+# unpersist(), NOT destroy(): an unpersisted broadcast is merely evicted
+# from executors and is transparently re-shipped if a still-lazy plan
+# that captured it finally evaluates (verified behavior on pyspark 4.1),
+# so early drain can cost a re-broadcast but never correctness.
 _QUERY_BROADCASTS: list = []
+_MAX_QUERY_BROADCASTS = 8
 
 
 def _register_query_broadcast(bc):
     _QUERY_BROADCASTS.append(bc)
+    while len(_QUERY_BROADCASTS) > _MAX_QUERY_BROADCASTS:
+        old = _QUERY_BROADCASTS.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — already GC'd / context gone
+            pass
     return bc
 
 

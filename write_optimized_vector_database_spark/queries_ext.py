@@ -1201,7 +1201,7 @@ def vec_two_phase_filtered_escalation(spark: SparkSession, sf_dir: str) -> DataF
     )
     return coll.topk_two_phase(
         queries, k=k, nprobe=1, rerank_factor=rerank,
-        tags_any=[7], filter_strategy="pre",
+        tags_any=[7], filter_strategy="pre", escalate_nprobe=True,
     ).select(
         "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
     )
