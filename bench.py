@@ -274,7 +274,6 @@ def main() -> None:
 
     extra_metrics: dict = {}
     storage_runs: dict[str, list[float]] = {}
-    ops_per_s_runs: list[float] = []
     wa = None
     try:
         from pyspark.sql import functions as F
@@ -402,7 +401,6 @@ def main() -> None:
                 with timed("ingest_changelog", _rep):
                     coll = VectorCollection(spark, tmp, metric="ip")
                     coll.ingest(big)
-                ops_per_s_runs.append(n_ops / storage_runs["ingest_changelog"][-1])
                 with timed("compact_snapshot", _rep):
                     coll.compact()
                 # the flagship read path: residual-IVFPQ stable index +
@@ -594,74 +592,124 @@ def main() -> None:
             )
         )
         rate = int(os.environ.get("SPARK_GRAFT_BENCH_SUSTAIN_RATE", "100000"))
-        tmp = tempfile.mkdtemp(prefix="bench_sustain_")
-        ckpt = tempfile.mkdtemp(prefix="bench_sustain_ckpt_")
-        try:
-            src = (
-                spark.readStream.format("rate")
-                .option("rowsPerSecond", rate)
-                .option("numPartitions", 8)
-                .load()
-                .select(
-                    F.lit("INSERT").alias("op"),
-                    F.col("value").alias("id"),
-                    F.lit("t0").alias("tenant"),
-                    F.pmod(F.col("value"), F.lit(4)).cast("string").alias("namespace"),
-                    # 32-dim vector synthesized JVM-side, deterministic in id
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(31)),
-                        lambda j: F.pmod(
-                            F.xxhash64(F.col("value"), j), F.lit(1000)
-                        ).cast("double")
-                        / F.lit(1000.0),
-                    ).cast("array<float>").alias("vector"),
-                    F.array(
-                        F.pmod(F.col("value"), F.lit(8)).cast("int")
-                    ).alias("tags"),
+
+        def _sustained_run(run_rate: int, dur_s: float) -> dict:
+            tmp = tempfile.mkdtemp(prefix="bench_sustain_")
+            ckpt = tempfile.mkdtemp(prefix="bench_sustain_ckpt_")
+            try:
+                src = (
+                    spark.readStream.format("rate")
+                    .option("rowsPerSecond", run_rate)
+                    .option("numPartitions", 8)
+                    .load()
+                    .select(
+                        F.lit("INSERT").alias("op"),
+                        F.col("value").alias("id"),
+                        F.lit("t0").alias("tenant"),
+                        F.pmod(F.col("value"), F.lit(4)).cast("string").alias("namespace"),
+                        # 32-dim vector synthesized JVM-side, deterministic in id
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(31)),
+                            lambda j: F.pmod(
+                                F.xxhash64(F.col("value"), j), F.lit(1000)
+                            ).cast("double")
+                            / F.lit(1000.0),
+                        ).cast("array<float>").alias("vector"),
+                        F.array(
+                            F.pmod(F.col("value"), F.lit(8)).cast("int")
+                        ).alias("tags"),
+                    )
                 )
+                steal0 = _host_steal_jiffies()
+                q = start_changelog_ingest(src, tmp, ckpt, trigger_seconds=1)
+                t_start = time.time()
+                time.sleep(dur_s)
+                # capture the wall BEFORE progress parsing / stream teardown
+                # (ADVICE r07): the counted rows were ingested inside this
+                # window, so the denominator must not include the seconds
+                # recentProgress iteration and q.stop() take afterwards
+                wall = time.time() - t_start
+                progress = []
+                for p in q.recentProgress:
+                    if not isinstance(p, dict):
+                        j = getattr(p, "json")
+                        p = json.loads(j() if callable(j) else j)
+                    progress.append(p)
+                q.stop()
+                done = [p for p in progress if p.get("numInputRows", 0) > 0]
+                if not done:
+                    raise RuntimeError("no completed micro-batches in window")
+                rows = sum(p["numInputRows"] for p in done)
+                durs = sorted(
+                    p["durationMs"]["triggerExecution"] for p in done
+                )
+                return {
+                    "offered_rows_per_s": run_rate,
+                    "sustained_ops_per_s": round(rows / wall, 1),
+                    "duration_s": round(wall, 1),
+                    "n_batches": len(done),
+                    "batch_latency_p50_ms": _pctl([float(d) for d in durs], 0.5),
+                    "batch_latency_p99_ms": _pctl([float(d) for d in durs], 0.99),
+                    "steal_jf": _host_steal_jiffies() - steal0,
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+        base = _sustained_run(rate, sustain_s)
+        extra_metrics["sustained_ingest"] = dict(base)
+        print(
+            f"sustained ingest: {base['sustained_ops_per_s']:,.0f} ops/s "
+            f"over {base['duration_s']}s (offered {rate}/s, "
+            f"{base['n_batches']} micro-batches, trigger p99 "
+            f"{base['batch_latency_p99_ms']} ms)",
+            file=sys.stderr,
+        )
+        # headroom escalation (VERDICT r08 #6): the fixed-rate entry is
+        # one operating point — 98.3k/s at a 100k offer said nothing
+        # about where saturation actually sits. Step the offered rate
+        # 1.5x per probe (short windows: the rate source reaches steady
+        # state within a few 1 s triggers) until the stream can no
+        # longer keep up — p99 trigger latency above the 1 s trigger,
+        # or sustained throughput falling >15% below the offer — and
+        # report the measured frontier, not just the healthy point.
+        trigger_ms = 1000.0
+        probe_s = max(10.0, sustain_s / 4.0)
+
+        def _healthy(c: dict) -> bool:
+            return (
+                c["batch_latency_p99_ms"] <= trigger_ms
+                and c["sustained_ops_per_s"] >= 0.85 * c["offered_rows_per_s"]
             )
-            steal0 = _host_steal_jiffies()
-            q = start_changelog_ingest(src, tmp, ckpt, trigger_seconds=1)
-            t_start = time.time()
-            time.sleep(sustain_s)
-            # capture the wall BEFORE progress parsing / stream teardown
-            # (ADVICE r07): the counted rows were ingested inside this
-            # window, so the denominator must not include the seconds
-            # recentProgress iteration and q.stop() take afterwards
-            wall = time.time() - t_start
-            progress = []
-            for p in q.recentProgress:
-                if not isinstance(p, dict):
-                    j = getattr(p, "json")
-                    p = json.loads(j() if callable(j) else j)
-                progress.append(p)
-            q.stop()
-            done = [p for p in progress if p.get("numInputRows", 0) > 0]
-            if not done:
-                raise RuntimeError("no completed micro-batches in window")
-            rows = sum(p["numInputRows"] for p in done)
-            durs = sorted(
-                p["durationMs"]["triggerExecution"] for p in done
-            )
-            extra_metrics["sustained_ingest"] = {
-                "offered_rows_per_s": rate,
-                "sustained_ops_per_s": round(rows / wall, 1),
-                "duration_s": round(wall, 1),
-                "n_batches": len(done),
-                "batch_latency_p50_ms": _pctl([float(d) for d in durs], 0.5),
-                "batch_latency_p99_ms": _pctl([float(d) for d in durs], 0.99),
-                "steal_jf": _host_steal_jiffies() - steal0,
-            }
+
+        curve = [base]
+        probe_rate = rate
+        for _ in range(4):
+            if not _healthy(curve[-1]):
+                break
+            probe_rate = int(probe_rate * 1.5)
+            curve.append(_sustained_run(probe_rate, probe_s))
+            c = curve[-1]
             print(
-                f"sustained ingest: {rows} rows in {wall:.1f}s = "
-                f"{rows / wall:,.0f} ops/s (offered {rate}/s, "
-                f"{len(done)} micro-batches, trigger p99 "
-                f"{extra_metrics['sustained_ingest']['batch_latency_p99_ms']} ms)",
+                f"ingest headroom probe: offered {c['offered_rows_per_s']}/s -> "
+                f"sustained {c['sustained_ops_per_s']:,.0f}/s p99 "
+                f"{c['batch_latency_p99_ms']} ms",
                 file=sys.stderr,
             )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(ckpt, ignore_errors=True)
+        # capacity = best sustained rate whose p99 stayed inside the
+        # trigger (the stream kept up with its own cadence); the 0.85
+        # of-offer criterion above only decides whether to KEEP stepping
+        # (an offer the source can't fill is already the saturation
+        # point, no further probes needed)
+        kept_up = [c for c in curve if c["batch_latency_p99_ms"] <= trigger_ms]
+        si = extra_metrics["sustained_ingest"]
+        si["rate_curve"] = curve
+        si["max_sustained_rate"] = (
+            max(c["sustained_ops_per_s"] for c in kept_up) if kept_up else None
+        )
+        # saturation witnessed = the last probe fell over; if all probes
+        # stayed healthy the frontier is a lower bound, say so
+        si["saturation_witnessed"] = not _healthy(curve[-1])
     except Exception as e:  # noqa: BLE001
         print(f"bench error in sustained ingest: {e}", file=sys.stderr)
 
@@ -733,6 +781,24 @@ def main() -> None:
                     F.array(F.lit(0)).alias("tags"),
                 )
             )
+            from write_optimized_vector_database_spark.operators.pq import (
+                release_query_broadcasts,
+            )
+
+            # no-load baseline first (VERDICT r08 #4): the same query
+            # with no stream attached separates the per-job floor from
+            # write contention when adjudicating the under-load tail
+            base_lat: list[float] = []
+            for _ in range(3):
+                tb = time.time()
+                coll.topk_two_phase(qdf, k=10, nprobe=8, rerank_factor=4).count()
+                base_lat.append(time.time() - tb)
+                release_query_broadcasts()
+            min_q = int(
+                os.environ.get(
+                    "SPARK_GRAFT_BENCH_SERVE_MIN_Q", "20" if is_full_sf else "5"
+                )
+            )
             steal0 = _host_steal_jiffies()
             q = (
                 src.writeStream.foreachBatch(
@@ -746,12 +812,12 @@ def main() -> None:
             t0 = time.time()
             lat: list[float] = []
             fresh = 0
+            adc_s = delta_s = ryw_wait = 0.0
             try:
-                from write_optimized_vector_database_spark.operators.pq import (
-                    release_query_broadcasts,
-                )
-
-                while time.time() - t0 < serve_s:
+                # n >= min_q samples (VERDICT r08 #4: a 6-sample p95 is
+                # one bad draw): the window extends past serve_s until
+                # the sample count is statistically usable
+                while time.time() - t0 < serve_s or len(lat) < min_q:
                     t1 = time.time()
                     n = coll.topk_two_phase(
                         qdf, k=10, nprobe=8, rerank_factor=4
@@ -763,10 +829,43 @@ def main() -> None:
                     # materialization so sustained serving stays
                     # memory-flat between driver GCs
                     release_query_broadcasts()
+                # serving wall ends when the latency samples end (ADVICE
+                # r08): the phase probes and RYW polling below happen
+                # under load too but are timed on their own clocks
+                serve_wall = time.time() - t0
+                # per-phase walls under live write load: stable ADC
+                # branch and delta scan branch run standalone once each;
+                # rerank+merge is the full path's residual over them
+                from write_optimized_vector_database_spark.operators.ivfpq import (
+                    ivfpq_adc_topk,
+                )
+                from write_optimized_vector_database_spark.operators.topk import (
+                    exact_topk,
+                )
+
+                idx_df = spark.read.parquet(f"{tmp}/index_stable")
+                cents, codebooks = coll._index_artifacts()
+                tp = time.time()
+                ivfpq_adc_topk(
+                    idx_df, qdf, cents, codebooks, k=40, nprobe=8,
+                    metric="ip", vec_id_col="id",
+                ).count()
+                adc_s = time.time() - tp
+                release_query_broadcasts()
+                tp = time.time()
+                delta_vis = coll.current().filter(
+                    (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
+                )
+                exact_topk(
+                    delta_vis, qdf, k=40, metric="ip",
+                    vec_id_col="id", vec_col="vector",
+                ).count()
+                delta_s = time.time() - tp
                 # RYW freshness: the stream's tenant only exists in rows
                 # newer than the index — surfacing any of them through
                 # the full read path proves the delta branch serves live
-                # writes
+                # writes. Timed separately from the serving window.
+                t_ryw = time.time()
                 for _ in range(5):
                     fresh = coll.topk_two_phase(
                         qdf, k=5, nprobe=8, rerank_factor=4, tenant="stream"
@@ -774,21 +873,30 @@ def main() -> None:
                     if fresh:
                         break
                     time.sleep(2)
-                wall = time.time() - t0
+                ryw_wait = time.time() - t_ryw
             finally:
                 q.stop()
             assert fresh > 0, "RYW violated: no live-ingested row served"
+            # the stream is stopped: this count covers rows ingested over
+            # the serving + phase-probe + RYW windows, no open tail
             n_streamed = (
                 coll.current().filter(F.col("tenant") == "stream").count()
             )
             lat_ms = sorted(x * 1000.0 for x in lat)
+            base_ms = sorted(x * 1000.0 for x in base_lat)
             extra_metrics["concurrent_serving"] = {
                 "offered_rows_per_s": rate,
-                "serve_window_s": round(wall, 1),
+                "serve_window_s": round(serve_wall, 1),
+                "ryw_wait_s": round(ryw_wait, 1),
                 "queries_served": len(lat),
                 "query_p50_ms": round(_pctl(lat_ms, 0.5), 1),
                 "query_p95_ms": round(_pctl(lat_ms, 0.95), 1),
-                "rows_ingested_during_serve": int(n_streamed),
+                "query_max_ms": round(lat_ms[-1], 1),
+                "query_lat_ms_runs": [round(x * 1000.0, 1) for x in lat],
+                "baseline_noload_p50_ms": round(_pctl(base_ms, 0.5), 1),
+                "phase_stable_adc_ms": round(adc_s * 1000.0, 1),
+                "phase_delta_scan_ms": round(delta_s * 1000.0, 1),
+                "rows_ingested_total": int(n_streamed),
                 "ryw_fresh_rows": int(fresh),
                 "ryw_witnessed": True,
                 "steal_jf": _host_steal_jiffies() - steal0,
@@ -799,6 +907,8 @@ def main() -> None:
             print(
                 f"concurrent serving: {len(lat)} queries p50 "
                 f"{extra_metrics['concurrent_serving']['query_p50_ms']} ms "
+                f"(no-load p50 "
+                f"{extra_metrics['concurrent_serving']['baseline_noload_p50_ms']} ms) "
                 f"while ingesting {n_streamed} rows; RYW fresh rows "
                 f"{fresh}",
                 file=sys.stderr,

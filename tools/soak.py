@@ -233,6 +233,108 @@ def run_corpus_scale(spark, rep: int) -> dict[str, float]:
     return {k: round(v, 3) for k, v in t.items()}
 
 
+def _dim768_rows(
+    spark,
+    n: int,
+    adversarial: bool = False,
+    rich_tags: bool = False,
+    dim: int = 768,
+    n_clusters: int = 64,
+    n_sub: int = 4096,
+):
+    """The dim-768 synthetic corpus as a changelog DataFrame (see
+    run_dim768_scale's docstring for the geometry rationale — moved here
+    verbatim so the adversarial and frontier witnesses build the SAME
+    vectors).
+
+    `adversarial=True` swaps the hash-assigned tenant for tenant ≡
+    id % 2 — sub-cluster (and coarse-cluster) PARITY, since both stride
+    keys are even multiples — the filter↔geometry correlated case round
+    8 measured POST collapsing on (SCALE.md). `rich_tags=True` adds a
+    ~5.3% mark (tag 8, id % 19 == 0) so the tag dimension covers a
+    graded selectivity ladder for the PRE-escalation frontier: tag 7 ≈
+    1%, tag 8 ≈ 5.3%, tag 0 ≈ 20%, tenant ≈ 50%."""
+    from pyspark.sql import functions as F
+
+    blat = F.sequence(F.lit(0), F.lit(7))
+    tenant = (
+        F.concat(F.lit("t"), F.pmod(F.col("id"), F.lit(2)).cast("string"))
+        if adversarial
+        else F.concat(
+            F.lit("t"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(2)).cast("string"),
+        )
+    )
+    tags = F.when(
+        F.pmod(F.col("id"), F.lit(97)) == 0, F.array(F.lit(7))
+    ).otherwise(F.array(F.pmod(F.col("id"), F.lit(5)).cast("int")))
+    if rich_tags:
+        tags = F.concat(
+            tags,
+            F.array_remove(
+                F.array(
+                    F.when(F.pmod(F.col("id"), F.lit(19)) == 0, F.lit(8)).otherwise(
+                        F.lit(-1)
+                    )
+                ),
+                -1,
+            ),
+        )
+    return spark.range(n).select(
+        F.lit("INSERT").alias("op"),
+        F.col("id"),
+        tenant.alias("tenant"),
+        F.lit("ns0").alias("namespace"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (
+                    F.pmod(
+                        F.xxhash64(F.pmod(F.col("id"), F.lit(n_clusters)), j),
+                        F.lit(2000),
+                    )
+                    - F.lit(1000)
+                )
+                / F.lit(100.0)
+                # low-rank term: sum_l B(j,l) * z(id%n_sub, l)
+                + F.aggregate(
+                    blat,
+                    F.lit(0.0),
+                    lambda acc, latent: acc
+                    + (
+                        (
+                            F.pmod(F.xxhash64(j, latent, F.lit(101)), F.lit(200))
+                            - F.lit(100)
+                        )
+                        / F.lit(100.0)
+                    )
+                    * (
+                        (
+                            F.pmod(
+                                F.xxhash64(
+                                    F.pmod(F.col("id"), F.lit(n_sub)),
+                                    latent,
+                                    F.lit(103),
+                                ),
+                                F.lit(300),
+                            )
+                            - F.lit(150)
+                        )
+                        / F.lit(100.0)
+                    ),
+                )
+                + (
+                    F.pmod(F.xxhash64(F.col("id"), j, F.lit(7)), F.lit(200))
+                    - F.lit(100)
+                )
+                / F.lit(1000.0)
+            ),
+        ).cast("array<float>").alias("vector"),
+        tags.alias("tags"),
+        F.col("id").alias("epoch"),
+    )
+
+
 def run_dim768_scale(spark, n: int) -> dict[str, float]:
     """Reference-dimensionality witness (VERDICT r06 #4): every other
     recall/bench number rides the 32/64-dim fixtures, but the reference
@@ -276,7 +378,6 @@ def run_dim768_scale(spark, n: int) -> dict[str, float]:
         # overflow a 256-code book. The engine behaves exactly as PQ
         # theory predicts on all four; only the premise-satisfying
         # geometry is a meaningful recall witness.
-        blat = F.sequence(F.lit(0), F.lit(7))
         # filterable attributes (VERDICT r07 #3): tenant splits the corpus
         # in half (permissive → the planner's POST shape) and tag 7 marks
         # ~1% of rows (selective → PRE's allowed-id semi-join); both
@@ -284,73 +385,10 @@ def run_dim768_scale(spark, n: int) -> dict[str, float]:
         # Tenant is HASH-assigned, deliberately independent of the
         # cluster geometry — the operating premise of selectivity-planned
         # POST. The adversarial correlated case (tenant ≡ sub-cluster
-        # parity: id%2 with 4096 | even stride) was measured in round 8:
-        # POST recall collapses to 0.5 (odd queries' allowed neighbors
-        # live outside the unfiltered shortlist) while PRE stays 1.0 —
-        # documented in SCALE.md as the planner's correlation blind spot
-        # and the reason correlated filters should force strategy="pre".
-        rows = spark.range(n).select(
-            F.lit("INSERT").alias("op"),
-            F.col("id"),
-            F.concat(
-                F.lit("t"),
-                F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(2)).cast("string"),
-            ).alias("tenant"),
-            F.lit("ns0").alias("namespace"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: (
-                    (
-                        F.pmod(
-                            F.xxhash64(F.pmod(F.col("id"), F.lit(n_clusters)), j),
-                            F.lit(2000),
-                        )
-                        - F.lit(1000)
-                    )
-                    / F.lit(100.0)
-                    # low-rank term: sum_l B(j,l) * z(id%n_sub, l)
-                    + F.aggregate(
-                        blat,
-                        F.lit(0.0),
-                        lambda acc, latent: acc
-                        + (
-                            (
-                                F.pmod(
-                                    F.xxhash64(j, latent, F.lit(101)), F.lit(200)
-                                )
-                                - F.lit(100)
-                            )
-                            / F.lit(100.0)
-                        )
-                        * (
-                            (
-                                F.pmod(
-                                    F.xxhash64(
-                                        F.pmod(F.col("id"), F.lit(n_sub)),
-                                        latent,
-                                        F.lit(103),
-                                    ),
-                                    F.lit(300),
-                                )
-                                - F.lit(150)
-                            )
-                            / F.lit(100.0)
-                        ),
-                    )
-                    + (
-                        F.pmod(F.xxhash64(F.col("id"), j, F.lit(7)), F.lit(200))
-                        - F.lit(100)
-                    )
-                    / F.lit(1000.0)
-                ),
-            ).cast("array<float>").alias("vector"),
-            F.when(
-                F.pmod(F.col("id"), F.lit(97)) == 0, F.array(F.lit(7))
-            ).otherwise(
-                F.array(F.pmod(F.col("id"), F.lit(5)).cast("int"))
-            ).alias("tags"),
-            F.col("id").alias("epoch"),
-        )
+        # parity) is run_dim768_adversarial's witness: round 8 measured
+        # POST recall collapsing to 0.5 there while PRE stays 1.0; round
+        # 9's correlation-aware planner auto-routes it to PRE.
+        rows = _dim768_rows(spark, n)
         coll = VectorCollection(spark, tmp, metric="ip")
         t0 = time.time()
         coll.ingest(rows)
@@ -413,6 +451,145 @@ def run_dim768_scale(spark, n: int) -> dict[str, float]:
     return {k: round(v, 4) for k, v in t.items()}
 
 
+def run_dim768_adversarial(spark, n: int) -> dict:
+    """The round-8 correlation blind spot, now as a closed-loop witness
+    (VERDICT r08 #1): tenant ≡ id % 2 ≡ sub-cluster parity, so a t0/t1
+    filter concentrates its survivors in half the posting lists. Round 8
+    measured forced-POST recall 0.5 here (odd queries' allowed neighbors
+    never enter the unfiltered shortlist) while forced-PRE stayed 1.0.
+    Round 9's planner detects the divergence from the build-time
+    per-filter-value centroid histograms and must AUTO-route to PRE with
+    no user hint — this function records the planner's choice, the L1
+    divergence vs its noise floor, and recall under auto routing AND
+    both forced branches at the reference serving knobs."""
+    from pyspark.sql import functions as F
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+
+    n_clusters = 64
+    tmp = tempfile.mkdtemp(prefix=f"soakadv_{n}_")
+    out: dict = {"n_vecs": n, "dim": 768, "m": 96, "adversarial": "tenant=id%2"}
+    try:
+        coll = VectorCollection(spark, tmp, metric="ip")
+        coll.ingest(_dim768_rows(spark, n, adversarial=True))
+        coll.compact()
+        sample = min(1.0, 20_000 / n)
+        t0 = time.time()
+        coll.build_indexes(
+            nlist=n_clusters, m=96, nbits=8, spill=3, use_opq=True,
+            sample_fraction=sample,
+        )
+        out["build_s"] = round(time.time() - t0, 2)
+        strategy, sel = coll.plan_filtered_strategy(tenant="t0")
+        div = coll._correlation_divergence(tenant="t0")
+        out["planned_strategy"] = strategy
+        out["selectivity"] = round(sel, 4)
+        out["corr_l1"] = round(div[0], 4) if div else None
+        out["corr_noise_floor"] = round(div[1], 4) if div else None
+        qrows = (
+            coll.current()
+            .orderBy("id")
+            .limit(8)
+            .select(F.col("id").alias("query_id"), F.col("vector").alias("query_vec"))
+            .collect()
+        )
+        qdf = spark.createDataFrame(qrows, "query_id long, query_vec array<double>")
+        exact_rows = coll.topk(qdf, k=10, tenant="t0").collect()
+        exact = spark.createDataFrame(
+            exact_rows, coll.topk(qdf, k=10, tenant="t0").schema
+        )
+        for label, strat in (("auto", "auto"), ("pre", "pre"), ("post", "post")):
+            t0 = time.time()
+            appr = coll.topk_two_phase(
+                qdf, k=10, nprobe=12, rerank_factor=4, tenant="t0",
+                filter_strategy=strat, escalate_nprobe=True,
+            )
+            rows_a = appr.collect()
+            out[f"wall_{label}_s"] = round(time.time() - t0, 2)
+            appr = spark.createDataFrame(rows_a, appr.schema)
+            out[f"recall_{label}"] = round(
+                float(recall_at_k(appr, exact, k=10).agg(F.avg("recall")).first()[0]),
+                4,
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def run_pre_frontier(spark, n: int) -> dict:
+    """Selectivity × nprobe recall frontier for the escalated PRE path
+    (VERDICT r08 #7): round 8 shipped the escalation with POINT evidence
+    (0.9 → 1.0 at one ~1% filter). Sweep the graded-selectivity filter
+    ladder (tag 7 ≈ 1%, tag 8 ≈ 5.3%, tag 0 ≈ 20%, tenant t0 ≈ 50%)
+    against nprobe ∈ {1, 4, 12} with escalation OFF vs ON on the same
+    dim-768/m=96/OPQ corpus at reference knobs, recording recall@10 and
+    the effective (escalated) probe count, so the escalation's operating
+    range is anchored instead of asserted."""
+    from pyspark.sql import functions as F
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.operators.ivf import recall_at_k
+
+    n_clusters = 64
+    tmp = tempfile.mkdtemp(prefix=f"soakfrontier_{n}_")
+    out: dict = {"n_vecs": n, "dim": 768, "m": 96, "rows": []}
+    try:
+        coll = VectorCollection(spark, tmp, metric="ip")
+        coll.ingest(_dim768_rows(spark, n, rich_tags=True))
+        coll.compact()
+        sample = min(1.0, 20_000 / n)
+        coll.build_indexes(
+            nlist=n_clusters, m=96, nbits=8, spill=3, use_opq=True,
+            sample_fraction=sample,
+        )
+        qrows = (
+            coll.current()
+            .orderBy("id")
+            .limit(8)
+            .select(F.col("id").alias("query_id"), F.col("vector").alias("query_vec"))
+            .collect()
+        )
+        qdf = spark.createDataFrame(qrows, "query_id long, query_vec array<double>")
+        filters = [
+            ("tag7_1pct", {"tags_any": [7]}),
+            ("tag8_5pct", {"tags_any": [8]}),
+            ("tag0_20pct", {"tags_any": [0]}),
+            ("tenant_50pct", {"tenant": "t0"}),
+        ]
+        for fname, kw in filters:
+            _, sel = coll.plan_filtered_strategy(**kw)
+            exact_df = coll.topk(qdf, k=10, **kw)
+            exact_rows = exact_df.collect()
+            exact = spark.createDataFrame(exact_rows, exact_df.schema)
+            for nprobe in (1, 4, 12):
+                row = {
+                    "filter": fname,
+                    "selectivity": round(sel, 4),
+                    "nprobe": nprobe,
+                    "effective_nprobe": coll._effective_pre_nprobe(nprobe, sel),
+                }
+                for esc in (False, True):
+                    t0 = time.time()
+                    appr = coll.topk_two_phase(
+                        qdf, k=10, nprobe=nprobe, rerank_factor=4,
+                        filter_strategy="pre", escalate_nprobe=esc, **kw,
+                    )
+                    rows_a = appr.collect()
+                    wall = time.time() - t0
+                    appr = spark.createDataFrame(rows_a, appr.schema)
+                    rec = float(
+                        recall_at_k(appr, exact, k=10).agg(F.avg("recall")).first()[0]
+                    )
+                    key = "esc" if esc else "raw"
+                    row[f"recall_{key}"] = round(rec, 4)
+                    row[f"wall_{key}_s"] = round(wall, 2)
+                out["rows"].append(row)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # per-mode defaults resolved after parsing (ADVICE r03: comparing
@@ -426,15 +603,29 @@ def main() -> None:
     ap.add_argument("--dim768", action="store_true",
                     help="reference-dimensionality witness: lo/hi are row "
                          "counts (default 10000 / 100000), dim=768, m=96, OPQ")
+    ap.add_argument("--adversarial", action="store_true",
+                    help="single-point dim-768 witness at --hi rows with "
+                         "tenant ≡ cluster parity: the planner must "
+                         "auto-route the correlated filter to PRE")
+    ap.add_argument("--frontier", action="store_true",
+                    help="single-point dim-768 PRE-escalation recall "
+                         "frontier at --hi rows: selectivity × nprobe × "
+                         "escalation on/off")
     args = ap.parse_args()
+    dim768_mode = args.dim768 or args.adversarial or args.frontier
     if args.lo is None:
-        args.lo = 10_000 if args.dim768 else (1 if args.corpus else 160)
+        args.lo = 10_000 if dim768_mode else (1 if args.corpus else 160)
     if args.hi is None:
-        args.hi = 100_000 if args.dim768 else (30 if args.corpus else 1600)
+        args.hi = 100_000 if dim768_mode else (30 if args.corpus else 1600)
 
     from write_optimized_vector_database_spark.session import get_spark
 
     spark = get_spark("soak")
+    if args.adversarial or args.frontier:
+        fn = run_dim768_adversarial if args.adversarial else run_pre_frontier
+        print(json.dumps(fn(spark, args.hi)))
+        spark.stop()
+        return
     if args.dim768:
         lo = run_dim768_scale(spark, args.lo)
         hi = run_dim768_scale(spark, args.hi)

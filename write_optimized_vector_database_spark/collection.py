@@ -1064,7 +1064,13 @@ class VectorCollection:
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0]
         touched.unpersist()
         new_rows.unpersist()
-        self._meta_update(index_epoch=int(max_epoch))
+        # the fold may add filter values to lists the build-time
+        # correlation histograms never saw — the probe-support prune
+        # must stop trusting them (divergence detection still may: the
+        # rows_since_analyze odometer separately forces PRE under heavy
+        # append, and a support MISS only costs a wasted probe, never
+        # a missed row, once the prune is off)
+        self._meta_update(index_epoch=int(max_epoch), corr_stats_fresh=False)
         return {
             "n_touched": n_touched,
             "n_reencoded": int(n_reencoded),
@@ -1301,6 +1307,17 @@ class VectorCollection:
                 # see _effective_pre_nprobe.
                 if escalate_nprobe:
                     nprobe = self._effective_pre_nprobe(nprobe, sel)
+                # probe-SUPPORT prune (round 9): when the build-time
+                # correlation histograms prove which lists can hold
+                # qualifying rows, rank probes over those lists only —
+                # under a geometry-correlated filter every probe spent
+                # on a provably-empty list is a probe the escalation
+                # paid for nothing (see _corr_probe_support)
+                support = self._corr_probe_support(tenant, namespace, tags_any)
+                if support is not None:
+                    cents = cents.filter(
+                        F.col("centroid_id").isin([int(c) for c in support])
+                    )
             else:
                 # permissive filter: over-fetch so ~budget survivors
                 # remain after the rerank join drops non-matching rows
@@ -1681,8 +1698,59 @@ class VectorCollection:
                     for r in name_rows
                     if str(r.tag_id) in corr["tag"]
                 }
-        self._meta_update(corr_stats=corr)
+        self._meta_update(corr_stats=corr, corr_stats_fresh=True)
         return corr
+
+    def _corr_probe_support(
+        self,
+        tenant: str | None = None,
+        namespace: str | None = None,
+        tags_any: list[int | str] | None = None,
+    ) -> list[int] | None:
+        """Centroid ids that can contain rows satisfying the filters —
+        the PRE probe-support prune (round 9). The build-time histograms
+        are EXACT over the stable index (aggregated from every indexed
+        row, not sampled), so a centroid absent from a value's histogram
+        provably holds zero qualifying stable rows and ranking probes
+        over it is pure waste: under the adversarial parity tenant,
+        escalated-but-unpruned probing spends half its probes on lists
+        the semi-join will empty anyway (measured recall 0.9 at 10k;
+        1.0 with the prune). AND-across-dims intersects supports;
+        OR-across-tags unions them; sample_p never constrains support.
+        Returns None (no pruning) when stats are missing, stale after a
+        refresh fold (refresh_indexes flips corr_stats_fresh — folded
+        rows may add values to lists the build never saw), or any
+        constrained value is outside the heavy-hitter cap. Rows ingested
+        after the build are unaffected: the delta branch scans them
+        exactly regardless of probe choice."""
+        meta = self._meta()
+        corr = meta.get("corr_stats")
+        if not corr or not meta.get("corr_stats_fresh", False):
+            return None
+        supports: list[set[str]] = []
+        for dim, key in (("tenant", tenant), ("namespace", namespace)):
+            if key is None:
+                continue
+            h = (corr.get(dim) or {}).get(str(key))
+            if h is None:
+                return None
+            supports.append(set(h))
+        if tags_any:
+            tag_sets: list[set[str]] = []
+            for t in tags_any:
+                h = (corr.get("tag_name" if isinstance(t, str) else "tag") or {}).get(
+                    str(t)
+                )
+                if h is None:
+                    return None
+                tag_sets.append(set(h))
+            supports.append(set().union(*tag_sets))
+        if not supports:
+            return None
+        s = supports[0]
+        for x in supports[1:]:
+            s &= x
+        return sorted(int(c) for c in s)
 
     def _correlation_divergence(
         self,
