@@ -251,9 +251,15 @@ def _dim768_rows(
     id % 2 — sub-cluster (and coarse-cluster) PARITY, since both stride
     keys are even multiples — the filter↔geometry correlated case round
     8 measured POST collapsing on (SCALE.md). `rich_tags=True` adds a
-    ~5.3% mark (tag 8, id % 19 == 0) so the tag dimension covers a
-    graded selectivity ladder for the PRE-escalation frontier: tag 7 ≈
-    1%, tag 8 ≈ 5.3%, tag 0 ≈ 20%, tenant ≈ 50%."""
+    ~5.3% mark (tag 8, id % 19 == 0) and an ultra-rare ~0.1% mark
+    (tag 6, id % 997 == 0) so the tag dimension covers a graded
+    selectivity ladder for the PRE-escalation frontier: tag 6 ≈ 0.1%,
+    tag 7 ≈ 1%, tag 8 ≈ 5.3%, tag 0 ≈ 20%, tenant ≈ 50%. The 0.1%
+    rung matters: escalation only changes recall when the filter's
+    per-coarse-cluster survivor count falls below k (sel < k·nlist/n —
+    above that, the query's own cluster already holds the whole true
+    top-k and any probe set that includes it is exact), so at a given
+    n only the rungs below that boundary can witness the cliff."""
     from pyspark.sql import functions as F
 
     blat = F.sequence(F.lit(0), F.lit(7))
@@ -275,7 +281,10 @@ def _dim768_rows(
                 F.array(
                     F.when(F.pmod(F.col("id"), F.lit(19)) == 0, F.lit(8)).otherwise(
                         F.lit(-1)
-                    )
+                    ),
+                    F.when(F.pmod(F.col("id"), F.lit(997)) == 0, F.lit(6)).otherwise(
+                        F.lit(-1)
+                    ),
                 ),
                 -1,
             ),
@@ -552,6 +561,10 @@ def run_pre_frontier(spark, n: int) -> dict:
         )
         qdf = spark.createDataFrame(qrows, "query_id long, query_vec array<double>")
         filters = [
+            # tag6 is the only rung below the per-cluster-survivor
+            # boundary at n=100k (sel < k·nlist/n = 0.64%): the regime
+            # where probe width actually decides recall
+            ("tag6_01pct", {"tags_any": [6]}),
             ("tag7_1pct", {"tags_any": [7]}),
             ("tag8_5pct", {"tags_any": [8]}),
             ("tag0_20pct", {"tags_any": [0]}),

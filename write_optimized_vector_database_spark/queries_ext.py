@@ -2636,6 +2636,194 @@ def vec_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_pre_escalation_frontier",
+    # the selective-filter nprobe-escalation frontier AS A QUERY RESULT
+    # (VERDICT r08 #7): for a 5%-selective filter (vec_id % 20 = 0),
+    # compute filtered recall@10 at raw probe widths {1,2,4} AND at the
+    # escalated widths ceil(nprobe/sel) = nprobe×20 the PRE path would
+    # use (_effective_pre_nprobe, collection.py) — both from ONE
+    # centroid ranking per query (probe set = crank <= width), so the
+    # whole frontier costs one assignment pass + one exact-filtered
+    # baseline + bounded per-level work. The raw rungs measurably miss
+    # (qualifying rows are scattered across lists a narrow probe never
+    # opens); the escalated rungs clamp to nlist and recover — the same
+    # economics the engine applies, here oracle-checked end to end.
+    oracle=f"""
+WITH cents AS (
+  SELECT (vec_id // {_IVF_STRIDE})::INT AS centroid_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid) ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8
+),
+cranks AS (
+  SELECT q.query_id, c.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_distance(q.query_vec::DOUBLE[], c.centroid) ASC,
+                                     c.centroid_id ASC) AS crank
+  FROM q CROSS JOIN cents c
+),
+nl AS (SELECT COUNT(*) AS n FROM cents),
+exactf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.query_vec::DOUBLE[],
+                                                          e.embedding::DOUBLE[]) DESC,
+                                       e.vec_id ASC) AS rank
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id % 20 = 0
+  ) WHERE rank <= 10
+),
+levels AS (
+  SELECT l.nprobe, l.mode, l.width
+  FROM (VALUES (1, 'esc', 20), (1, 'raw', 1), (2, 'esc', 40), (2, 'raw', 2),
+               (4, 'esc', 80), (4, 'raw', 4)) l(nprobe, mode, width)
+),
+approx AS (
+  SELECT l.nprobe, l.mode, s.query_id, s.vec_id FROM levels l, LATERAL (
+    SELECT query_id, vec_id FROM (
+      SELECT q.query_id, a.vec_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY list_inner_product(q.query_vec::DOUBLE[],
+                                                            a.embedding::DOUBLE[]) DESC,
+                                         a.vec_id ASC) AS rank
+      FROM q
+      JOIN cranks cr ON cr.query_id = q.query_id AND cr.crank <= l.width
+      JOIN assigned a ON a.centroid_id = cr.centroid_id AND a.vec_id % 20 = 0
+    ) WHERE rank <= 10
+  ) s
+)
+SELECT CAST(l.nprobe AS INT) AS nprobe,
+       l.mode AS mode,
+       CAST(LEAST(ANY_VALUE(l.width), (SELECT n FROM nl)) AS INT) AS effective_nprobe,
+       COUNT(a.vec_id) AS n_hits,
+       COUNT(*) AS n_possible,
+       (COUNT(a.vec_id) * 100) // COUNT(*) AS recall_x100
+FROM levels l
+JOIN exactf x ON TRUE
+LEFT JOIN approx a
+  ON a.nprobe = l.nprobe AND a.mode = l.mode
+ AND a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY l.nprobe, l.mode ORDER BY nprobe, mode
+""",
+    survey_ref="Q15 selective-filter nprobe escalation (recall frontier as data)",
+    tags=["vector", "ivf", "filters", "analytics", "index"],
+)
+def emb_pre_escalation_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered recall@10 at raw vs escalated probe widths, one plan
+    (VERDICT r08 #7: the escalation shipped with point evidence; this
+    is the frontier as oracle-checked data). Centroid ranks per query
+    are computed ONCE; each (nprobe, mode) level is a filter over them
+    — raw width = nprobe, escalated width = nprobe/sel = nprobe×20 for
+    the 5% filter, clamped to nlist by construction (crank never
+    exceeds it). The exact baseline is the filtered top-10. 100 TB
+    shape: assignment and baseline are one pass each; levels multiply
+    only bounded per-query work; the allowed-row filter pushes into
+    every probed-list scan."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import (
+        dot_product,
+        squared_l2_distance,
+    )
+    from write_optimized_vector_database_spark.operators.ivf import (
+        assign_centroids_exact,
+        centroids_from_stride,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_from_stride(emb, _IVF_STRIDE)
+    nlist = cents.count()  # bounded: n/stride centroids
+    assigned = assign_centroids_exact(emb, cents)
+    allowed_pred = F.col("vec_id") % 20 == 0
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("centroid_id"))
+    cranks = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "centroid_id",
+            squared_l2_distance(
+                F.col("query_vec").cast("array<double>"), F.col("centroid")
+            ).alias("d"),
+        )
+        .withColumn("crank", F.row_number().over(wc))
+        .select("query_id", "centroid_id", "crank")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    exactf = (
+        emb.filter(allowed_pred)
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", dot_product("query_vec", "embedding").alias("score"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    levels = emb.sparkSession.createDataFrame(
+        [(1, "raw", 1), (1, "esc", 20), (2, "raw", 2), (2, "esc", 40),
+         (4, "raw", 4), (4, "esc", 80)],
+        "nprobe int, mode string, width int",
+    )
+    wl = Window.partitionBy("nprobe", "mode", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    approx = (
+        cranks.crossJoin(F.broadcast(levels))
+        .filter(F.col("crank") <= F.col("width"))
+        .join(
+            assigned.filter(allowed_pred).select("centroid_id", "vec_id", "embedding"),
+            "centroid_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "nprobe", "mode", "query_id", "vec_id",
+            dot_product("query_vec", "embedding").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 10)
+        .select("nprobe", "mode", "query_id", "vec_id")
+    )
+    ex = exactf.crossJoin(F.broadcast(levels.select("nprobe", "mode", "width")))
+    ap = approx.select(
+        F.col("nprobe").alias("a_nprobe"),
+        F.col("mode").alias("a_mode"),
+        F.col("query_id").alias("a_qid"),
+        F.col("vec_id").alias("a_vid"),
+    )
+    hits = ex.join(
+        ap,
+        (F.col("nprobe") == F.col("a_nprobe"))
+        & (F.col("mode") == F.col("a_mode"))
+        & (F.col("query_id") == F.col("a_qid"))
+        & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return (
+        hits.groupBy("nprobe", "mode")
+        .agg(
+            F.least(F.first("width"), F.lit(nlist)).cast("int").alias("effective_nprobe"),
+            F.count("a_vid").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_possible"),
+            ((F.count("a_vid") * 100) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("recall_x100"),
+        )
+        .orderBy("nprobe", "mode")
+    )
+
+
+@register(
     "emb_ks_drift_test",
     # two-sample Kolmogorov-Smirnov drift statistic, integer-exact: at
     # every merged observation point, |F1 - F2| = |c1*n2 - c2*n1| /
