@@ -139,3 +139,38 @@ def test_auto_route_restores_recall_e2e(spark, coll, queries):
     exact_odd = {t for t in _key_set(exact) if t[0] % 2 == 1}
     post_odd = {t for t in _key_set(post) if t[0] % 2 == 1}
     assert len(post_odd & exact_odd) < len(exact_odd) / 2
+
+
+def test_refresh_staleness_and_reanalyze(spark, tmp_path):
+    # the probe-support prune must stop trusting the histograms after a
+    # refresh fold (folded rows may add values to lists the build never
+    # saw — a support miss then skips REAL rows), and analyze_correlation
+    # re-arms it against the refreshed index
+    schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    rows = [
+        ("INSERT", i, f"t{(i % 8) % 2}", "ns0", _vec(i), [i % 5], i)
+        for i in range(200)
+    ]
+    c = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    c.ingest(spark.createDataFrame(rows, schema))
+    c.compact()
+    c.build_indexes(nlist=4, m=3, nbits=8)
+    assert c.describe_index()["corr_stats_fresh"] is True
+    assert c._corr_probe_support(tenant="t0") is not None
+
+    more = [
+        ("INSERT", 10_000 + i, "t9", "ns0", _vec(i), [i % 5], 10_000 + i)
+        for i in range(40)
+    ]
+    c.ingest(spark.createDataFrame(more, schema))
+    c.refresh_indexes()
+    assert c.describe_index()["corr_stats_fresh"] is False
+    assert c._corr_probe_support(tenant="t0") is None  # prune disarmed
+
+    corr = c.analyze_correlation()
+    assert c.describe_index()["corr_stats_fresh"] is True
+    assert "t9" in corr["tenant"]  # folded rows are in the recomputed stats
+    assert c._corr_probe_support(tenant="t0") is not None

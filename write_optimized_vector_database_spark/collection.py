@@ -2017,7 +2017,27 @@ class VectorCollection:
                 else meta.get("calibrated_recall")
             ),
             "certified_family": meta.get("calibrated_family"),
+            # correlation-planner state (round 9): which filter dims have
+            # build-time centroid histograms, and whether the probe-
+            # support prune may trust them (refresh folds flip fresh off)
+            "corr_stats_dims": sorted(
+                d for d in (meta.get("corr_stats") or {}) if d != "global"
+            ),
+            "corr_stats_fresh": bool(meta.get("corr_stats_fresh", False)),
         }
+
+    def analyze_correlation(self) -> dict | None:
+        """Recompute the filtered-search planner's per-filter-value
+        centroid histograms against the CURRENT stable index and re-arm
+        the probe-support prune (round 9). refresh_indexes deliberately
+        only marks the histograms stale — re-aggregating them is a join
+        ∝ index size, which would break refresh's O(delta + affected
+        lists) contract — so a deployment that folds deltas continuously
+        calls this on its own cadence (e.g. with compact()), exactly
+        like ANALYZE TABLE. Cost: one id-join of the column-pruned index
+        against the visible view + two bounded groupBys."""
+        cur = self.current().filter(F.col("vector").isNotNull())
+        return self._collect_correlation_stats(cur)
 
     # -- read path ----------------------------------------------------------
 
