@@ -47,6 +47,29 @@ def main() -> None:
         "stats are refreshed. Explicit `filter_strategy=\"post\"` still "
         "forces post. Gate: "
         "`tests/test_filtered_two_phase.py::test_stale_stats_planner_falls_back_to_pre`.",
+        "- **Correlation guard (VERDICT r08 #1):** marginal selectivity "
+        "cannot see a filter that correlates with the index geometry "
+        "(measured: POST recall 0.5 at sel=0.5 when tenant ≡ cluster "
+        "parity). `build_indexes` persists per-filter-value centroid "
+        "histograms (`_collect_correlation_stats`, heavy-hitter bounded); "
+        "before choosing POST the planner compares the constrained "
+        "value's centroid distribution to the global one and forces "
+        "**pre** when the L1 divergence clears max(0.25, 3× the "
+        "same-size sampling-noise floor). The same histograms drive the "
+        "PRE probe-support prune (probe only lists that can hold "
+        "qualifying rows; disarmed by `refresh_indexes` until "
+        "`analyze_correlation()` re-arms it). Gates: "
+        "`tests/test_correlation_planner.py`.",
+        "- **PRE nprobe escalation (r08, hardened r09):** under a "
+        "selective PRE filter, nprobe scales by 1/selectivity (clamped "
+        "to nlist; nearly free — ADC cost stays ∝ allowed rows). When "
+        "the `rows_since_analyze` odometer says the selectivity estimate "
+        "is stale, escalation goes straight to nlist instead of trusting "
+        "it. Explicit nprobe knobs are authoritative: escalation applies "
+        "only when the knob was defaulted or `escalate_nprobe=True`. "
+        "Gates: `tests/test_filtered_two_phase.py::"
+        "test_pre_nprobe_escalation`, `::test_stale_stats_escalation_"
+        "pessimism`; frontier: `emb_pre_escalation_frontier`.",
         "",
     ]
     order = list(reg)
