@@ -141,6 +141,30 @@ def test_auto_route_restores_recall_e2e(spark, coll, queries):
     assert len(post_odd & exact_odd) < len(exact_odd) / 2
 
 
+def test_plain_ivf_collection_gets_guard(spark, tmp_path):
+    # a collection that only ever built the plain-IVF index (Q3 path,
+    # topk_filtered) deserves the same correlation defense; its
+    # histograms are labeled 'ivf' and the STABLE probe-support prune
+    # must refuse them (centroid ids are a per-index space)
+    schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    rows = [
+        ("INSERT", i, f"t{(i % 8) % 2}", "ns0", _vec(i), [i % 5], i)
+        for i in range(400)
+    ]
+    c = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    c.ingest(spark.createDataFrame(rows, schema))
+    c.compact()
+    c.build_ivf_index(nlist=8)
+    corr = c._meta()["corr_stats"]
+    assert corr["index"] == "ivf"
+    strat, sel = c.plan_filtered_strategy(tenant="t0")
+    assert strat == "pre" and 0.4 < sel < 0.6  # guard fires on IVF stats
+    assert c._corr_probe_support(tenant="t0") is None  # wrong space
+
+
 def test_refresh_staleness_and_reanalyze(spark, tmp_path):
     # the probe-support prune must stop trusting the histograms after a
     # refresh fold (folded rows may add values to lists the build never

@@ -198,3 +198,47 @@ def test_kill_mid_refresh_recovers(spark, tmp_path):
     assert got2 == expected
     # and the next refresh is a no-op
     assert c.refresh_indexes()["n_touched"] == 0
+
+
+def test_concurrent_append_mid_refresh_stays_visible(spark, tmp_path):
+    """Round 9: a batch appended WHILE refresh_indexes folds (the
+    serving-while-ingesting shape) must stay visible afterwards. The
+    pre-r09 fold advanced index_epoch to max(changelog.epoch) read
+    AFTER the posting lists were rewritten — a mid-fold append then sat
+    below the new epoch without being folded: invisible to the stable
+    generation (never encoded) AND to the delta scan (epoch filter).
+    The fold now bounds itself to epochs captured before it starts, so
+    mid-fold arrivals remain in the delta for the next refresh."""
+    c = VectorCollection(spark, str(tmp_path / "m"), metric="ip")
+    c.ingest(_batch(spark, range(40)))
+    c.compact()
+    c.build_indexes(nlist=4, m=2, nbits=4)
+    c.ingest(_batch(spark, range(40, 60), epoch0=1000))
+
+    fired = []
+
+    def hook(point):
+        # simulate the concurrent writer at the worst moment: lists
+        # rewritten, epoch not yet advanced
+        if point == "index_rewritten" and not fired:
+            fired.append(point)
+            c.ingest(_batch(spark, [900_001], epoch0=50_000, val=99.0))
+
+    coll_mod.FAULT_INJECT_HOOK = hook
+    stats = c.refresh_indexes()
+    coll_mod.FAULT_INJECT_HOOK = None
+    assert fired and stats["n_touched"] == 20  # the fold saw only its window
+
+    # the mid-fold row is visible in the view AND through the full read
+    # path (delta branch: its epoch is above the advanced index_epoch)
+    assert c.current().filter(F.col("id") == 900_001).count() == 1
+    assert c._index_epoch() < 50_000 + 900_001  # epoch not past the append
+    q = spark.createDataFrame(
+        [(1, [900_001.0, 99.0])], "query_id long, query_vec array<float>"
+    )
+    got = {r.vec_id for r in c.topk_two_phase(q, k=3, nprobe=4).collect()}
+    assert 900_001 in got
+    # and the NEXT refresh folds it
+    stats2 = c.refresh_indexes()
+    assert stats2["n_touched"] == 1
+    assert c.current().filter(F.col("id") == 900_001).count() == 1

@@ -499,6 +499,14 @@ class VectorCollection:
         assigned = assign_centroids(cur, cents, vec_col="vector")
         write_ivf_index(assigned, f"{self.path}/index_ivf")
         cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids")
+        # correlation stats for plan_filtered_strategy's guard (round 9):
+        # a plain-IVF-only collection deserves the same geometry-
+        # correlation defense topk_filtered's POST branch needs. Labeled
+        # 'ivf' — the two-phase probe-support prune only trusts 'stable'
+        # histograms (centroid ids are per-index spaces)
+        self._collect_correlation_stats(
+            cur, index_subdir="index_ivf", label="ivf"
+        )
 
     def build_indexes(
         self,
@@ -972,7 +980,22 @@ class VectorCollection:
                 "longer derivable incrementally; run build_indexes()"
             )
         spark = self.spark
-        tail = self.changelog().filter(F.col("epoch") > idx_epoch)
+        # Fold-window upper bound, captured BEFORE any fold input
+        # materializes (round 9): the fold previously advanced
+        # index_epoch to max(changelog.epoch) read AFTER the posting
+        # lists were rewritten — under live concurrent appends (the
+        # serving-while-ingesting shape, msg-buf.h:220-260) a batch
+        # landing mid-fold would be skipped by the fold yet covered by
+        # the advanced epoch, making its rows invisible to BOTH
+        # generations. Bounding the whole fold to epoch <= fold_hi
+        # leaves mid-fold arrivals in the delta for the next refresh;
+        # epoch monotonicity is already the engine's MVCC contract.
+        fold_hi = self.changelog().agg(F.max("epoch")).collect()[0][0]
+        if fold_hi is None or int(fold_hi) <= idx_epoch:
+            return {"n_touched": 0, "n_reencoded": 0, "n_lists_rewritten": 0}
+        fold_hi = int(fold_hi)
+        in_window = (F.col("epoch") > idx_epoch) & (F.col("epoch") <= fold_hi)
+        tail = self.changelog().filter(in_window)
         touched = tail.select("id").distinct().persist()
         n_touched = touched.count()
         if n_touched == 0:
@@ -981,10 +1004,9 @@ class VectorCollection:
 
         cents = spark.read.parquet(self._stable_centroids_path())
         codebooks = spark.read.parquet(f"{self.path}/index_codebooks")
-        # visible versions of touched ids (deleted ids simply absent)
-        delta_vis = self.current().filter(
-            (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
-        )
+        # visible versions of touched ids (deleted ids simply absent);
+        # versions newer than fold_hi stay in the delta generation
+        delta_vis = self.current().filter(in_window & F.col("vector").isNotNull())
         if self._meta().get("index_residual", False):
             if self._meta().get("index_opq", False):
                 from write_optimized_vector_database_spark.operators.pq import (
@@ -1061,16 +1083,17 @@ class VectorCollection:
         # rows and the two-phase merge dedups by (query, id); a re-run
         # re-folds idempotently (crash-tested at this point)
         _fault("index_rewritten")
-        max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0]
         touched.unpersist()
         new_rows.unpersist()
-        # the fold may add filter values to lists the build-time
-        # correlation histograms never saw — the probe-support prune
-        # must stop trusting them (divergence detection still may: the
+        # index_epoch advances exactly to the fold window's bound — never
+        # past rows the fold didn't see (see fold_hi above). The fold may
+        # add filter values to lists the build-time correlation
+        # histograms never saw — the probe-support prune must stop
+        # trusting them (divergence detection still may: the
         # rows_since_analyze odometer separately forces PRE under heavy
         # append, and a support MISS only costs a wasted probe, never
         # a missed row, once the prune is off)
-        self._meta_update(index_epoch=int(max_epoch), corr_stats_fresh=False)
+        self._meta_update(index_epoch=fold_hi, corr_stats_fresh=False)
         return {
             "n_touched": n_touched,
             "n_reencoded": int(n_reencoded),
@@ -1597,7 +1620,11 @@ class VectorCollection:
     _CORR_TOP_K = 16
 
     def _collect_correlation_stats(
-        self, cur: DataFrame, top_k: int | None = None
+        self,
+        cur: DataFrame,
+        top_k: int | None = None,
+        index_subdir: str = "index_stable",
+        label: str = "stable",
     ) -> dict | None:
         """Per-filter-value CENTROID histograms for the filtered-search
         planner (VERDICT r08 #1). Marginal selectivity alone cannot see
@@ -1633,7 +1660,7 @@ class VectorCollection:
         if not dims and not has_tags:
             return None
         spark = self.spark
-        idx = spark.read.parquet(f"{self.path}/index_stable").select(
+        idx = spark.read.parquet(f"{self.path}/{index_subdir}").select(
             "id", "centroid_id"
         )
         keep = ["id"] + dims + (["tags"] if has_tags else [])
@@ -1679,7 +1706,7 @@ class VectorCollection:
         rows = grouped.join(heavy, ["dim", "key"]).collect()
         grouped.unpersist()
 
-        corr: dict = {"global": {}}
+        corr: dict = {"index": label, "global": {}}
         for r in rows:
             cid = str(r.centroid_id)
             if r.dim == "__global":
@@ -1726,6 +1753,10 @@ class VectorCollection:
         meta = self._meta()
         corr = meta.get("corr_stats")
         if not corr or not meta.get("corr_stats_fresh", False):
+            return None
+        # centroid ids are a PER-INDEX space: histograms collected against
+        # the plain-IVF index say nothing about the stable index's lists
+        if corr.get("index", "stable") != "stable":
             return None
         supports: list[set[str]] = []
         for dim, key in (("tenant", tenant), ("namespace", namespace)):
@@ -2035,9 +2066,16 @@ class VectorCollection:
         lists) contract — so a deployment that folds deltas continuously
         calls this on its own cadence (e.g. with compact()), exactly
         like ANALYZE TABLE. Cost: one id-join of the column-pruned index
-        against the visible view + two bounded groupBys."""
+        against the visible view + two bounded groupBys. Recomputes
+        against whichever index the current histograms describe (stable
+        by default)."""
+        corr = self._meta().get("corr_stats") or {}
+        label = corr.get("index", "stable")
+        subdir = "index_stable" if label == "stable" else "index_ivf"
         cur = self.current().filter(F.col("vector").isNotNull())
-        return self._collect_correlation_stats(cur)
+        return self._collect_correlation_stats(
+            cur, index_subdir=subdir, label=label
+        )
 
     # -- read path ----------------------------------------------------------
 
