@@ -98,6 +98,16 @@ def _jvm_gc_ms(spark) -> int:
         return -1
 
 
+def _errmsg(e: Exception) -> str:
+    """str(e) that survives a dead py4j gateway: Py4JJavaError.__str__
+    round-trips through the gateway and raises if the JVM is gone —
+    which turned one failed bench section into a crashed bench."""
+    try:
+        return str(e)
+    except Exception:  # noqa: BLE001
+        return f"<{type(e).__name__}: unrenderable (gateway down?)>"
+
+
 def main() -> None:
     from write_optimized_vector_database_spark.queries import registry
     from write_optimized_vector_database_spark.session import get_spark
@@ -204,7 +214,7 @@ def main() -> None:
         try:
             _measure_query(name, order)
         except Exception as e:  # noqa: BLE001
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+            print(f"bench error in {name}: {_errmsg(e)}", file=sys.stderr)
             timings[name] = -1.0
 
     # Deferred re-run pass: queries in the >1 s median band whose EVERY
@@ -239,7 +249,7 @@ def main() -> None:
                 _measure_query(name, query_meta[name]["order"])
                 query_meta[name]["rerun_after_steal"] = True
             except Exception as e:  # noqa: BLE001
-                print(f"bench rerun error in {name}: {e}", file=sys.stderr)
+                print(f"bench rerun error in {name}: {_errmsg(e)}", file=sys.stderr)
     for name, m in query_meta.items():
         m["steal_saturated"] = (
             m.get("clean_n") == 0 and timings.get(name, -1) > MEDIAN_MIN_S
@@ -532,7 +542,7 @@ def main() -> None:
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"bench error in ingest: {e}", file=sys.stderr)
+        print(f"bench error in ingest: {_errmsg(e)}", file=sys.stderr)
         timings["ingest_changelog"] = -1.0
 
     # BASELINE.md row "exact top-k, 100-query batch": amortized per-query
@@ -566,7 +576,7 @@ def main() -> None:
             "steal_jf": _host_steal_jiffies() - s0,
         }
     except Exception as e:  # noqa: BLE001
-        print(f"bench error in batch100: {e}", file=sys.stderr)
+        print(f"bench error in batch100: {_errmsg(e)}", file=sys.stderr)
 
     # Sustained streaming ingest (VERDICT r06 #7): the reference target is
     # a SUSTAINED rate — 50k vectors/s under an 8 ms group commit
@@ -711,7 +721,7 @@ def main() -> None:
         # stayed healthy the frontier is a lower bound, say so
         si["saturation_witnessed"] = not _healthy(curve[-1])
     except Exception as e:  # noqa: BLE001
-        print(f"bench error in sustained ingest: {e}", file=sys.stderr)
+        print(f"bench error in sustained ingest: {_errmsg(e)}", file=sys.stderr)
 
     # Concurrent read/write serving witness (VERDICT r07 #6): the
     # reference's serving story is queries against a collection WHILE
@@ -850,6 +860,14 @@ def main() -> None:
                         tm = time.time()
                         coll.refresh_indexes()
                         maint_walls.append(time.time() - tm)
+                        # same debris discipline as the storage section:
+                        # each fold leaves localCheckpoint blocks and
+                        # finished-stage state that only a DRIVER GC lets
+                        # the ContextCleaner reclaim — folding repeatedly
+                        # in-loop without it ran the JVM into GCLocker
+                        # allocation stalls (observed: gateway death
+                        # mid-serving on the first cadence run)
+                        spark.sparkContext._jvm.System.gc()
                         last_maint = time.time()
                 # serving wall ends when the latency samples end (ADVICE
                 # r08): the phase probes and RYW polling below happen
@@ -941,7 +959,7 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
-        print(f"bench error in concurrent serving: {e}", file=sys.stderr)
+        print(f"bench error in concurrent serving: {_errmsg(e)}", file=sys.stderr)
 
     # recall telemetry: measured recall@10 of each ANN path vs the exact
     # scan at SERVING settings (the tunable knob swept like the
@@ -1119,7 +1137,7 @@ def main() -> None:
         recalls["srp_tables"] = n_tables
         extra_metrics["recall_at_10"] = recalls
     except Exception as e:  # noqa: BLE001
-        print(f"bench error in recall: {e}", file=sys.stderr)
+        print(f"bench error in recall: {_errmsg(e)}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if v >= 0]
