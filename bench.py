@@ -717,6 +717,12 @@ def main() -> None:
         si["max_sustained_rate"] = (
             max(c["sustained_ops_per_s"] for c in kept_up) if kept_up else None
         )
+        # a marginal window can fail the trigger criterion at the base
+        # offer (p99 within ~10% of the trigger varies window to window);
+        # the throughput the stream DID move is still a real lower bound
+        si["max_observed_sustained"] = max(
+            c["sustained_ops_per_s"] for c in curve
+        )
         # saturation witnessed = the last probe fell over; if all probes
         # stayed healthy the frontier is a lower bound, say so
         si["saturation_witnessed"] = not _healthy(curve[-1])
@@ -749,7 +755,13 @@ def main() -> None:
         serve_s = float(
             os.environ.get("SPARK_GRAFT_BENCH_SERVE_S", "20" if is_full_sf else "8")
         )
-        rate = int(os.environ.get("SPARK_GRAFT_BENCH_SERVE_RATE", "20000"))
+        # 5k rows/s: live-write pressure without corpus explosion — at
+        # 20k/s (the r08 setting) a 60-360 s window grows the 66k-row
+        # collection 13-130x, so the witness measured corpus growth
+        # (delta scan, then post-fold ADC over a fixed-nlist index), not
+        # serving. Real deployments size nlist to n at rebuild; a
+        # serving window should not 100x its corpus.
+        rate = int(os.environ.get("SPARK_GRAFT_BENCH_SERVE_RATE", "5000"))
         tmp = tempfile.mkdtemp(prefix="bench_serve_")
         ckpt = tempfile.mkdtemp(prefix="bench_serve_ckpt_")
         try:
@@ -831,7 +843,7 @@ def main() -> None:
             maint_every_s = float(
                 os.environ.get(
                     "SPARK_GRAFT_BENCH_SERVE_MAINT_S",
-                    "45" if is_full_sf else "6",
+                    "30" if is_full_sf else "6",
                 )
             )
             t0 = time.time()
