@@ -163,6 +163,18 @@ def test_plain_ivf_collection_gets_guard(spark, tmp_path):
     strat, sel = c.plan_filtered_strategy(tenant="t0")
     assert strat == "pre" and 0.4 < sel < 0.6  # guard fires on IVF stats
     assert c._corr_probe_support(tenant="t0") is None  # wrong space
+    # the IVF-space support IS usable by the plain-IVF read path: the
+    # parity tenant occupies half the lists, probe ranking skips the rest
+    support = c._corr_probe_support(tenant="t0", index_label="ivf")
+    assert support is not None and len(support) < 8  # strictly pruned
+    # e2e through topk_ivf: pruned probing still returns only allowed
+    # rows and matches the exact filtered oracle at a covering nprobe
+    queries = spark.createDataFrame(
+        [(i, _vec(i)) for i in (0, 1)], "query_id long, query_vec array<float>"
+    )
+    exact = c.topk(queries, k=5, tenant="t0")
+    got = c.topk_ivf(queries, k=5, nprobe=8, tenant="t0")
+    assert _key_set(got) == _key_set(exact)
 
 
 def test_refresh_staleness_and_reanalyze(spark, tmp_path):

@@ -1467,6 +1467,17 @@ class VectorCollection:
                 self.current(), tenant, namespace, tags_any, sample_p,
                 tag_dict=self._tag_dict_for(tags_any),
             ).select("id")
+            # probe-support prune (round 9, symmetric with topk_two_phase):
+            # the 'ivf'-labeled build-time histograms are exact over this
+            # index, so rank probes only over lists that can hold
+            # qualifying rows — skipped lists provably contribute nothing
+            support = self._corr_probe_support(
+                tenant, namespace, tags_any, index_label="ivf"
+            )
+            if support is not None:
+                cents = cents.filter(
+                    F.col("centroid_id").isin([int(c) for c in support])
+                )
         return ivf_topk(
             index, queries, cents, k=k, nprobe=nprobe, metric=self.metric,
             vec_id_col="id", vec_col="vector", allowed_ids=allowed,
@@ -1733,6 +1744,7 @@ class VectorCollection:
         tenant: str | None = None,
         namespace: str | None = None,
         tags_any: list[int | str] | None = None,
+        index_label: str = "stable",
     ) -> list[int] | None:
         """Centroid ids that can contain rows satisfying the filters —
         the PRE probe-support prune (round 9). The build-time histograms
@@ -1754,9 +1766,9 @@ class VectorCollection:
         corr = meta.get("corr_stats")
         if not corr or not meta.get("corr_stats_fresh", False):
             return None
-        # centroid ids are a PER-INDEX space: histograms collected against
-        # the plain-IVF index say nothing about the stable index's lists
-        if corr.get("index", "stable") != "stable":
+        # centroid ids are a PER-INDEX space: histograms collected
+        # against one index say nothing about the other's lists
+        if corr.get("index", "stable") != index_label:
             return None
         supports: list[set[str]] = []
         for dim, key in (("tenant", tenant), ("namespace", namespace)):
