@@ -177,11 +177,16 @@ def test_plain_ivf_collection_gets_guard(spark, tmp_path):
     assert _key_set(got) == _key_set(exact)
 
 
-def test_refresh_staleness_and_reanalyze(spark, tmp_path):
-    # the probe-support prune must stop trusting the histograms after a
-    # refresh fold (folded rows may add values to lists the build never
-    # saw — a support miss then skips REAL rows), and analyze_correlation
-    # re-arms it against the refreshed index
+def test_refresh_maintains_histograms_and_reanalyze(spark, tmp_path):
+    # VERDICT r09 #5: refresh folds used to disarm the probe-support
+    # prune (corr_stats_fresh=False), so a deployment folding on a
+    # serving cadence never had it on. The fold now maintains the
+    # histograms ADD-ONLY from its own output — the prune stays ARMED
+    # across folds, and soundness holds: a folded row of an existing
+    # value landing in a list the build never saw for that value must
+    # extend the value's support (a support miss there would skip a
+    # REAL stable row — the delta branch no longer covers it once the
+    # epoch advances past the fold).
     schema = (
         "op string, id long, tenant string, namespace string, "
         "vector array<float>, tags array<int>, epoch long"
@@ -193,20 +198,125 @@ def test_refresh_staleness_and_reanalyze(spark, tmp_path):
     c = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
     c.ingest(spark.createDataFrame(rows, schema))
     c.compact()
-    c.build_indexes(nlist=4, m=3, nbits=8)
+    c.build_indexes(nlist=_NLIST, m=3, nbits=8)
     assert c.describe_index()["corr_stats_fresh"] is True
-    assert c._corr_probe_support(tenant="t0") is not None
+    support_before = c._corr_probe_support(tenant="t0")
+    assert support_before is not None
 
+    # fold t0 rows whose vectors live in ODD clusters — lists the build
+    # saw only t1 in (tenant ≡ parity at build) — plus a brand-new
+    # tenant value outside the build-time histogram
     more = [
-        ("INSERT", 10_000 + i, "t9", "ns0", _vec(i), [i % 5], 10_000 + i)
+        ("INSERT", 10_000 + i, "t0", "ns0", _vec(2 * i + 1), [i % 5],
+         10_000 + i)
         for i in range(40)
+    ] + [
+        ("INSERT", 20_000 + i, "t9", "ns0", _vec(i), [i % 5], 20_000 + i)
+        for i in range(10)
     ]
     c.ingest(spark.createDataFrame(more, schema))
-    c.refresh_indexes()
-    assert c.describe_index()["corr_stats_fresh"] is False
-    assert c._corr_probe_support(tenant="t0") is None  # prune disarmed
+    res = c.refresh_indexes()
+    assert res["n_reencoded"] >= 50
+    # the prune stays armed and t0's support now covers the odd lists
+    assert c.describe_index()["corr_stats_fresh"] is True
+    support_after = c._corr_probe_support(tenant="t0")
+    assert support_after is not None
+    assert set(support_before) < set(support_after)  # strictly extended
+    # the new value is NOT admitted (manifest stays heavy-hitter
+    # bounded); its filter simply gets no pruning — the safe default
+    assert "t9" not in c._meta()["corr_stats"]["tenant"]
+    assert c._corr_probe_support(tenant="t9") is None
 
+    # e2e soundness: the folded odd-cluster t0 rows are STABLE rows now
+    # (epoch advanced past them — no delta branch rescues a prune miss);
+    # the pruned PRE path must still match the exact filtered oracle,
+    # including for queries whose neighbors are exactly those rows
+    queries = spark.createDataFrame(
+        [(int(r.id), list(r.vector)) for r in
+         c.current().filter(F.col("id").isin([10_001, 10_003])).collect()],
+        "query_id long, query_vec array<float>",
+    )
+    exact = c.topk(queries, k=5, tenant="t0")
+    got = c.topk_two_phase(
+        queries, k=5, rerank_factor=90, tenant="t0", filter_strategy="pre",
+        escalate_nprobe=True,
+    )
+    assert _key_set(got) == _key_set(exact)
+
+    # analyze_correlation still re-tightens on its own cadence and
+    # admits the new heavy hitter
     corr = c.analyze_correlation()
     assert c.describe_index()["corr_stats_fresh"] is True
-    assert "t9" in corr["tenant"]  # folded rows are in the recomputed stats
-    assert c._corr_probe_support(tenant="t0") is not None
+    assert "t9" in corr["tenant"]
+    assert c._corr_probe_support(tenant="t9") is not None
+
+
+def test_ingest_disarms_ivf_prune(spark, tmp_path):
+    # ADVICE r09 (medium): topk_ivf has NO delta branch — an upsert that
+    # moves a row's tenant leaves the OLD vector indexed in a list
+    # outside the NEW value's support, and a still-armed prune would
+    # skip a row the unpruned path returns. Any ingest after
+    # build_ivf_index must disarm the 'ivf'-labeled histograms.
+    schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    rows = [
+        ("INSERT", i, f"t{(i % 8) % 2}", "ns0", _vec(i), [i % 5], i)
+        for i in range(400)
+    ]
+    c = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    c.ingest(spark.createDataFrame(rows, schema))
+    c.compact()
+    c.build_ivf_index(nlist=8)
+    assert c._corr_probe_support(tenant="t0", index_label="ivf") is not None
+
+    # upsert: row 1 (odd cluster, indexed under t1's lists) moves to t0
+    vec1 = list(c.current().filter(F.col("id") == 1).first()["vector"])
+    c.ingest(spark.createDataFrame(
+        [("INSERT", 1, "t0", "ns0", vec1, [1], 50_000)], schema))
+    assert c.describe_index()["corr_stats_fresh"] is False
+    assert c._corr_probe_support(tenant="t0", index_label="ivf") is None
+
+    # pruned and unpruned paths now agree BY CONSTRUCTION (no pruning);
+    # the moved row is current-allowed and indexed, so it must appear
+    queries = spark.createDataFrame(
+        [(1, vec1)], "query_id long, query_vec array<float>"
+    )
+    got = c.topk_ivf(queries, k=3, nprobe=8, tenant="t0")
+    assert 1 in {r["vec_id"] for r in got.collect()}
+
+    # analyze_correlation re-arms against the IVF index consistently
+    # with current() values (label preserved, ADVICE r09 low #5)
+    corr = c.analyze_correlation()
+    assert corr["index"] == "ivf"
+    assert c.describe_index()["corr_stats_fresh"] is True
+    sup = c._corr_probe_support(tenant="t0", index_label="ivf")
+    assert sup is not None
+    got2 = c.topk_ivf(queries, k=3, nprobe=8, tenant="t0")
+    assert 1 in {r["vec_id"] for r in got2.collect()}
+
+
+def test_analyze_correlation_resolves_index_without_stats(spark, tmp_path):
+    # ADVICE r09 low #5: on a collection whose corr_stats were never
+    # collected (legacy manifest), analyze_correlation must resolve the
+    # index that actually exists instead of assuming index_stable —
+    # an IVF-only collection used to raise AnalysisException.
+    schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    rows = [
+        ("INSERT", i, f"t{i % 2}", "ns0", _vec(i), [i % 5], i)
+        for i in range(100)
+    ]
+    c = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+    c.ingest(spark.createDataFrame(rows, schema))
+    c.compact()
+    # nothing built yet → nothing to analyze, no raise
+    assert c.analyze_correlation() is None
+    c.build_ivf_index(nlist=4)
+    # simulate a legacy manifest: strip the stats the build collected
+    c._meta_update(corr_stats=None, corr_stats_fresh=False)
+    corr = c.analyze_correlation()
+    assert corr is not None and corr["index"] == "ivf"

@@ -192,6 +192,30 @@ def test_pre_nprobe_escalation(spark, coll, queries):
     assert _key_set(pinned) != _key_set(exact)
 
 
+def test_rerank_escalation_covers_small_filtered_corpus(spark, coll, queries):
+    # VERDICT r09 #2: nprobe escalation widens WHERE we look; when the
+    # filtered corpus itself is small, the shortlist is still only
+    # budget-deep and ADC quantization error decides membership — the
+    # measured 0.9 floor at 10k/sel 0.5. When sel·n fits half the
+    # candidate cap, the PRE branch now raises the budget to cover the
+    # survivors outright, so the exact rerank decides and the result
+    # equals the exact filtered top-k even at rerank_factor=1.
+    exact = coll.topk(queries, k=10, tenant="t0")
+    got = coll.topk_two_phase(
+        queries, k=10, nprobe=8, rerank_factor=1,
+        tenant="t0", filter_strategy="pre",
+    )
+    assert _key_set(got) == _key_set(exact)
+    # opting out restores the raw budget: ADC's top-10 IS the answer,
+    # and its quantization-reordered ranks diverge from the oracle —
+    # the measurable gap the escalation closes above
+    raw = coll.topk_two_phase(
+        queries, k=10, nprobe=8, rerank_factor=1,
+        tenant="t0", filter_strategy="pre", escalate_rerank=False,
+    )
+    assert _key_set(raw) != _key_set(exact)
+
+
 def test_stale_stats_escalation_pessimism(spark, coll, queries):
     # VERDICT r08 #2: the escalation factor 1/sel trusts the manifest
     # selectivity. Plant the failure it must survive — tag 7 looked

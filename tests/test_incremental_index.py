@@ -275,3 +275,85 @@ def test_delete_where_bulk_tombstones(spark, coll):
     assert not (live & t1_ids)
     # delete is idempotent at the semantic level: nothing left to match
     assert coll.delete_where(F.col("tenant") == "t1") == 0
+
+
+def test_growth_odometer_flips_needs_rebuild(spark, coll):
+    """VERDICT r09 #1: folds maintain freshness but never re-size — the
+    rows-per-list odometer must notice sustained growth (rows/nlist
+    exceeding alpha x the built ratio) and flip needs_rebuild(), and
+    auto_resize() must rebuild at the sqrt-scaled nlist and reset it."""
+    d0 = coll.describe_index()
+    assert d0["index_rows_built"] == 200
+    assert d0["index_rows"] == 200
+    assert d0["needs_rebuild"] is False
+    assert d0["rows_per_list"] == 25.0  # 200 rows / nlist=8
+
+    # grow the corpus 5x through fold cycles: each refresh advances the
+    # odometer by the fold's net entry delta
+    for gen in range(4):
+        base = 1_000 * (gen + 1)
+        coll.ingest(
+            spark.createDataFrame(
+                _ops(range(base, base + 200), epoch0=100_000 * (gen + 1)),
+                SCHEMA,
+            )
+        )
+        res = coll.refresh_indexes()
+        assert res["n_reencoded"] == 200
+    d1 = coll.describe_index()
+    assert d1["index_rows"] == 1_000
+    assert d1["index_rows_built"] == 200
+    assert d1["needs_rebuild"] is True  # 5x > alpha=4
+    assert coll.needs_rebuild(alpha=6.0) is False  # ratio-parameterized
+    # sqrt scaling: nlist 8 * sqrt(5) -> 18
+    assert d1["recommended_nlist"] == 18
+    # refresh_indexes surfaced the flag for recommend-only deployments
+    assert res["needs_rebuild"] is True
+
+    # auto_resize rebuilds at the recommended geometry and resets the
+    # odometer; rows-per-list returns to ~the built ratio
+    out = coll.auto_resize()
+    assert out is not None
+    assert out["needs_rebuild"] is False
+    assert out["index_rows_built"] == out["index_rows"] == 1_000
+    assert coll._meta()["index_nlist"] == 18
+    # sqrt scaling splits the 5x growth between per-list size and probe
+    # count: rows-per-list lands at ~sqrt(5) x the built ratio (55.6),
+    # not the 125 a fixed nlist would have reached
+    assert out["rows_per_list"] == round(1_000 / 18, 2)
+    # a second call is a no-op (nothing outgrown)
+    assert coll.auto_resize() is None
+
+    # and the rebuilt index still serves correctly: probe every list of
+    # the NEW geometry with a covering budget → exactly the filtered
+    # oracle (fresh stats so the survivor estimate covers all of t0)
+    coll.analyze()
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0] + [0.5] * 6)], "query_id long, query_vec array<float>"
+    )
+    got = coll.topk_two_phase(queries, k=5, nprobe=18, rerank_factor=90,
+                              tenant="t0")
+    exact = coll.topk(queries, k=5, tenant="t0")
+    assert {(r["query_id"], r["vec_id"]) for r in got.collect()} == {
+        (r["query_id"], r["vec_id"]) for r in exact.collect()
+    }
+
+
+def test_odometer_counts_net_delta_not_gross(spark, coll):
+    """Upserts and deletes must not inflate the odometer: re-encoding an
+    EXISTING id replaces its entry (net 0), a delete removes one."""
+    coll.ingest(
+        spark.createDataFrame(
+            _ops(range(0, 50), op="UPSERT", epoch0=10_000), SCHEMA
+        )
+    )
+    coll.refresh_indexes()
+    assert coll.describe_index()["index_rows"] == 200  # replaced, not added
+    coll.ingest(
+        spark.createDataFrame(
+            _ops(range(0, 30), op="DELETE", epoch0=20_000), SCHEMA
+        )
+    )
+    coll.refresh_indexes()
+    assert coll.describe_index()["index_rows"] == 170
+    assert coll.describe_index()["needs_rebuild"] is False

@@ -194,7 +194,7 @@ class VectorCollection:
         self._with_bloom(out.write).mode("append").parquet(f"{self.path}/changelog")
         written = self._dir_bytes("changelog") - before
         meta = self._meta()
-        self._meta_update(
+        updates = dict(
             bytes_logical=meta.get("bytes_logical", 0) + written,
             bytes_physical=meta.get("bytes_physical", 0) + written,
             # staleness odometer for the filtered-search planner (VERDICT
@@ -202,6 +202,23 @@ class VectorCollection:
             # distrust selectivity estimates without running a job
             rows_since_analyze=meta.get("rows_since_analyze", 0) + n,
         )
+        # ADVICE r09 (medium): topk_ivf serves the indexed snapshot with
+        # NO delta branch, so its probe-support prune is only sound while
+        # the changelog has not advanced past the build — an upsert that
+        # moves a row's tenant/namespace/tags leaves the OLD vector
+        # indexed in a list outside the NEW value's support, and the
+        # pruned path would skip it while the unpruned path returns it.
+        # Disarm 'ivf'-labeled histograms on every ingest (manifest-only,
+        # zero query-time cost); analyze_correlation() re-arms them
+        # consistently with current() filter values. 'stable'-labeled
+        # stats are unaffected: topk_two_phase's delta branch rescans
+        # every post-build version exactly, so its prune stays sound.
+        if (
+            meta.get("corr_stats_fresh", False)
+            and (meta.get("corr_stats") or {}).get("index") == "ivf"
+        ):
+            updates["corr_stats_fresh"] = False
+        self._meta_update(**updates)
         return n
 
     def delete_where(self, predicate) -> int:
@@ -685,6 +702,13 @@ class VectorCollection:
         max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
             self._has_changelog_files()
         ) else self._snapshot_epoch()
+        # rows-per-list odometer baseline (VERDICT r09 #1): count the
+        # just-written index entries (with spill > 1 a row counts once
+        # per posting list — the unit ADC cost actually scales with).
+        # Parquet count() answers from footer row counts, no data read.
+        n_entries = (
+            self.spark.read.parquet(f"{self.path}/index_stable").count()
+        )
         # filter↔geometry correlation stats for the planner (VERDICT r08
         # #1): per-filter-value centroid histograms, collected while the
         # build snapshot is still persisted (one narrow join + two small
@@ -706,6 +730,15 @@ class VectorCollection:
             index_spill=int(spill),
             index_opq=bool(use_opq),
             index_nlist=int(nlist),
+            index_m=int(m),
+            index_nbits=int(nbits),
+            # growth odometer (VERDICT r09 #1): folds maintain freshness
+            # but never re-size — nlist stops tracking n and ADC cost
+            # over the fixed lists grows ∝ n/nlist (round-9 serving run:
+            # 13× growth on nlist=8 → 26.9 s probes). refresh_indexes
+            # advances index_rows; needs_rebuild() compares the ratio.
+            index_rows_built=int(n_entries),
+            index_rows=int(n_entries),
             # a knob-explicit rebuild invalidates a prior auto-build
             # certification: the recall it promised was measured against
             # an index that no longer exists, so serving falls back to
@@ -1028,11 +1061,11 @@ class VectorCollection:
         index = spark.read.parquet(f"{self.path}/index_stable")
         # affected lists: where touched ids sit now, plus where they used
         # to sit. touched is delta-sized → broadcast semi-join; the index
-        # side is an int-only columnar scan.
-        old_lists = (
-            index.join(F.broadcast(touched), "id", "left_semi")
-            .select("centroid_id").distinct()
-        )
+        # side is an int-only columnar scan. The hit set is also the
+        # entry-removal count for the growth odometer — persist so the
+        # scan runs once for both.
+        old_hits = index.join(F.broadcast(touched), "id", "left_semi").persist()
+        old_lists = old_hits.select("centroid_id").distinct()
         new_lists = new_rows.select("centroid_id").distinct()
         affected = sorted(
             r.centroid_id
@@ -1041,7 +1074,16 @@ class VectorCollection:
         if not affected:
             touched.unpersist()
             new_rows.unpersist()
-            return {"n_touched": n_touched, "n_reencoded": 0, "n_lists_rewritten": 0}
+            old_hits.unpersist()
+            return {
+                "n_touched": n_touched,
+                "n_reencoded": 0,
+                "n_lists_rewritten": 0,
+                "needs_rebuild": self.needs_rebuild(),
+            }
+        # entry-removal count for the growth odometer — answered from the
+        # cache the old_lists distinct just populated
+        n_removed = old_hits.count()
 
         keep = index.filter(F.col("centroid_id").isin(affected)).join(
             F.broadcast(touched), "id", "left_anti"
@@ -1083,21 +1125,53 @@ class VectorCollection:
         # rows and the two-phase merge dedups by (query, id); a re-run
         # re-folds idempotently (crash-tested at this point)
         _fault("index_rewritten")
+        # correlation-histogram maintenance (VERDICT r09 #5): the fold
+        # may add filter values to lists the build-time histograms never
+        # saw, so the probe-support prune can't trust them as-is — but
+        # the histogram delta is exactly the fold's own output (new
+        # posting-list assignments × the touched ids' current filter
+        # values, both still in hand), so fold it in ADD-ONLY and keep
+        # the prune ARMED instead of flipping it off: a serving loop
+        # that folds every 30 s otherwise never has the prune on. A
+        # failed/inapplicable update degrades to the old behavior
+        # (disarm; analyze_correlation() re-arms on its own cadence).
+        meta_now = self._meta()
+        corr = meta_now.get("corr_stats")
+        corr_updates: dict = {"corr_stats_fresh": False}
+        if (
+            corr
+            and corr.get("index") == "stable"
+            and meta_now.get("corr_stats_fresh", False)
+        ):
+            folded = self._fold_correlation_stats(corr, new_rows, delta_vis)
+            if folded is not None:
+                corr_updates = {"corr_stats": folded, "corr_stats_fresh": True}
+        elif corr and corr.get("index") == "ivf":
+            # the fold rewrites index_stable only — 'ivf' histograms
+            # describe an untouched index and keep whatever freshness
+            # the ingest-disarm rule (ADVICE r09) left them with
+            corr_updates = {}
         touched.unpersist()
         new_rows.unpersist()
+        old_hits.unpersist()
         # index_epoch advances exactly to the fold window's bound — never
-        # past rows the fold didn't see (see fold_hi above). The fold may
-        # add filter values to lists the build-time correlation
-        # histograms never saw — the probe-support prune must stop
-        # trusting them (divergence detection still may: the
-        # rows_since_analyze odometer separately forces PRE under heavy
-        # append, and a support MISS only costs a wasted probe, never
-        # a missed row, once the prune is off)
-        self._meta_update(index_epoch=fold_hi, corr_stats_fresh=False)
+        # past rows the fold didn't see (see fold_hi above). index_rows
+        # advances by the fold's net entry delta (VERDICT r09 #1): folds
+        # maintain freshness but never re-size, so the odometer is what
+        # lets needs_rebuild() notice nlist no longer tracking n.
+        rows_now = int(
+            meta_now.get("index_rows", meta_now.get("index_rows_built", 0))
+        )
+        self._meta_update(
+            index_epoch=fold_hi,
+            index_rows=max(0, rows_now + int(n_reencoded) - int(n_removed)),
+            **corr_updates,
+        )
         return {
             "n_touched": n_touched,
             "n_reencoded": int(n_reencoded),
             "n_lists_rewritten": len(affected),
+            "needs_rebuild": self.needs_rebuild(),
         }
 
     def calibrate_nprobe(
@@ -1222,6 +1296,7 @@ class VectorCollection:
         sample_p: float | None = None,
         filter_strategy: str = "auto",
         escalate_nprobe: bool | None = None,
+        escalate_rerank: bool = True,
     ) -> DataFrame:
         """The reference's full read path (SURVEY §3.2) over both
         generations:
@@ -1330,6 +1405,49 @@ class VectorCollection:
                 # see _effective_pre_nprobe.
                 if escalate_nprobe:
                     nprobe = self._effective_pre_nprobe(nprobe, sel)
+                elif sel is not None:
+                    # ADVICE r09: an explicitly pinned nprobe silently
+                    # opts out of the r08 selectivity escalation — warn
+                    # once (per call site) when the pin is costing it
+                    would_be = self._effective_pre_nprobe(nprobe, sel)
+                    if would_be > nprobe:
+                        import warnings
+
+                        warnings.warn(
+                            f"pinned nprobe={nprobe} under a selective "
+                            f"filter (sel≈{sel:.4f}) suppresses escalation "
+                            f"to {would_be}; pass escalate_nprobe=True or "
+                            "nprobe=None to restore the recall guard",
+                            stacklevel=2,
+                        )
+                # rerank escalation for SMALL filtered corpora (VERDICT
+                # r09 #2): nprobe escalation widens WHERE we look;
+                # nothing widens how many candidates survive to exact
+                # rerank when the filtered corpus itself is small — at
+                # 10k rows / sel 0.5 the adversarial corpus read recall
+                # 0.9 on BOTH planner branches, the ADC error floor for
+                # 5k-row filtered order statistics. When the estimated
+                # survivor count sel·n fits half the candidate cap
+                # (config.h:129 analog), raise the stable branch budget
+                # to cover the filtered corpus outright: the ADC
+                # shortlist then contains every qualifying stable row
+                # and the exact rerank decides — quantization error
+                # costs nothing. Cheap by construction: the PRE
+                # semi-join already pruned the ADC scan to the
+                # survivors and the rerank join is candidate-bounded.
+                # At 100 TB sel·n dwarfs the cap and this never fires.
+                if escalate_rerank and sel is not None and sel > 0.0:
+                    import math
+
+                    from write_optimized_vector_database_spark.config import (
+                        QueryLimits,
+                    )
+
+                    stats_n = int((self._meta().get("stats") or {}).get("n", 0))
+                    survivors = sel * stats_n
+                    cap = QueryLimits().max_candidates // 2
+                    if stats_n and survivors <= cap:
+                        budget = max(budget, min(cap, math.ceil(survivors)))
                 # probe-SUPPORT prune (round 9): when the build-time
                 # correlation histograms prove which lists can hold
                 # qualifying rows, rank probes over those lists only —
@@ -1739,6 +1857,107 @@ class VectorCollection:
         self._meta_update(corr_stats=corr, corr_stats_fresh=True)
         return corr
 
+    def _fold_correlation_stats(
+        self, corr: dict, new_rows: DataFrame, delta_vis: DataFrame
+    ) -> dict | None:
+        """ADD-ONLY incremental histogram update for a refresh fold
+        (VERDICT r09 #5): previously every fold flipped
+        `corr_stats_fresh` off, so a deployment folding on a serving
+        cadence (30 s in the managed-serving witness) effectively never
+        had the probe-support prune armed. The fold already has the
+        delta's new posting-list assignments (`new_rows`) and the
+        touched ids' CURRENT filter values (`delta_vis`) in hand — the
+        histogram delta is exactly the fold's own output, O(delta).
+
+        Soundness rests on the prune's one-sided invariant: a centroid
+        absent from a value's histogram must provably hold zero
+        qualifying rows, so the histogram only ever needs to be a
+        SUPERSET of reality. Add-only increments preserve that — rows
+        the fold REMOVES from lists (upsert moves, deletes) leave stale
+        entries behind, which can only cost a wasted probe, never a
+        missed row. The divergence guard reads the same counts
+        quantitatively, but its only action is forcing PRE (the branch
+        with no recall cliff), so over-approximation is safe there too;
+        analyze_correlation() re-tightens on its own cadence.
+
+        Keys outside the build-time heavy-hitter cap are NOT added:
+        an unknown value already disables pruning for its filter
+        (`_corr_probe_support` returns None), and admitting arbitrary
+        new keys would unbound the manifest entry. Returns the updated
+        dict, or None when the update can't be done consistently (the
+        caller then leaves the stats disarmed)."""
+        import copy
+
+        dims = [d for d in ("tenant", "namespace") if d in delta_vis.columns]
+        has_tags = "tags" in delta_vis.columns
+        keep = ["id"] + dims + (["tags"] if has_tags else [])
+        joined = new_rows.select("id", "centroid_id").join(
+            delta_vis.select(*keep), "id"
+        )
+        parts = [
+            joined.select(
+                F.lit("__global").alias("dim"), F.lit("_").alias("key"),
+                "centroid_id",
+            )
+        ]
+        for d in dims:
+            known = list((corr.get(d) or {}).keys())
+            if not known:
+                continue
+            parts.append(
+                joined.select(
+                    F.lit(d).alias("dim"),
+                    F.col(d).cast("string").alias("key"),
+                    "centroid_id",
+                ).filter(F.col("key").isin(known))
+            )
+        if has_tags and corr.get("tag"):
+            known = list(corr["tag"].keys())
+            parts.append(
+                joined.select(F.explode("tags").alias("__t"), "centroid_id")
+                .select(
+                    F.lit("tag").alias("dim"),
+                    F.col("__t").cast("string").alias("key"),
+                    "centroid_id",
+                )
+                .filter(F.col("key").isin(known))
+            )
+        stacked = parts[0]
+        for p in parts[1:]:
+            stacked = stacked.unionByName(p)
+        # bounded collect: keys are capped to the manifest's existing
+        # heavy hitters, centroids to nlist — ≤ (1 + Σ|dim keys|) × nlist
+        rows = (
+            stacked.groupBy("dim", "key", "centroid_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        out = copy.deepcopy(corr)
+        updated_tag_ids: set[str] = set()
+        for r in rows:
+            cid = str(r.centroid_id)
+            if r.dim == "__global":
+                out["global"][cid] = out["global"].get(cid, 0) + int(r.c)
+            else:
+                h = out.setdefault(r.dim, {}).setdefault(r.key, {})
+                h[cid] = h.get(cid, 0) + int(r.c)
+                if r.dim == "tag":
+                    updated_tag_ids.add(r.key)
+        if updated_tag_ids and out.get("tag_name"):
+            # keep the string-tag map bit-consistent with the id map:
+            # _corr_probe_support consults whichever matches the arg type
+            td = self.tag_dict()
+            if td is None:
+                return None
+            name_rows = td.filter(
+                F.col("tag_id").isin([int(t) for t in updated_tag_ids])
+            ).collect()
+            for r in name_rows:
+                tid = str(r.tag_id)
+                if tid in out.get("tag", {}) and r.tag in out["tag_name"]:
+                    out["tag_name"][r.tag] = dict(out["tag"][tid])
+        return out
+
     def _corr_probe_support(
         self,
         tenant: str | None = None,
@@ -2067,7 +2286,79 @@ class VectorCollection:
                 d for d in (meta.get("corr_stats") or {}) if d != "global"
             ),
             "corr_stats_fresh": bool(meta.get("corr_stats_fresh", False)),
+            # growth odometer (VERDICT r09 #1): entries at build vs now,
+            # and whether the geometry has outgrown its build ratio
+            "index_rows_built": meta.get("index_rows_built"),
+            "index_rows": meta.get(
+                "index_rows", meta.get("index_rows_built")
+            ),
+            "rows_per_list": (
+                round(
+                    int(meta.get("index_rows", meta.get("index_rows_built")))
+                    / int(meta["index_nlist"]),
+                    2,
+                )
+                if meta.get("index_nlist") and meta.get("index_rows_built")
+                else None
+            ),
+            "needs_rebuild": self.needs_rebuild(),
+            "recommended_nlist": self.recommended_nlist(),
         }
+
+    def needs_rebuild(self, alpha: float = 4.0) -> bool:
+        """True when the stable index has outgrown its build geometry
+        (VERDICT r09 #1): refresh folds keep the index FRESH but never
+        re-SIZE it — nlist stays fixed while n grows, and ADC cost over
+        the probed lists grows ∝ n/nlist (round-9 managed-serving run:
+        13× corpus growth on nlist=8 → 26.9 s probes). The reference
+        handles this with a scheduled 24 h centroid retrain
+        (config.h:79-81); a batch engine should instead WATCH the ratio:
+        rebuild when rows-per-list exceeds `alpha`× what the index was
+        built at. Pure manifest read — zero Spark jobs, safe per fold."""
+        meta = self._meta()
+        built = int(meta.get("index_rows_built", 0))
+        if not built:
+            return False  # pre-odometer index (or never built)
+        rows = int(meta.get("index_rows", built))
+        return rows > alpha * built
+
+    def recommended_nlist(self) -> int | None:
+        """Re-size target for the next build: scale nlist with √n from
+        the built point (the classic IVF balance — per-list scan cost
+        and probe count grow together), rounded up. None when the
+        odometer has no baseline."""
+        import math
+
+        meta = self._meta()
+        built = int(meta.get("index_rows_built", 0))
+        nlist = int(meta.get("index_nlist", 0))
+        if not built or not nlist:
+            return None
+        rows = int(meta.get("index_rows", built))
+        return max(nlist, math.ceil(nlist * math.sqrt(rows / built)))
+
+    def auto_resize(self, alpha: float = 4.0, **build_kwargs) -> dict | None:
+        """Rebuild the stable index at `recommended_nlist()` when
+        `needs_rebuild(alpha)` — the maintenance-loop hook (call it on
+        the same cadence as compact(); refresh_indexes() also surfaces
+        the flag in its return dict for recommend-only deployments).
+        Reuses the built knobs from the manifest (m/nbits/residual/
+        spill/opq) unless overridden; returns describe_index() after a
+        rebuild, None when no rebuild was needed."""
+        if not self.needs_rebuild(alpha):
+            return None
+        meta = self._meta()
+        kwargs = dict(
+            nlist=self.recommended_nlist() or int(meta.get("index_nlist", 64)),
+            m=int(meta.get("index_m", 8)),
+            nbits=int(meta.get("index_nbits", 8)),
+            residual=bool(meta.get("index_residual", True)),
+            spill=int(meta.get("index_spill", 1)),
+            use_opq=bool(meta.get("index_opq", False)),
+        )
+        kwargs.update(build_kwargs)
+        self.build_indexes(**kwargs)
+        return self.describe_index()
 
     def analyze_correlation(self) -> dict | None:
         """Recompute the filtered-search planner's per-filter-value
@@ -2082,8 +2373,21 @@ class VectorCollection:
         against whichever index the current histograms describe (stable
         by default)."""
         corr = self._meta().get("corr_stats") or {}
-        label = corr.get("index", "stable")
+        label = corr.get("index")
+        if label is None:
+            # no histograms yet (never collected, or a legacy manifest):
+            # resolve from whichever index actually exists on disk
+            # instead of assuming 'stable' — an IVF-only collection has
+            # no index_stable and the blind read would raise (ADVICE r09)
+            if self.fs.exists(f"{self.path}/index_stable"):
+                label = "stable"
+            elif self.fs.exists(f"{self.path}/index_ivf"):
+                label = "ivf"
+            else:
+                return None  # nothing built — nothing to analyze
         subdir = "index_stable" if label == "stable" else "index_ivf"
+        if not self.fs.exists(f"{self.path}/{subdir}"):
+            return None
         cur = self.current().filter(F.col("vector").isNotNull())
         return self._collect_correlation_stats(
             cur, index_subdir=subdir, label=label
