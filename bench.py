@@ -360,15 +360,24 @@ def main() -> None:
         COOLDOWN_MAX_S = float(os.environ.get("SPARK_GRAFT_STEAL_COOLDOWN_S", "240"))
         MAX_TOTAL_REPEATS = MAX_STORAGE_REPEATS + 2
 
+        def _clean_count(name: str) -> int:
+            return sum(
+                1
+                for r in storage_meta.get(name, [])
+                if _steal_clean(r["run"], r["steal_jf"], STEAL_SAT_JF)
+            )
+
         def _steal_saturated_entries() -> list[str]:
-            return [
-                n
-                for n, reps in storage_meta.items()
-                if not any(
-                    _steal_clean(r["run"], r["steal_jf"], STEAL_SAT_JF)
-                    for r in reps
-                )
-            ]
+            return [n for n in storage_meta if _clean_count(n) == 0]
+
+        def _low_clean_entries() -> list[str]:
+            # ship-gate (VERDICT r09 #3): a clean median needs n >= 2 —
+            # the r09 artifact shipped build_indexes_ivfpq from a SINGLE
+            # clean repeat beside two stolen ones, i.e. a point sample
+            # with median provenance. Any entry finishing the normal
+            # repeats with fewer than 2 clean samples triggers the same
+            # cool-down + extra-lifecycle pass saturation already gets.
+            return [n for n in storage_meta if _clean_count(n) < 2]
 
         def _wait_for_low_steal(max_wait_s: float) -> bool:
             """Block until a 5 s probe window shows a near-idle steal
@@ -397,7 +406,7 @@ def main() -> None:
             )
             or (
                 _rep < MAX_TOTAL_REPEATS
-                and _steal_saturated_entries()
+                and _low_clean_entries()
                 and _wait_for_low_steal(COOLDOWN_MAX_S)
             )
         ):
@@ -905,8 +914,14 @@ def main() -> None:
                 adc_s = time.time() - tp
                 release_query_broadcasts()
                 tp = time.time()
+                # re-read the index epoch HERE (ADVICE r09): the in-loop
+                # maintenance cadence advanced it via refresh_indexes, so
+                # probing with the pre-loop epoch would re-scan already-
+                # folded rows and overstate the managed steady state's
+                # delta-scan wall — the exact thing this probe attributes
                 delta_vis = coll.current().filter(
-                    (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
+                    (F.col("epoch") > coll._index_epoch())
+                    & F.col("vector").isNotNull()
                 )
                 exact_topk(
                     delta_vis, qdf, k=40, metric="ip",
@@ -954,6 +969,13 @@ def main() -> None:
                 "ryw_fresh_rows": int(fresh),
                 "ryw_witnessed": True,
                 "steal_jf": _host_steal_jiffies() - steal0,
+                # growth odometer at window end (VERDICT r09 #1): folds
+                # keep the index fresh but never re-size — these fields
+                # are what a deployment's maintenance loop would watch
+                "index_rows_built": coll.describe_index()["index_rows_built"],
+                "index_rows_now": coll.describe_index()["index_rows"],
+                "needs_rebuild": coll.needs_rebuild(),
+                "recommended_nlist": coll.recommended_nlist(),
             }
             timings["concurrent_serving_query"] = round(
                 _pctl(lat, 0.5), 3

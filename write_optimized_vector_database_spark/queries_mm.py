@@ -1,8 +1,9 @@
 """Multimodal query registrations `[EXT]` — binary-column pipelines.
 
-The JVM-side blob metadata scan is oracle-checked; the Arrow-batched
-decode/feature/frame pipelines are deterministic but Python-side
-(registered rows-only, gated by tests/test_multimodal.py).
+Every query here carries a full DuckDB oracle (since r05-r07 the
+decode/feature/frame pipelines pin their Arrow-batched outputs against
+value-level SQL oracles, not rows-only checks); the pure-Python codec
+internals are additionally gated by tests/test_multimodal.py.
 """
 
 from __future__ import annotations
