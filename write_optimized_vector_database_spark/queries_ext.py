@@ -2824,6 +2824,161 @@ def emb_pre_escalation_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_rerank_escalation_frontier",
+    # the small-filtered-corpus rerank-budget frontier AS A QUERY RESULT
+    # (VERDICT r09 #2): a budget-limited shortlist ranked by a LOSSY
+    # score (here floor(score·16) — a deterministic stand-in for PQ-ADC
+    # quantization, exactly reproducible in SQL; ·16 is a power-of-two
+    # scale so the double multiply is exact in both engines) loses
+    # true-top-10 members whenever the budget is far below the filtered
+    # corpus: quantization collapses scores into bins and the bin-tie
+    # ordering decides membership. The escalated rung raises the budget
+    # to min(max_candidates/2, |survivors|) — covering the filtered
+    # corpus — and the EXACT rerank decides, recall 100 by
+    # construction. This is the engine's topk_two_phase escalation
+    # (collection.py, escalate_rerank) pinned as oracle-checked data.
+    oracle="""
+WITH allowedv AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+),
+nallowed AS (SELECT COUNT(*) AS n FROM allowedv),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         list_inner_product(q.query_vec::DOUBLE[], a.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN allowedv a
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(score * 16) DESC, vec_id ASC) AS crank
+  FROM scored
+),
+levels AS (
+  SELECT l.rf, l.mode,
+         CASE WHEN l.mode = 'esc'
+              THEN LEAST(5000, (SELECT n FROM nallowed))
+              ELSE l.rf * 10 END AS budget
+  FROM (VALUES (1, 'raw'), (1, 'esc'), (2, 'raw'), (2, 'esc'),
+               (4, 'raw'), (4, 'esc')) l(rf, mode)
+),
+reranked AS (
+  SELECT l.rf, l.mode, s.query_id, s.vec_id FROM levels l, LATERAL (
+    SELECT query_id, vec_id FROM (
+      SELECT r.query_id, r.vec_id,
+             row_number() OVER (PARTITION BY r.query_id
+                                ORDER BY r.score DESC, r.vec_id ASC) AS rank
+      FROM ranked r WHERE r.crank <= l.budget
+    ) WHERE rank <= 10
+  ) s
+),
+exactf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)
+SELECT CAST(l.rf AS INT) AS rf, l.mode AS mode,
+       CAST(ANY_VALUE(l.budget) AS INT) AS budget,
+       COUNT(rr.vec_id) AS n_hits,
+       COUNT(*) AS n_possible,
+       (COUNT(rr.vec_id) * 100) // COUNT(*) AS recall_x100
+FROM levels l
+JOIN exactf x ON TRUE
+LEFT JOIN reranked rr
+  ON rr.rf = l.rf AND rr.mode = l.mode
+ AND rr.query_id = x.query_id AND rr.vec_id = x.vec_id
+GROUP BY l.rf, l.mode ORDER BY rf, mode
+""",
+    survey_ref="Q5/Q15 small-filtered-corpus rerank escalation (frontier as data)",
+    tags=["vector", "filters", "analytics", "index"],
+)
+def emb_rerank_escalation_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered recall@10 of a quantized shortlist at raw rerank budgets
+    k×rf vs the escalated covering budget (VERDICT r09 #2 as data).
+    One scored pass per query over the 25%-selective filter; every
+    (rf, mode) level is a rank cutoff over the SAME shortlist ranking,
+    then an exact rerank of its candidates — the engine's two-phase
+    economics with the quantizer replaced by a deterministic
+    floor(score·16) both engines reproduce bit-exactly. 100 TB shape:
+    scoring is one pushed-down scan; levels multiply only bounded
+    per-query work (budget ≤ max_candidates/2); the escalation rung
+    only fires when |survivors| fits that cap, i.e. exactly when
+    covering is cheap."""
+    from pyspark.sql import Window
+
+    from write_optimized_vector_database_spark.functions.distance import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("vec_id") % 4 == 0)
+    n_allowed = allowed.count()  # bounded scalar: the survivor count
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scored = allowed.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", dot_product("query_vec", "embedding").alias("score")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.floor(F.col("score") * 16)), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("crank", F.row_number().over(wq))
+    esc_budget = min(5000, n_allowed)
+    levels = spark.createDataFrame(
+        [(rf, "raw", rf * 10) for rf in (1, 2, 4)]
+        + [(rf, "esc", esc_budget) for rf in (1, 2, 4)],
+        "rf int, mode string, budget int",
+    )
+    wr = Window.partitionBy("rf", "mode", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    reranked = (
+        ranked.crossJoin(F.broadcast(levels))
+        .filter(F.col("crank") <= F.col("budget"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("rf", "mode", "query_id", "vec_id")
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    exactf = (
+        scored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    ex = exactf.crossJoin(F.broadcast(levels))
+    rr = reranked.select(
+        F.col("rf").alias("a_rf"),
+        F.col("mode").alias("a_mode"),
+        F.col("query_id").alias("a_qid"),
+        F.col("vec_id").alias("a_vid"),
+    )
+    hits = ex.join(
+        rr,
+        (F.col("rf") == F.col("a_rf"))
+        & (F.col("mode") == F.col("a_mode"))
+        & (F.col("query_id") == F.col("a_qid"))
+        & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return (
+        hits.groupBy("rf", "mode")
+        .agg(
+            F.first("budget").cast("int").alias("budget"),
+            F.count("a_vid").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_possible"),
+            ((F.count("a_vid") * 100) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("recall_x100"),
+        )
+        .orderBy("rf", "mode")
+    )
+
+
+@register(
     "emb_ks_drift_test",
     # two-sample Kolmogorov-Smirnov drift statistic, integer-exact: at
     # every merged observation point, |F1 - F2| = |c1*n2 - c2*n1| /
