@@ -2034,7 +2034,23 @@ class VectorCollection:
         uniform p), so small fixtures and thin values don't read
         sampling jitter as correlation while a genuinely concentrated
         filter (e.g. half the centroids empty ⇒ L1 ≈ 1) clears it at
-        any realistic size."""
+        any realistic size.
+
+        Staleness / cross-index contract (ADVICE r09): this guard
+        deliberately ignores `corr_stats_fresh` and the histograms'
+        index label because its verdict is only ever used to FORCE PRE
+        (the branch with no recall cliff) — never to stay on POST.
+        Correlation is a property of the DATA (filter value ↔ vector
+        geometry), so divergence measured against any k-means geometry
+        over the same corpus, even a superseded one, is still evidence
+        of correlation and forcing PRE on it is sound. The converse —
+        "stale stats show no divergence" — carries no weight: it leaves
+        the selectivity-based default exactly as if no stats existed,
+        and r10's fold-time ADD-ONLY maintenance
+        (_fold_correlation_stats) keeps stable-labeled histograms
+        current across refresh folds, so the undetected-fold-
+        correlation window the old disarm-only behavior left is now
+        closed for every heavy-hitter value."""
         import math
 
         corr = self._meta().get("corr_stats")
