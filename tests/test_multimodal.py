@@ -628,3 +628,118 @@ def test_png_capability_is_per_variant():
     assert MM.decode_capability(deep) == "header"
     inter = png[:28] + bytes([1]) + png[29:]  # IHDR interlace → Adam7
     assert MM.decode_capability(inter) == "header"
+
+
+class TestJpegLosslessHierarchical:
+    """Lossless JPEG (SOF3, T.81 Annex H) and hierarchical JPEG
+    (DHP/EXP + differential lossless SOF7 correction, Annex J) — round
+    10, the 'last exotic variants' item. Unlike the DCT family these
+    round-trip bit-exactly on ARBITRARY images, so the gates use
+    deterministic pseudo-random content, not oracle-shaped blocks."""
+
+    def _rand(self, h, w, hi=256, seed=7, ch=1):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        a = rng.randint(0, hi, (h, w) if ch == 1 else (h, w, ch))
+        return a.tolist()
+
+    def test_lossless_every_predictor_exact(self):
+        import numpy as np
+
+        img = self._rand(13, 17)
+        for sel in range(1, 8):
+            blob = MM.encode_jpeg_lossless(img, predictor=sel)
+            w, h, nch, px = MM.decode_jpeg_lossless(blob)
+            assert (w, h, nch) == (17, 13, 1)
+            got = np.frombuffer(px, np.uint8).reshape(h, w)
+            assert got.tolist() == img, f"predictor {sel}"
+
+    def test_lossless_rgb_no_color_transform(self):
+        import numpy as np
+
+        img = self._rand(9, 11, ch=3)
+        blob = MM.encode_jpeg_lossless(img, predictor=4)
+        w, h, nch, px = MM.decode_jpeg_lossless(blob)
+        assert nch == 3
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        assert got.tolist() == img  # exact — lossless never converts color
+
+    def test_lossless_16bit_and_point_transform(self):
+        import numpy as np
+
+        img16 = self._rand(8, 8, hi=65536, seed=3)
+        blob = MM.encode_jpeg_lossless(img16, predictor=7, precision=16)
+        w, h, _n, px = MM.decode_jpeg_lossless(blob)
+        assert np.frombuffer(px, "<u2").reshape(h, w).tolist() == img16
+        # Pt=2: samples coded >>2, decoder re-shifts — exact when the
+        # low bits are zero (the Annex-H near-lossless contract)
+        imgpt = (np.array(self._rand(6, 6, hi=64, seed=5)) * 4).tolist()
+        blob = MM.encode_jpeg_lossless(imgpt, point_transform=2)
+        w, h, _n, px = MM.decode_jpeg_lossless(blob)
+        assert np.frombuffer(px, np.uint8).reshape(h, w).tolist() == imgpt
+
+    def test_lossless_dispatch_and_capability(self):
+        img = self._rand(5, 7)
+        blob = MM.encode_jpeg_lossless(img)
+        sof, has_sos, prec = MM._jpeg_scan_markers(blob)
+        assert (sof, has_sos, prec) == (0xC3, True, 8)
+        assert MM.decode_capability(blob) == "pixels"
+        assert MM.decode_image(blob) == (7, 5, 1)
+        assert MM.decode_image_meta(blob) == ("image/jpeg", 7, 5, 1, "pixels")
+        # the sequential decoder still refuses SOF3 (dispatch owns it)
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="SOF3|non-baseline"):
+            MM.decode_jpeg(blob)
+
+    def test_hierarchical_exact_on_arbitrary_image(self):
+        import numpy as np
+
+        img = self._rand(21, 19, seed=11)
+        blob = MM.encode_jpeg_hierarchical(img)
+        w, h, nch, px = MM.decode_jpeg_hierarchical(blob)
+        assert (w, h, nch) == (19, 21, 1)
+        got = np.frombuffer(px, np.uint8).reshape(h, w)
+        # the DCT coarse stage is lossy; the SOF7 differential-lossless
+        # correction makes the PYRAMID exact — the Annex-J promise
+        assert got.tolist() == img
+
+    def test_hierarchical_header_capability_dispatch(self):
+        img = self._rand(12, 10, seed=2)
+        blob = MM.encode_jpeg_hierarchical(img)
+        # DHP carries the FULL resolution; the header walk must report
+        # it, not the coarse frame's half resolution
+        assert MM.parse_media_header(blob) == ("image/jpeg", 10, 12, 1)
+        sof, has_sos, _prec = MM._jpeg_scan_markers(blob)
+        assert (sof, has_sos) == (0xDE, True)
+        assert MM._jpeg_hier_decodable(blob)
+        assert MM.decode_capability(blob) == "pixels"
+        assert MM.decode_image(blob) == (10, 12, 1)
+        assert MM.decode_image_meta(blob)[4] == "pixels"
+
+    def test_hierarchical_unsupported_stage_degrades(self):
+        img = self._rand(12, 10, seed=2)
+        blob = MM.encode_jpeg_hierarchical(img)
+        # rewrite the correction frame SOF7 -> SOF5 (differential DCT,
+        # not implemented): capability must fall to 'header', the
+        # walker must refuse, decode_image_meta must not raise
+        mut = blob.replace(b"\xff\xc7", b"\xff\xc5", 1)
+        assert not MM._jpeg_hier_decodable(mut)
+        assert MM.decode_capability(mut) == "header"
+        assert MM.decode_image_meta(mut)[4] == "header"
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="0xc5"):
+            MM.decode_jpeg_hierarchical(mut)
+
+    def test_lossless_dri_refused_not_misdecoded(self):
+        img = self._rand(5, 7)
+        blob = MM.encode_jpeg_lossless(img)
+        # inject a DRI segment before SOS: the decoder has no restart
+        # support in the lossless path, so capability must refuse
+        i = blob.index(b"\xff\xda")
+        mut = blob[:i] + b"\xff\xdd\x00\x04\x00\x08" + blob[i:]
+        assert MM._jpeg_has_dri(mut)
+        assert MM.decode_capability(mut) == "header"
+        assert MM.decode_image_meta(mut)[4] == "header"

@@ -857,3 +857,90 @@ def mm_gif_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id", "py", "px")
+
+
+@register(
+    "mm_lossless_hier_roundtrip",
+    # Lossless (SOF3) and hierarchical (DHP/EXP + SOF7) JPEG through the
+    # REAL decode path (round 10 — the 'last exotic variants'): each doc
+    # synthesizes a deterministic ARBITRARY-content grayscale image
+    # (pixel(x,y) = (doc_id*31 + 7x + 13y) mod 256 — x/y/doc-dependent,
+    # so any predictor, modulo-2^16, upsampling-filter, or correction-
+    # frame bug shifts some pixel), encodes it losslessly (even docs:
+    # SOF3 with predictor 1 + doc_id%7; odd docs: hierarchical pyramid
+    # whose differential-lossless stage absorbs the DCT loss), decodes
+    # it back, and reports the decoded pixel SUM. The oracle is the
+    # closed form over the SAME formula — the roundtrip is bit-exact or
+    # the hash breaks. `via` pins that the capability probe routed to a
+    # full pixel decode, not the header walk.
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'lossless' ELSE 'hierarchical' END AS family,
+         (8 + doc_id % 5)::INT AS width,
+         (6 + doc_id % 7)::INT AS height
+  FROM documents
+)
+SELECT d.doc_id, d.family, d.width, d.height,
+       'pixels' AS via,
+       SUM((d.doc_id * 31 + 7 * g.x + 13 * g.y) % 256)::BIGINT AS pixel_sum
+FROM dims d
+JOIN (SELECT xs.x, ys.y FROM range(12) xs(x), range(12) ys(y)) g
+  ON g.x < d.width AND g.y < d.height
+GROUP BY d.doc_id, d.family, d.width, d.height
+ORDER BY d.doc_id
+""",
+    survey_ref="[EXT] multimodal lossless + hierarchical JPEG (Annex H/J, round 10)",
+    tags=["multimodal", "decode"],
+)
+def mm_lossless_hier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact lossless/hierarchical JPEG roundtrip as a query: encode
+    → capability-probe → decode → pixel sum, one Arrow-batched
+    mapInPandas pass. 100 TB shape: identical to every other mm_ scan —
+    the blob work is executor-side and column-pruned; the driver sees
+    only (doc_id, dims, sum) rows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 5, 6 + i % 7
+                img = [
+                    [(i * 31 + 7 * x + 13 * y) % 256 for x in range(w)]
+                    for y in range(h)
+                ]
+                if i % 2 == 0:
+                    family = "lossless"
+                    blob = MM.encode_jpeg_lossless(img, predictor=1 + i % 7)
+                else:
+                    family = "hierarchical"
+                    blob = MM.encode_jpeg_hierarchical(img)
+                via = MM.decode_capability(blob)
+                dw, dh, _nch, raw = (
+                    MM.decode_jpeg_lossless(blob)
+                    if i % 2 == 0
+                    else MM.decode_jpeg_hierarchical(blob)
+                )
+                rows.append((i, family, dw, dh, via, sum(raw)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "family", "width", "height", "via",
+                         "pixel_sum"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("family", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("via", T.StringType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
