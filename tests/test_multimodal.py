@@ -718,19 +718,36 @@ class TestJpegLosslessHierarchical:
         assert MM.decode_image(blob) == (10, 12, 1)
         assert MM.decode_image_meta(blob)[4] == "pixels"
 
+    def test_hierarchical_three_stage_sof5_exact(self):
+        import numpy as np
+
+        img = self._rand(21, 19, seed=13)
+        blob = MM.encode_jpeg_hierarchical(img, stages=3)
+        assert blob.count(b"\xff\xc5") >= 1  # the differential DCT stage
+        w, h, nch, px = MM.decode_jpeg_hierarchical(blob)
+        got = np.frombuffer(px, np.uint8).reshape(h, w)
+        assert got.tolist() == img  # SOF0 -> EXP -> SOF5 -> EXP -> SOF7
+        assert MM.decode_capability(blob) == "pixels"
+        # a lossy coarse quantizer changes the stages' split of the
+        # work, never the pyramid's exactness
+        blob_q = MM.encode_jpeg_hierarchical(img, quant=[16] * 64, stages=3)
+        _w, _h, _n, px_q = MM.decode_jpeg_hierarchical(blob_q)
+        assert np.frombuffer(px_q, np.uint8).reshape(h, w).tolist() == img
+
     def test_hierarchical_unsupported_stage_degrades(self):
         img = self._rand(12, 10, seed=2)
         blob = MM.encode_jpeg_hierarchical(img)
-        # rewrite the correction frame SOF7 -> SOF5 (differential DCT,
-        # not implemented): capability must fall to 'header', the
-        # walker must refuse, decode_image_meta must not raise
-        mut = blob.replace(b"\xff\xc7", b"\xff\xc5", 1)
+        # rewrite the correction frame SOF7 -> SOF6 (differential
+        # PROGRESSIVE, not implemented): capability must fall to
+        # 'header', the walker must refuse, decode_image_meta must not
+        # raise
+        mut = blob.replace(b"\xff\xc7", b"\xff\xc6", 1)
         assert not MM._jpeg_hier_decodable(mut)
         assert MM.decode_capability(mut) == "header"
         assert MM.decode_image_meta(mut)[4] == "header"
         import pytest
 
-        with pytest.raises(NotImplementedError, match="0xc5"):
+        with pytest.raises(NotImplementedError, match="0xc6"):
             MM.decode_jpeg_hierarchical(mut)
 
     def test_lossless_dri_refused_not_misdecoded(self):

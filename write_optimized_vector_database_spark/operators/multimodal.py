@@ -14,9 +14,10 @@ module carries its own spec-conforming stdlib codecs:
   sampling), progressive (SOF2, 8-bit, Annex G), LOSSLESS (SOF3,
   Annex H: predictors 1-7, 2-16 bit, point transform — round 10), and
   HIERARCHICAL (DHP/EXP pyramids, Annex J: sequential-DCT coarse frame
-  + differential-lossless SOF7 correction, pixel-exact on arbitrary
-  images — round 10). Arithmetic-coded and differential-DCT streams
-  degrade gracefully to header metadata.
+  + optional differential-DCT SOF5 refinement + differential-lossless
+  SOF7 correction, pixel-exact on arbitrary images — round 10).
+  Arithmetic-coded and differential-progressive streams degrade
+  gracefully to header metadata.
 - `fake_decode_meta(...)` remains a deterministic stand-in (metadata from
   the payload hash) for exercising plumbing against non-image payloads.
 
@@ -259,7 +260,8 @@ def decode_capability(blob: bytes | None) -> str:
             return "pixels"
         # round 10: lossless (SOF3, any precision 2-16, Annex H) and
         # hierarchical (DHP, Annex J) when every stage is a frame type
-        # the walker implements; arithmetic/differential-DCT degrade
+        # the walker implements (SOF0/1/3/5/7); arithmetic and
+        # differential-progressive stages degrade
         if sof == 0xC3 and has_sos and prec is not None and (
             2 <= prec <= 16
         ) and not _jpeg_has_dri(blob):
@@ -1926,25 +1928,33 @@ def _jpeg_upsample2x(plane):
 
 
 def encode_jpeg_hierarchical(
-    pixels: list[list], quant: list[int] | None = None
+    pixels: list[list], quant: list[int] | None = None, stages: int = 2
 ) -> bytes:
     """REAL hierarchical JPEG encoder (T.81 Annex J): DHP declares the
-    full-resolution frame, a half-resolution SEQUENTIAL DCT frame
+    full-resolution frame, a reduced-resolution SEQUENTIAL DCT frame
     (SOF0) codes the coarse image, EXP requests 2× expansion of the
-    reference, and a DIFFERENTIAL LOSSLESS frame (SOF7) codes the
-    residual between the original and the J.1.1.2-upsampled
-    reconstruction — so the decoded pyramid equals the input
-    PIXEL-EXACTLY for arbitrary grayscale images (the DCT stage's loss
-    lives entirely inside the correction frame's differences). The
-    encoder reconstructs the coarse frame with the decoder's own
-    arithmetic (same quantize→dequantize→IDCT→round path), which is
-    what makes the residual the decoder will need computable at encode
-    time. Grayscale only — the hierarchical progression is per
-    component and one plane exercises every code path."""
+    reference before each refinement, and the final stage is a
+    DIFFERENTIAL LOSSLESS frame (SOF7) coding the residual between the
+    original and the J.1.1.2-upsampled reconstruction — so the decoded
+    pyramid equals the input PIXEL-EXACTLY for arbitrary grayscale
+    images (every DCT stage's loss lives inside the next stage's
+    differences). `stages=3` inserts a DIFFERENTIAL SEQUENTIAL DCT
+    frame (SOF5, round 10) between them: the half-resolution residual
+    is DCT-coded with zero DC prediction (T.81 F.1.1.5.1 — PRED = 0 in
+    differential frames), no level shift, and the widened 12-bit-range
+    DHT tables (difference coefficients span ±2040, past the baseline
+    AC table's 10-bit categories). The encoder reconstructs each stage
+    with the decoder's own arithmetic (same quantize→dequantize→IDCT→
+    round→clip path), which is what makes the residual the decoder
+    will need computable at encode time. Grayscale only — the
+    hierarchical progression is per component and one plane exercises
+    every code path."""
     import struct
 
     import numpy as np
 
+    if stages not in (2, 3):
+        raise ValueError("hierarchical encoder supports stages=2 or 3")
     h = len(pixels)
     w = len(pixels[0]) if h else 0
     if h and isinstance(pixels[0][0], (tuple, list)):
@@ -1955,18 +1965,29 @@ def encode_jpeg_hierarchical(
         quant, dtype=np.float64
     ).reshape(8, 8)
 
-    # coarse level: 2x2 mean downsample (encoder's choice per J.1.1.1),
-    # padded to even dims by edge replication first
-    ph = full[np.minimum(np.arange(0, h + h % 2), h - 1), :]
-    ph = ph[:, np.minimum(np.arange(0, w + w % 2), w - 1)]
-    coarse = (
-        ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
-    ) / 4.0
-    coarse = np.clip(np.round(coarse), 0, 255)
-    ch_, cw = coarse.shape
+    def down2(p):
+        hh, ww = p.shape
+        ph = p[np.minimum(np.arange(0, hh + hh % 2), hh - 1), :]
+        ph = ph[:, np.minimum(np.arange(0, ww + ww % 2), ww - 1)]
+        out = (
+            ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+        ) / 4.0
+        return np.clip(np.round(out), 0, 255).astype(np.int64)
 
-    # sequential entropy coding of the coarse frame + the decoder-exact
-    # reconstruction of what that frame will decode to
+    # pyramid: level 0 = full res, level stages-1 = coarsest
+    levels = [full]
+    for _ in range(stages - 1):
+        levels.append(down2(levels[-1]))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sof_payload(fh: int, fw: int) -> bytes:
+        return struct.pack(">BHHB", 8, fh, fw, 1) + struct.pack(">BBB", 1, 0x11, 0)
+
+    # ---- coarsest level: non-differential sequential frame (SOF0) ----
+    coarse = levels[-1]
+    ch_, cw = coarse.shape
     dc_map = _huff_encode_map(_DC_BITS, _DC_VALS)
     ac_map = _huff_encode_map(_AC_BITS, _AC_VALS)
     bw = _JpegBitWriter()
@@ -1975,7 +1996,7 @@ def encode_jpeg_hierarchical(
     pred = 0
     for by in range(bys):
         for bx in range(bxs):
-            blk = _plane_blocks(coarse, bx, by)
+            blk = _plane_blocks(coarse.astype(np.float64), bx, by)
             coef = np.round((C @ (blk - 128.0) @ C.T) / q).astype(int)
             zz = [int(coef[r][c]) for r, c in _ZIGZAG]
             pred = _encode_block(bw, zz, pred, dc_map, ac_map)
@@ -1987,50 +2008,79 @@ def encode_jpeg_hierarchical(
             )
     recon = np.clip(np.round(recon[:ch_, :cw]), 0, 255).astype(np.int64)
 
-    # correction frame: residual vs the upsampled reconstruction
+    qzz = bytes(int(q[r][c]) for r, c in _ZIGZAG)
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    stream = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDE, sof_payload(h, w))  # DHP: full dims
+        + seg(0xDB, bytes([0x00]) + qzz)
+        + seg(0xC0, sof_payload(ch_, cw))
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+    )
+
+    # ---- middle stage (stages=3): differential sequential DCT (SOF5) ----
+    if stages == 3:
+        target = levels[1]
+        th_, tw = target.shape
+        ref = _jpeg_upsample2x(recon)[:th_, :tw]
+        diff = (target - ref).astype(np.float64)
+        dc12 = _huff_encode_map(_DC_BITS12, _DC_VALS12)
+        ac12 = _huff_encode_map(_AC_BITS12, _AC_VALS12)
+        bwm = _JpegBitWriter()
+        bxs, bys = -(-tw // 8), -(-th_ // 8)
+        rdiff = np.zeros((bys * 8, bxs * 8))
+        for by in range(bys):
+            for bx in range(bxs):
+                blk = _plane_blocks(diff, bx, by)  # no level shift
+                coef = np.round((C @ blk @ C.T) / q).astype(int)
+                zz = [int(coef[r][c]) for r, c in _ZIGZAG]
+                _encode_block(bwm, zz, 0, dc12, ac12)  # PRED = 0
+                dq = np.zeros((8, 8))
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    dq[r][c] = zz[k]
+                rdiff[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = C.T @ (dq * q) @ C
+        recon = np.clip(
+            ref + np.round(rdiff[:th_, :tw]).astype(np.int64), 0, 255
+        )
+        # redefine table slots 0/0 and 1/0 with the wide-range tables —
+        # sequential redefinition between frames is spec-legal
+        stream += (
+            seg(0xDF, bytes([0x11]))
+            + seg(0xC5, sof_payload(th_, tw))
+            + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS12) + bytes(_DC_VALS12))
+            + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS12) + bytes(_AC_VALS12))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bwm.flush()
+        )
+
+    # ---- final stage: differential lossless correction (SOF7) ----
     ref = _jpeg_upsample2x(recon)[:h, :w]
     ll_map = _huff_encode_map(_DC_BITS_LL, _DC_VALS_LL)
     bw2 = _JpegBitWriter()
     for y in range(h):
         for x in range(w):
-            diff = (int(full[y][x]) - int(ref[y][x])) & 0xFFFF
-            if diff > 32767:
-                diff -= 65536
-            size, bits, nbits = _ll_diff_category(diff)
+            d = (int(full[y][x]) - int(ref[y][x])) & 0xFFFF
+            if d > 32767:
+                d -= 65536
+            size, bits, nbits = _ll_diff_category(d)
             code, ln = ll_map[size]
             bw2.write(code, ln)
             if nbits:
                 bw2.write(bits, nbits)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    qzz = bytes(int(q[r][c]) for r, c in _ZIGZAG)
-    dhp = struct.pack(">BHHB", 8, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
-    sof0 = struct.pack(">BHHB", 8, ch_, cw, 1) + struct.pack(">BBB", 1, 0x11, 0)
-    sof7 = struct.pack(">BHHB", 8, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
-    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    dht_ll = bytes([0x01]) + bytes(_DC_BITS_LL) + bytes(_DC_VALS_LL)
-    sos_seq = bytes([1, 1, 0x00, 0, 63, 0])
-    sos_ll = bytes([1, 1, 0x10, 0, 0, 0])  # Ss=0 in differential frames
-    return (
-        b"\xff\xd8"
-        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xDE, dhp)  # DHP: hierarchical progression, full dims
-        + seg(0xDB, bytes([0x00]) + qzz)
-        + seg(0xC0, sof0)  # non-differential coarse frame
-        + seg(0xC4, dht_dc)
-        + seg(0xC4, dht_ac)
-        + seg(0xDA, sos_seq)
-        + bw.flush()
-        + seg(0xDF, bytes([0x11]))  # EXP: expand reference 2x horiz+vert
-        + seg(0xC7, sof7)  # differential lossless correction frame
-        + seg(0xC4, dht_ll)
-        + seg(0xDA, sos_ll)
+    stream += (
+        seg(0xDF, bytes([0x11]))
+        + seg(0xC7, sof_payload(h, w))
+        + seg(0xC4, bytes([0x01]) + bytes(_DC_BITS_LL) + bytes(_DC_VALS_LL))
+        + seg(0xDA, bytes([1, 1, 0x10, 0, 0, 0]))  # Ss=0 in differential frames
         + bw2.flush()
         + b"\xff\xd9"
     )
+    return stream
 
 
 def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
@@ -2038,9 +2088,12 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
     sequence under the DHP header — a non-differential sequential
     frame (SOF0/SOF1) initializes the reference, EXP applies the
     J.1.1.2 upsampling filter, and differential lossless frames (SOF7)
-    add modulo-2^16 corrections. Differential SEQUENTIAL frames (SOF5)
-    and arithmetic variants raise NotImplementedError — the capability
-    probe routes such streams to the header walk. Returns
+    add modulo-2^16 corrections. Differential SEQUENTIAL DCT frames
+    (SOF5, round 10) decode with zero DC prediction and no level shift,
+    their residual added to the reference and clamped; differential
+    PROGRESSIVE (SOF6) and arithmetic variants raise
+    NotImplementedError — the capability probe routes such streams to
+    the header walk. Returns
     (width, height, 1, uint8 bytes) cropped to the DHP dimensions."""
     import struct
 
@@ -2101,7 +2154,7 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(data[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC7):
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7):
             prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
             _jpeg_check_dims(fw, fh)
             if nc != 1:
@@ -2110,7 +2163,7 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                 )
             frame = {"marker": marker, "prec": prec, "h": fh, "w": fw,
                      "tq": data[8]}
-        elif marker in (0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE,
+        elif marker in (0xC2, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE,
                         0xCF):
             raise NotImplementedError(
                 f"hierarchical frame type 0x{marker:02x} not supported"
@@ -2134,7 +2187,10 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                     )
                 ref = _jpeg_upsample2x(ref)[:fh, :fw]
                 pending_exp = 0
-            if frame["marker"] in (0xC0, 0xC1):
+            if frame["marker"] in (0xC0, 0xC1, 0xC5):
+                differential = frame["marker"] == 0xC5
+                if differential and ref is None:
+                    raise ValueError("differential frame with no reference")
                 mid = float(1 << (frame["prec"] - 1))
                 bxs, bys = -(-fw // 8), -(-fh // 8)
                 plane = np.zeros((bys * 8, bxs * 8))
@@ -2145,8 +2201,11 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                         zz = [0] * 64
                         size = br.huff(htabs[(0, tdc)])
                         diff = _jpeg_extend(br.bits(size), size) if size else 0
-                        pred += diff
-                        zz[0] = pred
+                        if differential:
+                            zz[0] = diff  # PRED = 0 (T.81 F.1.1.5.1)
+                        else:
+                            pred += diff
+                            zz[0] = pred
                         k = 1
                         while k < 64:
                             sym = br.huff(htabs[(1, tac)])
@@ -2165,10 +2224,19 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                         for k2, (r, c) in enumerate(_ZIGZAG):
                             dq[r][c] = zz[k2]
                         plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                            C.T @ (dq * q) @ C + mid
+                            C.T @ (dq * q) @ C + (0.0 if differential else mid)
                         )
-                ref = np.clip(np.round(plane[:fh, :fw]), 0,
-                              (1 << frame["prec"]) - 1).astype(np.int64)
+                if differential:
+                    # no level shift: the frame codes a residual added to
+                    # the (already upsampled) reference, then clamped
+                    ref = np.clip(
+                        ref[:fh, :fw]
+                        + np.round(plane[:fh, :fw]).astype(np.int64),
+                        0, (1 << frame["prec"]) - 1,
+                    )
+                else:
+                    ref = np.clip(np.round(plane[:fh, :fw]), 0,
+                                  (1 << frame["prec"]) - 1).astype(np.int64)
             elif frame["marker"] == 0xC7:  # differential lossless
                 if ref is None:
                     raise ValueError("differential frame with no reference")
@@ -2270,9 +2338,9 @@ def _jpeg_hier_decodable(blob: bytes) -> bool:
     """True when a hierarchical (DHP) stream uses only the frame types
     decode_jpeg_hierarchical implements: single-component 8-bit
     non-differential sequential (SOF0/SOF1) or lossless (SOF3) stages
-    plus differential lossless (SOF7) corrections, no restart
-    intervals. Differential DCT (SOF5/6) and arithmetic frames degrade
-    to the header walk."""
+    plus differential sequential DCT (SOF5) and differential lossless
+    (SOF7) refinements, no restart intervals. Differential progressive
+    (SOF6) and arithmetic frames degrade to the header walk."""
     import struct
 
     pos = 2
@@ -2295,11 +2363,11 @@ def _jpeg_hier_decodable(blob: bytes) -> bool:
             prec, _h, _w, ncomp = struct.unpack(">BHHB", blob[pos + 4 : pos + 10])
             if marker == 0xDE:
                 saw_dhp = True
-            elif marker not in (0xC0, 0xC1, 0xC3, 0xC7):
+            elif marker not in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7):
                 return False
             if ncomp != 1:
                 return False
-            if marker in (0xC0, 0xC1, 0xDE) and prec != 8:
+            if marker in (0xC0, 0xC1, 0xC5, 0xDE) and prec != 8:
                 return False
         if marker == 0xDA:
             # skip entropy data to the next marker (un-stuff 0xFF00/RSTn)
