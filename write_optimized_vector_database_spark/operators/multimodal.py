@@ -2474,6 +2474,91 @@ def with_decoded_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.mapInPandas(fn, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Audio (WAV/RIFF PCM) — round 10: the audio leg of the multimodal column
+# family gets a REAL codec (the stdlib `wave` module is in every CPython,
+# so unlike image codecs nothing needs hand-rolling). 8/16-bit PCM,
+# mono or interleaved multichannel.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: list[int], framerate: int = 8000, sampwidth: int = 1,
+    nchannels: int = 1,
+) -> bytes:
+    """PCM WAV encode via the stdlib `wave` writer. 8-bit samples are
+    UNSIGNED (0-255) per the RIFF convention; 16-bit are signed
+    little-endian. Multichannel input is interleaved
+    [L0, R0, L1, R1, ...]."""
+    import io
+    import struct
+    import wave
+
+    if sampwidth not in (1, 2):
+        raise ValueError("sampwidth must be 1 (8-bit) or 2 (16-bit) bytes")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nchannels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(framerate)
+        if sampwidth == 1:
+            raw = bytes(s & 0xFF for s in samples)
+        else:
+            raw = struct.pack(f"<{len(samples)}h", *samples)
+        wf.writeframes(raw)
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, int, list[int]]:
+    """PCM WAV decode: (n_frames, framerate, n_channels, sampwidth,
+    samples) with samples interleaved, unsigned for 8-bit and signed
+    for 16-bit — the stdlib `wave` reader, so compressed (non-PCM)
+    RIFF raises and callers degrade to the header walk."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        n = wf.getnframes()
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(n)
+    if width == 1:
+        samples = list(raw)
+    elif width == 2:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    else:
+        raise NotImplementedError(f"WAV sample width {width} bytes")
+    return n, rate, nch, width, samples
+
+
+def parse_wav_header(blob: bytes | None) -> tuple[str, int, int, int]:
+    """RIFF/WAVE fmt-chunk walk, stdlib-free of the `wave` module so a
+    truncated data chunk still yields metadata: returns
+    (mime, n_channels, framerate, bits_per_sample) or octet-stream
+    zeros for non-WAV input — the audio twin of parse_media_header."""
+    import struct
+
+    if (
+        not blob
+        or len(blob) < 12
+        or blob[:4] != b"RIFF"
+        or blob[8:12] != b"WAVE"
+    ):
+        return ("application/octet-stream", 0, 0, 0)
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 8 + 16 <= len(blob):
+            _fmt, nch, rate = struct.unpack("<HHI", blob[pos + 8 : pos + 16])
+            (bits,) = struct.unpack("<H", blob[pos + 22 : pos + 24])
+            return ("audio/wav", nch, rate, bits)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return ("audio/wav", 0, 0, 0)
+
+
 FEATURE_DIM = 16
 
 

@@ -944,3 +944,83 @@ def mm_lossless_hier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "mm_wav_audio_features",
+    # The audio leg of the multimodal column family, REAL codec path
+    # (round 10): each doc synthesizes a deterministic 8-bit PCM
+    # waveform sample(x) = (doc_id*17 + 3x) mod 256, encodes it through
+    # the stdlib RIFF/WAVE writer, re-decodes it, and extracts features
+    # (frame count, rate, amplitude sum/max) from the DECODED samples.
+    # The oracle recomputes every feature from the closed form — a
+    # sample-width, endianness, header, or interleave bug breaks the
+    # hash. Duration is integer microseconds so the hash never touches
+    # float division.
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         (64 + doc_id % 64)::INT AS n_frames,
+         (8000 + (doc_id % 4) * 4000)::INT AS framerate
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, d.n_frames, d.framerate,
+         (d.doc_id * 17 + 3 * g.x) % 256 AS v
+  FROM dims d
+  JOIN range(128) g(x) ON g.x < d.n_frames
+)
+SELECT doc_id, 'audio/wav' AS mime, n_frames, framerate,
+       SUM(v)::BIGINT AS sample_sum,
+       MAX(v)::INT AS sample_max,
+       (n_frames * 1000000 // framerate)::BIGINT AS duration_us
+FROM s GROUP BY doc_id, n_frames, framerate ORDER BY doc_id
+""",
+    survey_ref="[EXT] multimodal audio column (RIFF/WAVE PCM, round 10)",
+    tags=["multimodal", "decode", "audio"],
+)
+def mm_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio blob pipeline: encode → header sniff → decode → feature
+    extraction, one Arrow-batched mapInPandas pass — the same 100 TB
+    shape as every image query (blob work executor-side, driver sees
+    feature rows only)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 64 + i % 64
+                rate = 8000 + (i % 4) * 4000
+                blob = MM.encode_wav(
+                    [(i * 17 + 3 * x) % 256 for x in range(n)], framerate=rate
+                )
+                mime, _nch, hdr_rate, _bits = MM.parse_wav_header(blob)
+                nf, fr, _c, _w, samples = MM.decode_wav(blob)
+                assert hdr_rate == fr
+                rows.append(
+                    (i, mime, nf, fr, sum(samples), max(samples),
+                     nf * 1_000_000 // fr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "n_frames", "framerate",
+                         "sample_sum", "sample_max", "duration_us"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("framerate", T.IntegerType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("sample_max", T.IntegerType()),
+            T.StructField("duration_us", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
