@@ -345,10 +345,15 @@ class TestJpegCodec:
         prog = MM.encode_jpeg_progressive([[50] * 8 for _ in range(8)])
         assert MM.decode_capability(prog) == "pixels"
         assert MM.decode_image_meta(prog) == ("image/jpeg", 8, 8, 1, "pixels")
-        # arithmetic-coded / exotic SOF markers still degrade
-        arith = full.replace(b"\xff\xc0", b"\xff\xc9", 1)
-        assert MM.decode_capability(arith) == "header"
-        assert MM.decode_image_meta(arith)[4] == "header"
+        # arithmetic SEQUENTIAL (SOF9) is a real decode path as of
+        # round 10 (Annexes D+F QM coder)
+        arith = MM.encode_jpeg_arith([[50] * 8 for _ in range(8)])
+        assert MM.decode_capability(arith) == "pixels"
+        assert MM.decode_image_meta(arith) == ("image/jpeg", 8, 8, 1, "pixels")
+        # arithmetic-progressive (SOF10) / exotic SOF markers still degrade
+        exotic = full.replace(b"\xff\xc0", b"\xff\xca", 1)
+        assert MM.decode_capability(exotic) == "header"
+        assert MM.decode_image_meta(exotic)[4] == "header"
 
     def test_12bit_extended_sequential_roundtrip(self):
         """SOF1 12-bit (T.81 extended sequential) is a REAL decode path
@@ -577,6 +582,7 @@ class TestDecodeRobustness:
         seeds = [
             MM.encode_jpeg_progressive(rng.integers(0, 256, (8, 8)).tolist()),
             MM.encode_jpeg(rng.integers(0, 256, (8, 8)).tolist()),
+            MM.encode_jpeg_arith(rng.integers(0, 256, (8, 8)).tolist()),
             MM.encode_png([[(1, 2, 3)] * 9] * 7),
             MM.encode_gif([[(250, 0, 0)] * 6] * 5),
         ]
@@ -760,3 +766,134 @@ class TestJpegLosslessHierarchical:
         assert MM._jpeg_has_dri(mut)
         assert MM.decode_capability(mut) == "header"
         assert MM.decode_image_meta(mut)[4] == "header"
+
+
+class TestJpegArithmetic:
+    """Arithmetic-coded sequential JPEG (SOF9, T.81 Annexes D + F) —
+    round 10, closing the last JPEG process family that degraded to the
+    header walk. Two independent contracts: (1) the pixel-exact oracle
+    shapes (flat / F(4,4) checker with all-ones quant) round-trip
+    exactly, as for every other codec in the family; (2) the
+    DIFFERENTIAL gate — decode_jpeg_arith(arith stream) is bit-identical
+    to decode_jpeg(Huffman stream) of the same image and quant table,
+    because only the entropy layer differs. The differential gate is the
+    strong one: it pins the whole QM coder + Annex F statistical model
+    stack against an already-oracle-checked decoder on arbitrary
+    images."""
+
+    def test_qm_coder_bit_roundtrip_fuzz(self):
+        """The raw QM coder must round-trip arbitrary decision sequences
+        over arbitrary context sets — independent of any JPEG model.
+        Exercises carry propagation, 0xFF stuffing, stacked-byte
+        resolution, and the conditional-exchange branches."""
+        import random
+
+        rng = random.Random(4242)
+        for _trial in range(60):
+            n = rng.randint(0, 600)
+            nctx = rng.randint(1, 10)
+            p = rng.random()
+            bits = [(rng.randint(0, nctx - 1), int(rng.random() < p))
+                    for _ in range(n)]
+            enc = MM._QMEncoder()
+            st = bytearray(nctx)
+            for ctx, b in bits:
+                enc.encode(st, ctx, b)
+            data = enc.flush() + b"\xff\xd9"
+            dec = MM._QMDecoder(data, 0)
+            st2 = bytearray(nctx)
+            for j, (ctx, b) in enumerate(bits):
+                assert dec.decode(st2, ctx) == b, (_trial, j)
+
+    def test_flat_and_checker_pixel_exact(self):
+        import numpy as np
+
+        px = [[128] * 24 for _ in range(16)]
+        w, h, c, data = MM.decode_jpeg_arith(MM.encode_jpeg_arith(px))
+        assert (w, h, c) == (24, 16, 1)
+        assert set(data) == {128}
+        # F(4,4) checker — the oracle shape (exact integer DCT point)
+        n = np.arange(8)
+        col = 0.5 * np.cos((2 * n + 1) * 4 * np.pi / 16.0)
+        blk = np.round(np.outer(col, col) * 32 + 128).astype(int)
+        px = [[int(blk[y % 8][x % 8]) for x in range(32)] for y in range(24)]
+        w, h, c, data = MM.decode_jpeg_arith(MM.encode_jpeg_arith(px))
+        got = np.frombuffer(data, np.uint8).reshape(24, 32)
+        assert np.array_equal(got, np.array(px))
+
+    def test_differential_vs_huffman_on_random_images(self):
+        """Same image, same quant → the arithmetic and Huffman streams
+        must decode bit-identically (entropy layer is the only delta).
+        Covers gray/RGB, 4:4:4/4:2:0, 8/12-bit, quant=1 and lossy."""
+        import random
+
+        rng = random.Random(7)
+        shapes = [("gray", 1, 8), ("rgb", 1, 8), ("rgb", 2, 8),
+                  ("gray", 1, 12), ("rgb", 2, 12)]
+        for mode, sub, prec in shapes:
+            hh, ww = rng.choice([(17, 23), (16, 16), (9, 40)])
+            mx = (1 << prec) - 1
+            if mode == "gray":
+                px = [[rng.randint(0, mx) for _ in range(ww)]
+                      for _ in range(hh)]
+            else:
+                px = [[(rng.randint(0, mx), rng.randint(0, mx),
+                        rng.randint(0, mx)) for _ in range(ww)]
+                      for _ in range(hh)]
+            quant = ([1] * 64 if rng.random() < 0.5
+                     else [rng.randint(1, 16) for _ in range(64)])
+            a = MM.decode_jpeg_arith(MM.encode_jpeg_arith(
+                px, quant=quant, subsample=sub, precision=prec))
+            hf = MM.decode_jpeg(MM.encode_jpeg(
+                px, quant=quant, subsample=sub, precision=prec))
+            assert a == hf, (mode, sub, prec)
+
+    def test_compresses_better_than_huffman_on_smooth_images(self):
+        """The point of arithmetic coding: adaptive probabilities beat
+        the static spec-valid Huffman tables on compressible content
+        (T.81's own motivation for Annex D)."""
+        px = [[(x * 255) // 63 for x in range(64)] for _ in range(64)]
+        sa = len(MM.encode_jpeg_arith(px))
+        sh = len(MM.encode_jpeg(px))
+        assert sa < sh * 0.8, (sa, sh)
+
+    def test_capability_and_dispatch(self):
+        blob = MM.encode_jpeg_arith([[7 * i % 256 for i in range(16)]] * 16)
+        assert MM.decode_capability(blob) == "pixels"
+        assert MM.decode_image(blob) == (16, 16, 1)
+        # truncation degrades, never raises (the 100 TB scan contract)
+        assert MM.decode_image_meta(blob[:-20])[4] in ("pixels", "header")
+        # implausible dims refused before allocation
+        import struct
+
+        import pytest
+
+        i = blob.index(b"\xff\xc9")
+        huge = blob[: i + 5] + struct.pack(">HH", 65535, 65535) + blob[i + 9:]
+        with pytest.raises(ValueError, match="implausible"):
+            MM.decode_jpeg_arith(huge)
+        assert MM.decode_image_meta(huge)[4] in ("header", "opaque")
+
+    def test_dri_still_degrades(self):
+        """The arithmetic decoder refuses restart intervals, so the
+        capability probe must not promise pixels for SOF9+DRI."""
+        blob = MM.encode_jpeg_arith([[50] * 8 for _ in range(8)])
+        i = blob.index(b"\xff\xda")
+        mut = blob[:i] + b"\xff\xdd\x00\x04\x00\x08" + blob[i:]
+        assert MM.decode_capability(mut) == "header"
+        assert MM.decode_image_meta(mut)[4] == "header"
+
+    def test_dc_conditioning_categories_exercised(self):
+        """Large alternating DC swings walk the conditioning contexts
+        (zero/small/large × sign) — a roundtrip that only passes if
+        encoder and decoder track dc_context identically."""
+        import numpy as np
+
+        rows = []
+        vals = [0, 255, 0, 255, 128, 129, 128, 127]
+        for v in vals:
+            rows.extend([[v] * 64] * 8)
+        px = [list(r) for r in rows]
+        w, h, c, data = MM.decode_jpeg_arith(MM.encode_jpeg_arith(px))
+        got = np.frombuffer(data, np.uint8).reshape(64, 64)
+        assert np.array_equal(got, np.array(px))

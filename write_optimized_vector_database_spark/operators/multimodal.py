@@ -15,9 +15,12 @@ module carries its own spec-conforming stdlib codecs:
   Annex H: predictors 1-7, 2-16 bit, point transform — round 10), and
   HIERARCHICAL (DHP/EXP pyramids, Annex J: sequential-DCT coarse frame
   + optional differential-DCT SOF5 refinement + differential-lossless
-  SOF7 correction, pixel-exact on arbitrary images — round 10).
-  Arithmetic-coded and differential-progressive streams degrade
-  gracefully to header metadata.
+  SOF7 correction, pixel-exact on arbitrary images — round 10), and
+  ARITHMETIC-CODED sequential (SOF9, Annexes D+F: QM coder with the
+  adaptive DC/AC statistical models, 8/12-bit — round 10).
+  Arithmetic-progressive/-lossless (SOF10/11) and
+  differential-progressive streams degrade gracefully to header
+  metadata.
 - `fake_decode_meta(...)` remains a deterministic stand-in (metadata from
   the payload hash) for exercising plumbing against non-image payloads.
 
@@ -213,6 +216,9 @@ def decode_image(blob: bytes) -> tuple[int, int, int]:
         if sof == 0xC3 and has_sos and not _jpeg_has_dri(blob):
             w, h, nch, _px = decode_jpeg_lossless(blob)
             return w, h, nch
+        if sof == 0xC9 and has_sos and prec in (8, 12) and not _jpeg_has_dri(blob):
+            w, h, nch, _px = decode_jpeg_arith(blob)
+            return w, h, nch
         if sof == 0xDE and has_sos and _jpeg_hier_decodable(blob):
             w, h, nch, _px = decode_jpeg_hierarchical(blob)
             return w, h, nch
@@ -260,11 +266,15 @@ def decode_capability(blob: bytes | None) -> str:
             return "pixels"
         # round 10: lossless (SOF3, any precision 2-16, Annex H) and
         # hierarchical (DHP, Annex J) when every stage is a frame type
-        # the walker implements (SOF0/1/3/5/7); arithmetic and
-        # differential-progressive stages degrade
+        # the walker implements (SOF0/1/3/5/7); arithmetic SEQUENTIAL
+        # (SOF9, Annexes D+F) decodes for real as of round 10 —
+        # arithmetic-progressive/-lossless (SOF10/11) and
+        # differential-progressive stages still degrade
         if sof == 0xC3 and has_sos and prec is not None and (
             2 <= prec <= 16
         ) and not _jpeg_has_dri(blob):
+            return "pixels"
+        if sof == 0xC9 and has_sos and prec in (8, 12) and not _jpeg_has_dri(blob):
             return "pixels"
         if sof == 0xDE and has_sos and _jpeg_hier_decodable(blob):
             return "pixels"
@@ -905,8 +915,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     3-component scans. 12-bit extended sequential (SOF1 precision 12)
     decodes with a 2048 level shift and uint16 output (round 9 — the
     DHT read was always generic, only the shift/clip were 8-bit).
-    Progressive (SOF2) and arithmetic-coded streams raise
-    NotImplementedError and callers degrade to the header walk.
+    Progressive (SOF2) routes to decode_jpeg_progressive and
+    arithmetic-coded sequential (SOF9) to decode_jpeg_arith; other
+    processes raise NotImplementedError and callers degrade to the
+    header walk.
     Returns (width, height, n_channels, interleaved_bytes) — one byte
     per sample at precision 8, two little-endian bytes at 12."""
     import struct
@@ -1692,11 +1704,10 @@ def _decode_progressive_scan(
 # plus a DIFFERENTIAL LOSSLESS (SOF7) correction frame over the J.1.1.2
 # upsampling filter, which makes the pyramid pixel-exact for ARBITRARY
 # images — the strongest roundtrip oracle the family admits. Arithmetic
-# coding (SOF9-11, 13-15 with DAC) stays a graceful degradation: the
-# QM-coder's 113-row Qe state table is spec-constant data this
-# implementation refuses to approximate from memory — a near-miss table
-# would decode real streams to silently wrong pixels, the exact failure
-# the capability probe exists to prevent.
+# SEQUENTIAL coding (SOF9 with DAC) is real as of later round 10 — see the
+# QM-coder section below; arithmetic-progressive/-lossless (SOF10/11) and
+# the differential arithmetic processes (SOF13-15) remain graceful
+# degradations.
 # ---------------------------------------------------------------------------
 
 # SSSS difference categories 0..16 (17 symbols) at code length 5
@@ -2277,6 +2288,629 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("hierarchical stream produced no frame")
     out = np.clip(ref[:full_h, :full_w], 0, 255).astype(np.uint8)
     return full_w, full_h, 1, out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (SOF9, ITU-T T.81 Annexes D + F) — round 10. The QM
+# arithmetic coder (Annex D: 16-bit interval register, conditional MPS/LPS
+# exchange, renormalization-driven probability estimation) plus the adaptive
+# DC/AC statistical models (Annex F: DC-difference conditioning categories,
+# per-zigzag-index AC contexts, Kx low/high-frequency split). Only the
+# entropy layer differs from the sequential Huffman codec — the DCT /
+# quantization / MCU plumbing is shared, so `decode_jpeg_arith(arith)` and
+# `decode_jpeg(huffman)` of the same image are bit-identical (the
+# differential gate the tests pin). Reference parity note: the reference
+# repo has no media path at all; this closes the last JPEG process family
+# that degraded to the header walk (VERDICT r09 "What's missing" #3).
+# ---------------------------------------------------------------------------
+
+# T.81 Table D.3 probability estimation state machine: (Qe, Next_Index_LPS,
+# Next_Index_MPS, Switch_MPS). Entry 113 is the non-adaptive "fixed ~0.5"
+# state the AC model uses for sign decisions (F.1.4.4.1.2). ROUNDTRIP
+# correctness is invariant to estimator values (encode and decode share the
+# table and every Qe < 0x8000 keeps the interval arithmetic sound) — the
+# pixel-exact and differential tests below pin that contract; external
+# interop additionally depends on transcription fidelity of this table.
+_QM_TABLE: tuple = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _QMEncoder:
+    """QM arithmetic encoder (T.81 Annex D.1). Registers per Figure D.2:
+    A = interval, C = code with the byte window at bits 19-26, CT = 11
+    initially so the first emitted byte is fraction bits 1-8 of the code
+    value. Carry resolution defers the last byte plus a run of stacked
+    0xFF bytes (a carry turns every stacked 0xFF into 0x00 and increments
+    the deferred byte); every emitted 0xFF is followed by a stuffed 0x00
+    so the entropy segment contains no markers (D.1.6)."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buf = bytearray()
+        self.b = -1  # deferred byte; -1 = nothing emitted yet
+        self.sc = 0  # count of stacked (carry-absorbing) 0xFF bytes
+
+    def _emit(self, byte: int) -> None:
+        self.buf.append(byte)
+        if byte == 0xFF:
+            self.buf.append(0x00)
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry: propagates through every stacked 0xFF (each becomes
+            # 0x00) into the deferred byte. A carry before any output is
+            # impossible: C's spacer bits (16-18) absorb additions until
+            # the first byte has been deferred.
+            self.b += 1
+            self._emit(self.b)
+            self.buf.extend(b"\x00" * self.sc)
+            self.sc = 0
+            self.b = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1  # may still receive a future carry — defer
+        else:
+            if self.b >= 0:
+                self._emit(self.b)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+            self.sc = 0
+            self.b = t
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def encode(self, stats: bytearray, i: int, bit: int) -> None:
+        """Code one binary decision in context stats[i] (byte layout
+        (MPS << 7) | state_index, the Annex D compact form)."""
+        sv = stats[i]
+        qe, nlps, nmps, sw = _QM_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if bit == mps:
+            if self.a >= 0x8000:
+                return  # no renormalization → no state transition (D.1.5)
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            stats[i] = (mps << 7) | nmps
+        else:
+            if self.a >= qe:  # normal LPS: top subinterval of size Qe
+                self.c += self.a
+                self.a = qe
+            if sw:
+                mps ^= 1
+            stats[i] = (mps << 7) | nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+
+    def flush(self) -> bytes:
+        """Terminate (D.1.8): choose the in-interval code value with the
+        most trailing zeros, push the remaining bits out, drain deferrals."""
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        if self.b >= 0:
+            self._emit(self.b)
+        for _ in range(self.sc):
+            self._emit(0xFF)
+        self.b, self.sc = -1, 0
+        return bytes(self.buf)
+
+
+class _QMDecoder:
+    """QM arithmetic decoder — the exact mirror of _QMEncoder. The code
+    stream is read as the plain binary fraction it is (the encoder's
+    first byte = fraction bits 1-8): `r` holds the integer window of
+    (code − interval base) aligned with A, which makes every interval
+    comparison exact with zero guard bits (floor(r) < X ⟺ r < X for
+    integer X). 0xFF00 un-stuffs to a 0xFF data byte; a real marker ends
+    the entropy segment and feeds zero bits thereafter (D.2.6)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.eod = False
+        self._bitbuf = 0
+        self._bitn = 0
+        self.a = 0x10000
+        self.r = 0
+        for _ in range(16):
+            self.r = (self.r << 1) | self._bit()
+
+    def _byte(self) -> int:
+        if self.eod or self.pos >= len(self.data):
+            self.eod = True
+            return 0
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else -1
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            self.eod = True  # real marker: zero bits from here on
+            return 0
+        self.pos += 1
+        return b
+
+    def _bit(self) -> int:
+        if self._bitn == 0:
+            self._bitbuf = self._byte()
+            self._bitn = 8
+        self._bitn -= 1
+        return (self._bitbuf >> self._bitn) & 1
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        sv = stats[i]
+        qe, nlps, nmps, sw = _QM_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if self.r < self.a:  # bottom subinterval (size A − Qe)
+            if self.a >= 0x8000:
+                return mps
+            if self.a < qe:  # conditional exchange: bottom was the LPS
+                d = mps ^ 1
+                if sw:
+                    mps ^= 1
+                stats[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+        else:  # top subinterval (size Qe)
+            self.r -= self.a
+            if self.a < qe:  # conditional exchange: top was the MPS
+                d = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                d = mps ^ 1
+                if sw:
+                    mps ^= 1
+                stats[i] = (mps << 7) | nlps
+            self.a = qe
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.r = (self.r << 1) | self._bit()
+        return d
+
+
+# Annex F statistical models. Stats areas (per conditioning table): DC 64
+# bins (Table F.4: S0 bases 0/4/8/12/16 by DC-difference category, X1 at
+# 20, magnitude bits at X+14), AC 256 bins (Table F.5: 3 bins per zigzag
+# index k — EOB decision, zero/nonzero, first magnitude — then X2+ chains
+# at 189 for k ≤ Kx and 217 above). The AC sign uses the fixed ~0.5 state
+# (index 113), never adapted.
+
+
+def _arith_enc_block(enc, zz, cstate, dc_stats, ac_stats, fixed,
+                     dc_l: int, dc_u: int, kx: int) -> None:
+    """Encode one zigzagged quantized block (F.1.4.1 DC, F.1.4.2 AC).
+    `cstate` is the per-component [last_dc, dc_context] pair."""
+    v = zz[0] - cstate[0]
+    st = cstate[1]
+    if v == 0:
+        enc.encode(dc_stats, st, 0)
+        cstate[1] = 0
+    else:
+        cstate[0] = zz[0]
+        enc.encode(dc_stats, st, 1)
+        if v > 0:
+            enc.encode(dc_stats, st + 1, 0)
+            st += 2
+            base = 4  # small positive category
+        else:
+            v = -v
+            enc.encode(dc_stats, st + 1, 1)
+            st += 3
+            base = 8  # small negative category
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(dc_stats, st, 1)
+            m = 1
+            v2 = v
+            st = 20  # Table F.4: X1
+            while v2 >> 1:
+                v2 >>= 1
+                enc.encode(dc_stats, st, 1)
+                m <<= 1
+                st += 1
+        enc.encode(dc_stats, st, 0)
+        # F.1.4.4.1.2: next block's DC conditioning category
+        if m < (1 << dc_l) >> 1:
+            cstate[1] = 0
+        elif m > (1 << dc_u) >> 1:
+            cstate[1] = base + 8  # large diff category
+        else:
+            cstate[1] = base
+        st += 14  # magnitude bit pattern bin
+        while m >> 1:
+            m >>= 1
+            enc.encode(dc_stats, st, 1 if (m & v) else 0)
+    ke = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            ke = k
+            break
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_stats, st, 0)  # EOB decision: more coefficients
+        while zz[k] == 0:
+            enc.encode(ac_stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_stats, st + 1, 1)
+        v = zz[k]
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+        else:
+            v = -v
+            enc.encode(fixed, 0, 1)
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(ac_stats, st, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(ac_stats, st, 1)  # second decision, same bin
+                m <<= 1
+                st = 189 if k <= kx else 217  # Table F.5 X2 chains
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(ac_stats, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(ac_stats, st, 0)
+        st += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(ac_stats, st, 1 if (m & v) else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_dec_block(dec, cstate, dc_stats, ac_stats, fixed,
+                     dc_l: int, dc_u: int, kx: int) -> list[int]:
+    """Decode one block to a 64-long zigzag list (F.2.4.1/F.2.4.2) —
+    the exact mirror of _arith_enc_block."""
+    zz = [0] * 64
+    st = cstate[1]
+    if dec.decode(dc_stats, st) == 0:
+        cstate[1] = 0
+    else:
+        sign = dec.decode(dc_stats, st + 1)
+        st += 2 + sign
+        m = dec.decode(dc_stats, st)
+        if m:
+            st = 20
+            while dec.decode(dc_stats, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arithmetic JPEG DC magnitude overflow")
+                st += 1
+        if m < (1 << dc_l) >> 1:
+            cstate[1] = 0
+        elif m > (1 << dc_u) >> 1:
+            cstate[1] = 12 + sign * 4
+        else:
+            cstate[1] = 4 + sign * 4
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(dc_stats, st):
+                v |= m
+        v += 1
+        cstate[0] += -v if sign else v
+    zz[0] = cstate[0]
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_stats, st):
+            break  # EOB
+        while dec.decode(ac_stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic JPEG AC index overrun")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(ac_stats, st)
+        if m:
+            if dec.decode(ac_stats, st):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(ac_stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arithmetic JPEG AC magnitude overflow"
+                        )
+                    st += 1
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(ac_stats, st):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+    return zz
+
+
+def encode_jpeg_arith(
+    pixels: list[list],
+    quant: list[int] | None = None,
+    subsample: int = 1,
+    precision: int = 8,
+) -> bytes:
+    """REAL arithmetic-coded sequential JPEG encoder (SOF9, T.81 Annexes
+    D + F), stdlib + numpy: the same level shift → 8×8 DCT → quantize →
+    zigzag pipeline as encode_jpeg with the QM coder as the entropy
+    layer. Emits a DAC segment with the default conditioning (DC L=0
+    U=1, AC Kx=5); all components share conditioning table 0 (legal per
+    B.2.3 — statistics adapt jointly, and the decoder mirrors it).
+    Grayscale and RGB (optional 4:2:0 via subsample=2) at precision 8 or
+    12; no restart intervals (the decoder refuses DRI streams)."""
+    import struct
+
+    import numpy as np
+
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG sample precision must be 8 or 12, got {precision}")
+    mid = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
+    C = _dct_mat()
+    q = np.ones((8, 8)) if quant is None else np.asarray(
+        quant, dtype=np.float64
+    ).reshape(8, 8)
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    gray = not isinstance(pixels[0][0], (tuple, list))
+    if gray:
+        planes = [np.asarray(pixels, dtype=np.float64)]
+        comps = [(1, 1, 1)]
+    else:
+        rgb = np.asarray(pixels, dtype=np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = mid - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = mid + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == 2:
+            def down(p):
+                ph = p[np.minimum(np.arange(0, h + h % 2), h - 1), :]
+                ph = ph[:, np.minimum(np.arange(0, w + w % 2), w - 1)]
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+            planes = [y, down(cb), down(cr)]
+            comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        else:
+            planes = [y, cb, cr]
+            comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    planes = [np.clip(np.round(p), 0, maxval) for p in planes]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    dc_l, dc_u, kx = 0, 1, 5  # default conditioning, emitted in DAC
+    enc = _QMEncoder()
+    dc_stats = bytearray(64)
+    ac_stats = bytearray(256)
+    fixed = bytearray([113])
+    cstates = [[0, 0] for _ in comps]  # per-component [last_dc, dc_context]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_cid, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = _plane_blocks(planes[ci], mx * ch + bx, my * cv + by)
+                        coef = np.round((C @ (blk - mid) @ C.T) / q).astype(int)
+                        zz = [int(coef[r][c]) for r, c in _ZIGZAG]
+                        _arith_enc_block(enc, zz, cstates[ci], dc_stats,
+                                         ac_stats, fixed, dc_l, dc_u, kx)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qzz = bytes(int(q[r][c]) for r, c in _ZIGZAG)
+    sof = struct.pack(">BHHB", precision, h, w, len(comps)) + b"".join(
+        struct.pack(">BBB", cid, (ch << 4) | cv, 0) for cid, ch, cv in comps
+    )
+    # DAC (B.2.4.3): DC table 0 conditioning byte (U << 4) | L, AC table 0
+    # conditioning byte Kx
+    dac = bytes([0x00, (dc_u << 4) | dc_l, 0x10, kx])
+    sos = bytes([len(comps)]) + b"".join(
+        bytes([cid, 0x00]) for cid, _h, _v in comps
+    ) + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0x00]) + qzz)
+        + seg(0xC9, sof)  # SOF9: extended sequential DCT, arithmetic coding
+        + seg(0xCC, dac)
+        + seg(0xDA, sos)
+        + enc.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_arith(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL arithmetic-coded sequential JPEG decode (SOF9), stdlib +
+    numpy: DQT/DAC/SOF9/SOS parse, QM-coder entropy decode with the
+    Annex F DC/AC statistical models (per-component DC conditioning,
+    per-conditioning-table adaptive stats), then the shared dequantize →
+    IDCT → assemble tail, so output is bit-identical to decode_jpeg on a
+    Huffman stream of the same image. Precision 8 or 12; restart
+    intervals are refused (capability degrades those streams)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+    qtabs: dict[int, np.ndarray] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # table id → (L, U)
+    ac_cond: dict[int, int] = {}  # table id → Kx
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    width = height = 0
+    prec = 8
+    pos = 2
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                vals = (
+                    struct.unpack(f">{64}H", data[i : i + 128])
+                    if pq
+                    else data[i : i + 64]
+                )
+                tab = np.zeros((8, 8))
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    tab[r][c] = vals[k]
+                qtabs[tq] = tab
+                i += n
+        elif marker == 0xCC:  # DAC — conditioning table(s)
+            i = 0
+            while i + 1 < len(data):
+                tc, tb = data[i] >> 4, data[i] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (data[i + 1] & 0x0F, data[i + 1] >> 4)
+                else:
+                    ac_cond[tb] = data[i + 1]
+                i += 2
+        elif marker == 0xC9:  # SOF9: extended sequential, arithmetic
+            prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            _jpeg_check_dims(width, height)
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG sample precision {prec} (only 8/12-bit supported)"
+                )
+            comps = [
+                (data[6 + 3 * k], data[7 + 3 * k] >> 4, data[7 + 3 * k] & 0x0F,
+                 data[8 + 3 * k])
+                for k in range(ncomp)
+            ]
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"decode_jpeg_arith handles SOF9 only (got 0x{marker:02x})"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals unsupported in the arithmetic decoder"
+            )
+        elif marker == 0xDA:
+            ns = data[0]
+            by_id = {cid: k for k, (cid, _h, _v, _tq) in enumerate(comps)}
+            for k in range(ns):
+                cid, tt = data[1 + 2 * k], data[2 + 2 * k]
+                scan.append((by_id[cid], tt >> 4, tt & 0x0F))
+            pos += 2 + length
+            break
+        pos += 2 + length
+    if not comps or not scan:
+        raise ValueError("JPEG stream missing SOF9/SOS")
+
+    C = _dct_mat()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+        for (_cid, ch, cv, _tq) in comps
+    ]
+    dec = _QMDecoder(blob, pos)
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113])
+    cstates = [[0, 0] for _ in comps]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, tdc, tac in scan:
+                _cid, ch, cv, tq = comps[ci]
+                dc_l, dc_u = dc_cond.get(tdc, (0, 1))
+                kx = ac_cond.get(tac, 5)
+                dstats = dc_stats.setdefault(tdc, bytearray(64))
+                astats = ac_stats.setdefault(tac, bytearray(256))
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = _arith_dec_block(dec, cstates[ci], dstats,
+                                              astats, fixed, dc_l, dc_u, kx)
+                        coef = np.zeros((8, 8))
+                        for k2, (r, c) in enumerate(_ZIGZAG):
+                            coef[r][c] = zz[k2]
+                        blk = C.T @ (coef * qtabs[tq]) @ C + float(1 << (prec - 1))
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+
+    return _jpeg_assemble(planes, comps, hmax, vmax, width, height, prec)
 
 
 def _jpeg_scan_markers(blob: bytes) -> tuple[int | None, bool, int | None]:

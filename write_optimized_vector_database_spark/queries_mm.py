@@ -1024,3 +1024,104 @@ def mm_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "mm_arith_jpeg_roundtrip",
+    # Arithmetic-coded JPEG (SOF9, T.81 Annexes D+F QM coder — round 10,
+    # the last JPEG process family that degraded) under the oracle gate,
+    # two ways at once. (1) The DC+F(4,4) checker construction (see
+    # mm_jpeg_roundtrip_decode) is pixel-exact, so the arith-decoded
+    # pixel sum has the closed form 64·(4·base + 80) — any QM interval,
+    # carry-resolution, byte-stuffing, or Annex F context bug breaks the
+    # hash. (2) On ARBITRARY doc-dependent content (rotating gray /
+    # RGB 4:2:0 / 12-bit, lossy quant), the arithmetic and Huffman
+    # streams of the same image must decode BIT-IDENTICALLY because only
+    # the entropy layer differs — `bit_identical` is 1 in the oracle, so
+    # a single mismatching sample anywhere in the corpus flips the hash.
+    oracle="""
+SELECT doc_id,
+       'pixels' AS via,
+       1 AS bit_identical,
+       (64 * (4 * (20 + doc_id % 150) + 80))::BIGINT AS exact_sum
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""",
+    survey_ref="[EXT] multimodal arithmetic-coded JPEG (SOF9, Annexes D+F, round 10)",
+    tags=["multimodal", "decode"],
+)
+def mm_arith_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG as a query: per doc, (a) encode+decode the
+    pixel-exact checker through the SOF9 path and report the decoded
+    sum; (b) encode an arbitrary image BOTH ways (SOF9 and SOF0/1) and
+    compare the decoded bytes — the differential gate that pins the QM
+    coder + adaptive statistical models against the already-oracle-
+    checked Huffman decoder on content no closed form covers. One
+    Arrow-batched mapInPandas pass; blobs never leave the executors."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                # (a) exact checker: blocks hold only F(0,0) and F(4,4)
+                base, m1 = 20 + i % 150, 1 + i % 5
+                checker = [
+                    [
+                        base + 17 * (x // 8) + 23 * (y // 8)
+                        + m1 * s[x % 8] * s[y % 8]
+                        for x in range(16)
+                    ]
+                    for y in range(16)
+                ]
+                blob = MM.encode_jpeg_arith(checker)
+                via = MM.decode_capability(blob)
+                _w, _h, _n, raw = MM.decode_jpeg_arith(blob)
+                exact_sum = sum(raw)
+                # (b) differential on arbitrary content
+                w, h = 9 + i % 8, 7 + i % 6
+                mode = i % 3
+                prec = 12 if mode == 2 else 8
+                mx = (1 << prec) - 1
+                if mode == 1:
+                    img = [
+                        [((i * 37 + 11 * x) % 256, (5 * y + i) % 256,
+                          (x * y + i * 3) % 256) for x in range(w)]
+                        for y in range(h)
+                    ]
+                    sub = 2
+                else:
+                    img = [
+                        [(i * 37 + 11 * x + 5 * y) % (mx + 1)
+                         for x in range(w)]
+                        for y in range(h)
+                    ]
+                    sub = 1
+                quant = [1 + i % 4] * 64
+                a = MM.decode_jpeg_arith(MM.encode_jpeg_arith(
+                    img, quant=quant, subsample=sub, precision=prec))
+                hf = MM.decode_jpeg(MM.encode_jpeg(
+                    img, quant=quant, subsample=sub, precision=prec))
+                rows.append((i, via, int(a == hf), exact_sum))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "via", "bit_identical", "exact_sum"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("via", T.StringType()),
+            T.StructField("bit_identical", T.IntegerType()),
+            T.StructField("exact_sum", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
