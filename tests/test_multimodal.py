@@ -897,3 +897,58 @@ class TestJpegArithmetic:
         w, h, c, data = MM.decode_jpeg_arith(MM.encode_jpeg_arith(px))
         got = np.frombuffer(data, np.uint8).reshape(64, 64)
         assert np.array_equal(got, np.array(px))
+
+
+class TestMp4Container:
+    """ISO-BMFF (MP4) container walk — round 10: the video modality's
+    typed-metadata seam. Payload (codec sample) decode is out of scope
+    by design; the contract is container metadata from an O(header)
+    box walk that skips mdat by size, exactly like the other header
+    parsers."""
+
+    def test_roundtrip_both_layouts_and_size_forms(self):
+        for layout in (False, True):
+            for large in (False, True):
+                b = MM.encode_mp4(640, 360, 12345, n_video=1, n_audio=2,
+                                  streaming_layout=layout, large_mdat=large)
+                assert MM.parse_mp4_meta(b) == (
+                    "video/mp4", 640, 360, 12345, 3, "vide,soun,soun",
+                )
+                assert MM.sniff_mime(b) == "video/mp4"
+                assert MM.parse_media_header(b) == ("video/mp4", 640, 360, 3)
+                # capability: container metadata only, never 'pixels'
+                assert MM.decode_capability(b) == "header"
+                assert MM.decode_image_meta(b) == (
+                    "video/mp4", 640, 360, 3, "header",
+                )
+
+    def test_timescale_conversion_and_audio_only(self):
+        b = MM.encode_mp4(64, 48, 1500, timescale=90000)
+        assert MM.parse_mp4_meta(b)[3] == 1500
+        b = MM.encode_mp4(0, 0, 980, n_video=0, n_audio=1)
+        assert MM.parse_mp4_meta(b) == ("video/mp4", 0, 0, 980, 1, "soun")
+
+    def test_truncation_and_corrupt_sizes_degrade(self):
+        import struct
+
+        full = MM.encode_mp4(320, 240, 5000)
+        for n in (3, 9, 15, 40, len(full) // 2, len(full) - 5):
+            out = MM.parse_mp4_meta(full[:n])
+            assert isinstance(out, tuple) and len(out) == 6
+        # a box claiming to extend past EOF must stop the walk, not
+        # over-read or loop
+        bad = bytearray(full)
+        bad[0:4] = struct.pack(">I", 0xFFFFFFF0)
+        assert isinstance(MM.parse_mp4_meta(bytes(bad)), tuple)
+        # size==0 (to-end-of-file) form parses
+        i = full.index(b"mdat") - 4
+        z = full[:i] + struct.pack(">I", 0) + full[i + 4:]
+        # moov precedes mdat in the default layout, so metadata survives
+        assert MM.parse_mp4_meta(z)[:4] == ("video/mp4", 320, 240, 5000)
+
+    def test_non_mp4_rejected(self):
+        assert MM.parse_mp4_meta(b"RIFFxxxxWAVE")[0] == "application/octet-stream"
+        assert MM.parse_mp4_meta(None)[0] == "application/octet-stream"
+        assert MM.parse_mp4_meta(b"\x00\x00\x00\x08free")[0] == (
+            "application/octet-stream"
+        )

@@ -21,6 +21,12 @@ module carries its own spec-conforming stdlib codecs:
   Arithmetic-progressive/-lossless (SOF10/11) and
   differential-progressive streams degrade gracefully to header
   metadata.
+- WAV: RIFF/WAVE PCM encode/decode (stdlib `wave`) + a wave-free
+  fmt-chunk header walk for truncated blobs (round 10);
+- MP4: structurally real ISO-BMFF container encode + recursive box-walk
+  metadata parse (moov/mvhd/trak/tkhd/mdia/hdlr, both moov-first and
+  streaming layouts, 64-bit box sizes) — container metadata only, codec
+  payloads stay opaque by design (round 10).
 - `fake_decode_meta(...)` remains a deterministic stand-in (metadata from
   the payload hash) for exercising plumbing against non-image payloads.
 
@@ -72,6 +78,10 @@ def sniff_mime(blob: bytes | None) -> str:
     for magic, mime in MAGIC_PREFIXES.items():
         if blob.startswith(magic):
             return mime
+    # ISO-BMFF: the ftyp box type sits at offset 4 after ANY box size,
+    # so a prefix table can't catch it generically (round 10)
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 
@@ -3065,6 +3075,9 @@ def parse_media_header(blob: bytes | None) -> tuple[str, int, int, int]:
     if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
         width, height = struct.unpack("<HH", blob[6:10])
         return ("image/gif", width, height, 3)  # palette resolves to RGB
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        # ISO-BMFF (MP4): box walk to moov/trak/tkhd (round 10)
+        return parse_mp4_header(blob)
     return ("application/octet-stream", 0, 0, 0)
 
 
@@ -3191,6 +3204,178 @@ def parse_wav_header(blob: bytes | None) -> tuple[str, int, int, int]:
             return ("audio/wav", nch, rate, bits)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     return ("audio/wav", 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Video (MP4 / ISO-BMFF, ISO/IEC 14496-12) — round 10: the video leg of the
+# multimodal column goes container-REAL. A structurally valid box tree
+# (ftyp / free / mdat / moov{mvhd, trak{tkhd, mdia{mdhd, hdlr}}}) is
+# encoded and walked back with a recursive box parser: dimensions from
+# tkhd's 16.16 fixed-point fields, duration from mvhd timescale+duration,
+# per-track handler types from hdlr. Codec PAYLOAD decode (H.264 etc.)
+# stays out of scope — mdat is opaque — which is exactly the 100 TB scan
+# contract: container metadata is the cheap header-walk slice, sample
+# decode belongs on a codec-equipped cluster, routed by `via`.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
+    """One ISO-BMFF box. `large=True` exercises the 64-bit size form
+    (size field = 1, u64 largesize follows the type)."""
+    import struct
+
+    if large:
+        return struct.pack(">I", 1) + btype + struct.pack(
+            ">Q", 16 + len(payload)
+        ) + payload
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    duration_ms: int,
+    n_video: int = 1,
+    n_audio: int = 0,
+    timescale: int = 1000,
+    streaming_layout: bool = False,
+    large_mdat: bool = False,
+) -> bytes:
+    """Structurally REAL MP4 (ISO-BMFF) container, stdlib only: full
+    box tree with spec-layout mvhd (v0), per-track tkhd (dims as 16.16
+    fixed point), mdhd and hdlr ('vide'/'soun'). The mdat payload is
+    opaque filler — container-level metadata is the contract here, not
+    codec samples. `streaming_layout=True` puts moov AFTER mdat (the
+    progressive-download shape), so the walker must skip payload boxes
+    by size, never scan. `large_mdat` uses the 64-bit box-size form."""
+    import struct
+
+    dur = (duration_ms * timescale) // 1000
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">iHHII", 0x00010000, 0x0100, 0, 0, 0)
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", n_video + n_audio + 1),
+    )
+    traks = b""
+    for t in range(n_video + n_audio):
+        is_video = t < n_video
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">BxxxIIIxxxxI", 0, 0, 0, t + 1, dur)
+            + b"\x00" * 8
+            + struct.pack(">HHHxx", 0, 0, 0 if is_video else 0x0100)
+            + matrix
+            + struct.pack(">II",
+                          (width << 16) if is_video else 0,
+                          (height << 16) if is_video else 0),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            struct.pack(">BxxxIIII", 0, 0, 0, timescale, dur)
+            + struct.pack(">Hxx", 0x55C4),  # language 'und'
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            struct.pack(">Bxxx", 0) + b"\x00" * 4
+            + (b"vide" if is_video else b"soun")
+            + b"\x00" * 12
+            + (b"VideoHandler\x00" if is_video else b"SoundHandler\x00"),
+        )
+        traks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr))
+    moov = _mp4_box(b"moov", mvhd + traks)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    free = _mp4_box(b"free", b"\x00" * 6)
+    mdat = _mp4_box(b"mdat", b"\xA5" * 32, large=large_mdat)
+    if streaming_layout:
+        return ftyp + free + mdat + moov
+    return ftyp + free + moov + mdat
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    [pos, end); handles u64 largesize (size==1) and to-end-of-enclosing
+    (size==0) forms; stops on a malformed size instead of looping."""
+    import struct
+
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return  # truncated/corrupt: degrade, never over-read
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4_meta(
+    blob: bytes | None,
+) -> tuple[str, int, int, int, int, str]:
+    """ISO-BMFF walk: (mime, width, height, duration_ms, n_tracks,
+    handlers) where handlers is the comma-joined hdlr 4ccs in track
+    order (e.g. 'vide,soun'). Dimensions come from the first video
+    track's tkhd 16.16 fields; duration from mvhd. Non-MP4 input →
+    octet-stream zeros — the video twin of parse_media_header, reading
+    O(header) bytes, never the mdat payload."""
+    import struct
+
+    if not blob or len(blob) < 12 or blob[4:8] != b"ftyp":
+        return ("application/octet-stream", 0, 0, 0, 0, "")
+    width = height = duration_ms = n_tracks = 0
+    handlers: list[str] = []
+    for btype, body, bend in _mp4_boxes(blob, 0, len(blob)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _mp4_boxes(blob, body, bend):
+            if ctype == b"mvhd" and cbody + 20 <= cend:
+                ver = blob[cbody]
+                if ver == 1 and cbody + 28 <= cend:  # v1: u64 times
+                    (tsc,) = struct.unpack(">I", blob[cbody + 20 : cbody + 24])
+                    (dur,) = struct.unpack(">Q", blob[cbody + 24 : cbody + 32])
+                else:
+                    tsc, dur = struct.unpack(
+                        ">II", blob[cbody + 12 : cbody + 20]
+                    )
+                if tsc:
+                    duration_ms = (dur * 1000) // tsc
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, tbody, tend in _mp4_boxes(blob, cbody, cend):
+                    if ttype == b"tkhd" and tbody + 84 <= tend:
+                        tw, th = struct.unpack(
+                            ">II", blob[tbody + 76 : tbody + 84]
+                        )
+                        if width == 0 and tw:
+                            width, height = tw >> 16, th >> 16
+                    elif ttype == b"mdia":
+                        for mtype, mbody, mend in _mp4_boxes(
+                            blob, tbody, tend
+                        ):
+                            if mtype == b"hdlr" and mbody + 12 <= mend:
+                                handlers.append(
+                                    blob[mbody + 8 : mbody + 12].decode(
+                                        "latin-1"
+                                    )
+                                )
+    return ("video/mp4", width, height, duration_ms, n_tracks,
+            ",".join(handlers))
+
+
+def parse_mp4_header(blob: bytes | None) -> tuple[str, int, int, int]:
+    """(mime, width, height, n_tracks) — the parse_media_header-shaped
+    slice of parse_mp4_meta."""
+    mime, w, h, _dur, n_tracks, _hd = parse_mp4_meta(blob)
+    return (mime, w, h, n_tracks)
 
 
 FEATURE_DIM = 16

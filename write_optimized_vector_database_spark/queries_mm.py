@@ -1125,3 +1125,85 @@ def mm_arith_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "mm_mp4_container_scan",
+    # ISO-BMFF (MP4) container metadata — round 10, the video leg of the
+    # multimodal column: per doc a structurally real box tree (ftyp /
+    # free / moov{mvhd, trak{tkhd, mdia{mdhd, hdlr}}} / mdat) is
+    # synthesized with doc-dependent dims / duration / track mix, in
+    # BOTH byte layouts (moov-first and the streaming moov-after-mdat
+    # shape, by parity) plus the 64-bit box-size form (doc_id%5==0), and
+    # walked back by the recursive box parser. Every emitted column is
+    # closed-form in doc_id, so any box-size arithmetic, 16.16
+    # fixed-point, timescale conversion, or handler-walk bug breaks the
+    # hash. Payload decode is out of scope BY DESIGN: `via` = 'header'
+    # pins that the capability probe routes video to the metadata slice.
+    oracle="""
+SELECT doc_id,
+       'video/mp4' AS mime,
+       (160 + 16 * (doc_id % 20))::INT AS width,
+       (96 + 8 * (doc_id % 15))::INT AS height,
+       (1000 + doc_id % 4000)::INT AS duration_ms,
+       (1 + doc_id % 3)::INT AS n_tracks,
+       'vide' || repeat(',soun', (doc_id % 3)::INT) AS handlers,
+       'header' AS via
+FROM documents WHERE doc_id < 300 ORDER BY doc_id
+""",
+    survey_ref="[EXT] multimodal MP4/ISO-BMFF container walk (round 10)",
+    tags=["multimodal", "video"],
+)
+def mm_mp4_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container metadata extraction as a query: encode an MP4
+    per doc, parse it back through the box walker, report typed
+    metadata. One Arrow-batched mapInPandas pass; at 100 TB this is the
+    scan that inventories a mixed video corpus without touching mdat
+    payloads (the walker skips them by size), leaving sample decode to
+    a codec-equipped cluster routed on `via`."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                blob = MM.encode_mp4(
+                    160 + 16 * (i % 20),
+                    96 + 8 * (i % 15),
+                    1000 + i % 4000,
+                    n_video=1,
+                    n_audio=i % 3,
+                    timescale=90000 if i % 2 else 1000,
+                    streaming_layout=bool(i % 2),
+                    large_mdat=(i % 5 == 0),
+                )
+                mime, w, h, dur, ntr, hd = MM.parse_mp4_meta(blob)
+                via = MM.decode_capability(blob)
+                rows.append((i, mime, w, h, dur, ntr, hd, via))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height",
+                         "duration_ms", "n_tracks", "handlers", "via"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("handlers", T.StringType()),
+            T.StructField("via", T.StringType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
