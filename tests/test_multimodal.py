@@ -350,8 +350,12 @@ class TestJpegCodec:
         arith = MM.encode_jpeg_arith([[50] * 8 for _ in range(8)])
         assert MM.decode_capability(arith) == "pixels"
         assert MM.decode_image_meta(arith) == ("image/jpeg", 8, 8, 1, "pixels")
-        # arithmetic-progressive (SOF10) / exotic SOF markers still degrade
-        exotic = full.replace(b"\xff\xc0", b"\xff\xca", 1)
+        # arithmetic PROGRESSIVE (SOF10) decodes too (Annex G.2)
+        parith = MM.encode_jpeg_progressive_arith([[50] * 8 for _ in range(8)])
+        assert MM.decode_capability(parith) == "pixels"
+        assert MM.decode_image_meta(parith) == ("image/jpeg", 8, 8, 1, "pixels")
+        # differential-arithmetic / exotic SOF markers still degrade
+        exotic = full.replace(b"\xff\xc0", b"\xff\xce", 1)
         assert MM.decode_capability(exotic) == "header"
         assert MM.decode_image_meta(exotic)[4] == "header"
 
@@ -952,3 +956,124 @@ class TestMp4Container:
         assert MM.parse_mp4_meta(b"\x00\x00\x00\x08free")[0] == (
             "application/octet-stream"
         )
+
+
+class TestJpegProgressiveArithmetic:
+    """Arithmetic-coded progressive JPEG (SOF10, T.81 Annex G over the
+    QM coder) — round 10. The differential gate is three-way: the
+    SOF10 stream must decode bit-identically to BOTH the sequential
+    (SOF0) and the Huffman-progressive (SOF2) codecs of the same image
+    and quant table, pinning the per-scan QM restart, the
+    point-transformed DC model, the banded AC model, and the G.1.3.3
+    refinement model against two already-oracle-checked decoders."""
+
+    def test_three_way_differential_on_random_images(self):
+        import random
+
+        rng = random.Random(11)
+        for mode, sub in [("gray", 1), ("rgb", 1), ("rgb", 2)]:
+            hh, ww = rng.choice([(17, 23), (16, 16), (9, 40), (24, 24)])
+            if mode == "gray":
+                px = [[rng.randint(0, 255) for _ in range(ww)]
+                      for _ in range(hh)]
+            else:
+                px = [[(rng.randint(0, 255), rng.randint(0, 255),
+                        rng.randint(0, 255)) for _ in range(ww)]
+                      for _ in range(hh)]
+            quant = ([1] * 64 if rng.random() < 0.5
+                     else [rng.randint(1, 16) for _ in range(64)])
+            pa = MM.decode_jpeg_progressive_arith(
+                MM.encode_jpeg_progressive_arith(px, quant=quant,
+                                                 subsample=sub))
+            sq = MM.decode_jpeg(MM.encode_jpeg(px, quant=quant,
+                                               subsample=sub))
+            ph = MM.decode_jpeg_progressive(
+                MM.encode_jpeg_progressive(px, quant=quant, subsample=sub))
+            assert pa == sq == ph, (mode, sub)
+
+    def test_compresses_better_than_huffman_progressive(self):
+        px = [[(x * 255) // 63 for x in range(64)] for _ in range(64)]
+        sa = len(MM.encode_jpeg_progressive_arith(px))
+        sh = len(MM.encode_jpeg_progressive(px))
+        assert sa < sh * 0.8, (sa, sh)
+
+    def test_capability_dims_and_dri_gates(self):
+        import struct
+
+        import pytest
+
+        blob = MM.encode_jpeg_progressive_arith(
+            [[(3 * x + 5 * y) % 256 for x in range(16)] for y in range(16)])
+        assert MM.decode_capability(blob) == "pixels"
+        assert MM.decode_image(blob) == (16, 16, 1)
+        i = blob.index(b"\xff\xca")
+        huge = blob[: i + 5] + struct.pack(">HH", 65535, 65535) + blob[i + 9:]
+        with pytest.raises(ValueError, match="implausible"):
+            MM.decode_jpeg_progressive_arith(huge)
+        assert MM.decode_image_meta(huge)[4] in ("header", "opaque")
+        j = blob.index(b"\xff\xda")
+        mut = blob[:j] + b"\xff\xdd\x00\x04\x00\x08" + blob[j:]
+        assert MM.decode_capability(mut) == "header"
+        # truncation degrades, never raises
+        assert MM.decode_image_meta(blob[:-25])[4] in ("pixels", "header")
+
+
+class TestJpegLosslessArithmetic:
+    """Arithmetic-coded lossless JPEG (SOF11, T.81 Annex H.1.2.2 — the
+    2-D-conditioned QM model) — round 10, completing the arithmetic
+    family. Contracts: (1) bit-exact roundtrip on ARBITRARY images (the
+    lossless family's native oracle); (2) differential — identical
+    decoded bytes to the SOF3 Huffman path; (3) the 2-D conditioning
+    demonstrably engages (smooth content compresses far below the
+    Huffman SSSS coding)."""
+
+    def test_differential_vs_sof3_across_shapes(self):
+        import random
+
+        rng = random.Random(5)
+        cases = [("gray", 8), ("gray", 12), ("gray", 16), ("gray", 4),
+                 ("rgb", 8)]
+        for mode, prec in cases:
+            hh, ww = rng.choice([(7, 11), (16, 16), (5, 23)])
+            mx = (1 << prec) - 1
+            pred = rng.randint(1, 7)
+            pt = rng.choice([0, 0, 1])
+            if mode == "gray":
+                px = [[rng.randint(0, mx) for _ in range(ww)]
+                      for _ in range(hh)]
+            else:
+                px = [[(rng.randint(0, mx), rng.randint(0, mx),
+                        rng.randint(0, mx)) for _ in range(ww)]
+                      for _ in range(hh)]
+            a = MM.decode_jpeg_lossless_arith(MM.encode_jpeg_lossless_arith(
+                px, predictor=pred, precision=prec, point_transform=pt))
+            hf = MM.decode_jpeg_lossless(MM.encode_jpeg_lossless(
+                px, predictor=pred, precision=prec, point_transform=pt))
+            assert a == hf, (mode, prec, pred, pt)
+
+    def test_bit_exact_roundtrip_arbitrary_gray(self):
+        import numpy as np
+
+        px = [[(31 * y + 7 * x * x) % 256 for x in range(19)]
+              for y in range(13)]
+        w, h, c, raw = MM.decode_jpeg_lossless_arith(
+            MM.encode_jpeg_lossless_arith(px, predictor=4))
+        assert (w, h, c) == (19, 13, 1)
+        assert np.array_equal(
+            np.frombuffer(raw, np.uint8).reshape(13, 19), np.array(px))
+
+    def test_2d_conditioning_compresses_smooth_content(self):
+        px = [[(x + y) % 256 for x in range(48)] for y in range(48)]
+        sa = len(MM.encode_jpeg_lossless_arith(px, predictor=7))
+        sh = len(MM.encode_jpeg_lossless(px, predictor=7))
+        assert sa < sh * 0.2, (sa, sh)  # measured ~0.03x
+
+    def test_capability_and_dri_gates(self):
+        blob = MM.encode_jpeg_lossless_arith([[9 * i % 256 for i in
+                                               range(12)]] * 10)
+        assert MM.decode_capability(blob) == "pixels"
+        assert MM.decode_image(blob) == (12, 10, 1)
+        i = blob.index(b"\xff\xda")
+        mut = blob[:i] + b"\xff\xdd\x00\x04\x00\x08" + blob[i:]
+        assert MM.decode_capability(mut) == "header"
+        assert MM.decode_image_meta(blob[:-15])[4] in ("pixels", "header")

@@ -16,11 +16,13 @@ module carries its own spec-conforming stdlib codecs:
   HIERARCHICAL (DHP/EXP pyramids, Annex J: sequential-DCT coarse frame
   + optional differential-DCT SOF5 refinement + differential-lossless
   SOF7 correction, pixel-exact on arbitrary images — round 10), and
-  ARITHMETIC-CODED sequential (SOF9, Annexes D+F: QM coder with the
-  adaptive DC/AC statistical models, 8/12-bit — round 10).
-  Arithmetic-progressive/-lossless (SOF10/11) and
-  differential-progressive streams degrade gracefully to header
-  metadata.
+  the full ARITHMETIC-CODED family (round 10): sequential SOF9
+  (Annexes D+F: QM coder with the adaptive DC/AC statistical models,
+  8/12-bit), progressive SOF10 (Annex G.2: per-scan QM restart,
+  point-transformed DC, banded AC, refinement correction model), and
+  lossless SOF11 (Annex H.1.2.2: 2-D Da/Db-conditioned model,
+  2-16 bit). Only the standalone differential processes degrade
+  gracefully to header metadata.
 - WAV: RIFF/WAVE PCM encode/decode (stdlib `wave`) + a wave-free
   fmt-chunk header walk for truncated blobs (round 10);
 - MP4: structurally real ISO-BMFF container encode + recursive box-walk
@@ -229,6 +231,14 @@ def decode_image(blob: bytes) -> tuple[int, int, int]:
         if sof == 0xC9 and has_sos and prec in (8, 12) and not _jpeg_has_dri(blob):
             w, h, nch, _px = decode_jpeg_arith(blob)
             return w, h, nch
+        if sof == 0xCA and has_sos and prec == 8 and not _jpeg_has_dri(blob):
+            w, h, nch, _px = decode_jpeg_progressive_arith(blob)
+            return w, h, nch
+        if sof == 0xCB and has_sos and prec is not None and (
+            2 <= prec <= 16
+        ) and not _jpeg_has_dri(blob):
+            w, h, nch, _px = decode_jpeg_lossless_arith(blob)
+            return w, h, nch
         if sof == 0xDE and has_sos and _jpeg_hier_decodable(blob):
             w, h, nch, _px = decode_jpeg_hierarchical(blob)
             return w, h, nch
@@ -276,15 +286,22 @@ def decode_capability(blob: bytes | None) -> str:
             return "pixels"
         # round 10: lossless (SOF3, any precision 2-16, Annex H) and
         # hierarchical (DHP, Annex J) when every stage is a frame type
-        # the walker implements (SOF0/1/3/5/7); arithmetic SEQUENTIAL
-        # (SOF9, Annexes D+F) decodes for real as of round 10 —
-        # arithmetic-progressive/-lossless (SOF10/11) and
-        # differential-progressive stages still degrade
+        # the walker implements (SOF0/1/3/5/7); the full arithmetic
+        # family — SEQUENTIAL (SOF9, Annexes D+F), PROGRESSIVE (SOF10,
+        # Annex G.2) and LOSSLESS (SOF11, Annex H.1.2.2) — decodes for
+        # real as of round 10; only the differential processes
+        # (SOF5-7/13-15 outside a hierarchical pyramid) degrade
         if sof == 0xC3 and has_sos and prec is not None and (
             2 <= prec <= 16
         ) and not _jpeg_has_dri(blob):
             return "pixels"
         if sof == 0xC9 and has_sos and prec in (8, 12) and not _jpeg_has_dri(blob):
+            return "pixels"
+        if sof == 0xCA and has_sos and prec == 8 and not _jpeg_has_dri(blob):
+            return "pixels"
+        if sof == 0xCB and has_sos and prec is not None and (
+            2 <= prec <= 16
+        ) and not _jpeg_has_dri(blob):
             return "pixels"
         if sof == 0xDE and has_sos and _jpeg_hier_decodable(blob):
             return "pixels"
@@ -2537,57 +2554,81 @@ class _QMDecoder:
 # (index 113), never adapted.
 
 
-def _arith_enc_block(enc, zz, cstate, dc_stats, ac_stats, fixed,
-                     dc_l: int, dc_u: int, kx: int) -> None:
-    """Encode one zigzagged quantized block (F.1.4.1 DC, F.1.4.2 AC).
-    `cstate` is the per-component [last_dc, dc_context] pair."""
-    v = zz[0] - cstate[0]
-    st = cstate[1]
+def _arith_enc_val(enc, v, stats, s0: int, chain: int) -> tuple[int, int]:
+    """Encode one signed value through the Annex F sign/magnitude tree:
+    zero decision at s0, sign at s0+1, first magnitude decision at
+    s0+2/s0+3 (by sign), X2+ chain at `chain`, magnitude bits at the
+    final X position + 14. Returns (sign, m-category) for the caller's
+    conditioning bookkeeping. The DC model is (s0=context, chain=20);
+    the lossless model reuses it with 2-D-conditioned bases."""
+    st = s0
     if v == 0:
-        enc.encode(dc_stats, st, 0)
+        enc.encode(stats, st, 0)
+        return 0, 0
+    enc.encode(stats, st, 1)
+    if v > 0:
+        enc.encode(stats, st + 1, 0)
+        st += 2
+        sign = 0
+    else:
+        v = -v
+        enc.encode(stats, st + 1, 1)
+        st += 3
+        sign = 1
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        v2 = v
+        st = chain
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    st += 14  # magnitude bit pattern bin
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        enc.encode(stats, st, 1 if (mm & v) else 0)
+    return sign, m
+
+
+def _arith_enc_dc(enc, dc, cstate, dc_stats, dc_l: int, dc_u: int) -> None:
+    """Encode one DC value as a conditioned difference (F.1.4.1).
+    `cstate` is the per-component [last_dc, dc_context] pair; in
+    progressive DC-first scans the caller passes the point-transformed
+    value and the predictor tracks the shifted domain (G.1.2.1)."""
+    v = dc - cstate[0]
+    if v == 0:
+        enc.encode(dc_stats, cstate[1], 0)
         cstate[1] = 0
     else:
-        cstate[0] = zz[0]
-        enc.encode(dc_stats, st, 1)
-        if v > 0:
-            enc.encode(dc_stats, st + 1, 0)
-            st += 2
-            base = 4  # small positive category
-        else:
-            v = -v
-            enc.encode(dc_stats, st + 1, 1)
-            st += 3
-            base = 8  # small negative category
-        m = 0
-        v -= 1
-        if v:
-            enc.encode(dc_stats, st, 1)
-            m = 1
-            v2 = v
-            st = 20  # Table F.4: X1
-            while v2 >> 1:
-                v2 >>= 1
-                enc.encode(dc_stats, st, 1)
-                m <<= 1
-                st += 1
-        enc.encode(dc_stats, st, 0)
+        cstate[0] = dc
+        sign, m = _arith_enc_val(enc, v, dc_stats, cstate[1], 20)
         # F.1.4.4.1.2: next block's DC conditioning category
         if m < (1 << dc_l) >> 1:
             cstate[1] = 0
         elif m > (1 << dc_u) >> 1:
-            cstate[1] = base + 8  # large diff category
+            cstate[1] = 12 + sign * 4  # large diff category
         else:
-            cstate[1] = base
-        st += 14  # magnitude bit pattern bin
-        while m >> 1:
-            m >>= 1
-            enc.encode(dc_stats, st, 1 if (m & v) else 0)
+            cstate[1] = 4 + sign * 4
+
+
+def _arith_enc_ac_band(enc, zz, ss: int, se: int, ac_stats, fixed,
+                       kx: int) -> None:
+    """Encode the AC coefficients of one block over zigzag band
+    [ss, se] (F.1.4.2; sequential is the ss=1/se=63 case, progressive
+    AC-first scans pass the spectral band with point-transformed
+    values)."""
     ke = 0
-    for k in range(63, 0, -1):
+    for k in range(se, ss - 1, -1):
         if zz[k]:
             ke = k
             break
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(ac_stats, st, 0)  # EOB decision: more coefficients
@@ -2625,53 +2666,74 @@ def _arith_enc_block(enc, zz, cstate, dc_stats, ac_stats, fixed,
             m >>= 1
             enc.encode(ac_stats, st, 1 if (m & v) else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
 
 
-def _arith_dec_block(dec, cstate, dc_stats, ac_stats, fixed,
-                     dc_l: int, dc_u: int, kx: int) -> list[int]:
-    """Decode one block to a 64-long zigzag list (F.2.4.1/F.2.4.2) —
-    the exact mirror of _arith_enc_block."""
-    zz = [0] * 64
-    st = cstate[1]
-    if dec.decode(dc_stats, st) == 0:
+def _arith_enc_block(enc, zz, cstate, dc_stats, ac_stats, fixed,
+                     dc_l: int, dc_u: int, kx: int) -> None:
+    """Encode one zigzagged quantized block (F.1.4.1 DC, F.1.4.2 AC)."""
+    _arith_enc_dc(enc, zz[0], cstate, dc_stats, dc_l, dc_u)
+    _arith_enc_ac_band(enc, zz, 1, 63, ac_stats, fixed, kx)
+
+
+def _arith_dec_val(dec, stats, s0: int, chain: int) -> tuple[int, int, int]:
+    """Decode one signed value — mirror of _arith_enc_val. Returns
+    (value, sign, m-category); value 0 means the zero decision fired."""
+    st = s0
+    if dec.decode(stats, st) == 0:
+        return 0, 0, 0
+    sign = dec.decode(stats, st + 1)
+    st += 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = chain
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic JPEG magnitude overflow")
+            st += 1
+    v = m
+    st += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        if dec.decode(stats, st):
+            v |= mm
+    v += 1
+    return (-v if sign else v), sign, m
+
+
+def _arith_dec_dc(dec, cstate, dc_stats, dc_l: int, dc_u: int) -> int:
+    """Decode one DC value (F.2.4.1) — mirror of _arith_enc_dc; updates
+    and returns cstate[0]."""
+    v, sign, m = _arith_dec_val(dec, dc_stats, cstate[1], 20)
+    if v == 0:
         cstate[1] = 0
     else:
-        sign = dec.decode(dc_stats, st + 1)
-        st += 2 + sign
-        m = dec.decode(dc_stats, st)
-        if m:
-            st = 20
-            while dec.decode(dc_stats, st):
-                m <<= 1
-                if m == 0x8000:
-                    raise ValueError("arithmetic JPEG DC magnitude overflow")
-                st += 1
         if m < (1 << dc_l) >> 1:
             cstate[1] = 0
         elif m > (1 << dc_u) >> 1:
             cstate[1] = 12 + sign * 4
         else:
             cstate[1] = 4 + sign * 4
-        v = m
-        st += 14
-        while m >> 1:
-            m >>= 1
-            if dec.decode(dc_stats, st):
-                v |= m
-        v += 1
-        cstate[0] += -v if sign else v
-    zz[0] = cstate[0]
-    k = 1
-    while k <= 63:
+        cstate[0] += v
+    return cstate[0]
+
+
+def _arith_dec_ac_band(dec, zz, ss: int, se: int, ac_stats, fixed,
+                       kx: int) -> None:
+    """Decode AC coefficients over zigzag band [ss, se] into zz —
+    mirror of _arith_enc_ac_band."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(ac_stats, st):
             break  # EOB
         while dec.decode(ac_stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("arithmetic JPEG AC index overrun")
         sign = dec.decode(fixed, 0)
         st += 2
@@ -2696,6 +2758,15 @@ def _arith_dec_block(dec, cstate, dc_stats, ac_stats, fixed,
         v += 1
         zz[k] = -v if sign else v
         k += 1
+
+
+def _arith_dec_block(dec, cstate, dc_stats, ac_stats, fixed,
+                     dc_l: int, dc_u: int, kx: int) -> list[int]:
+    """Decode one block to a 64-long zigzag list (F.2.4.1/F.2.4.2) —
+    the exact mirror of _arith_enc_block."""
+    zz = [0] * 64
+    zz[0] = _arith_dec_dc(dec, cstate, dc_stats, dc_l, dc_u)
+    _arith_dec_ac_band(dec, zz, 1, 63, ac_stats, fixed, kx)
     return zz
 
 
@@ -2921,6 +2992,632 @@ def decode_jpeg_arith(blob: bytes) -> tuple[int, int, int, bytes]:
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
 
     return _jpeg_assemble(planes, comps, hmax, vmax, width, height, prec)
+
+
+def encode_jpeg_progressive_arith(
+    pixels: list[list],
+    quant: list[int] | None = None,
+    subsample: int = 1,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """REAL arithmetic-coded PROGRESSIVE JPEG encoder (SOF10, T.81
+    Annex G.1.3 over the Annex D QM coder): same coefficient front half
+    and scan script as encode_jpeg_progressive, with the arithmetic
+    statistical models as the entropy layer — DC-first scans code
+    point-transformed diffs through the conditioned DC model, DC
+    refinements one fixed-context bit per unit (G.1.3.2), AC-first
+    scans the banded AC model, AC refinements the G.1.3.3 correction
+    model (history coefficients get a correction bit in the per-k st+2
+    bin, newly-nonzero ones a fixed-context sign). The QM coder and all
+    statistics restart per scan (G.1.3). 8-bit, no restart intervals.
+    With the same quant table the stream decodes to exactly the
+    sequential codec's pixels — the differential gate."""
+    import struct
+
+    import numpy as np
+
+    C = _dct_mat()
+    q = np.ones((8, 8)) if quant is None else np.asarray(
+        quant, dtype=np.float64
+    ).reshape(8, 8)
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    gray = not isinstance(pixels[0][0], (tuple, list))
+    if gray:
+        planes = [np.asarray(pixels, dtype=np.float64)]
+        comps = [(1, 1, 1)]
+    else:
+        rgb = np.asarray(pixels, dtype=np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == 2:
+            def down(p):
+                ph = p[np.minimum(np.arange(0, h + h % 2), h - 1), :]
+                ph = ph[:, np.minimum(np.arange(0, w + w % 2), w - 1)]
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+            planes = [y, down(cb), down(cr)]
+            comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        else:
+            planes = [y, cb, cr]
+            comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    planes = [np.clip(np.round(p), 0, 255) for p in planes]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    coefs: list[np.ndarray] = []
+    for ci, (_cid, ch, cv) in enumerate(comps):
+        bh, bw_ = mcus_y * cv, mcus_x * ch
+        arr = np.zeros((bh, bw_, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = _plane_blocks(planes[ci], bx, by)
+                arr[by, bx] = np.round(
+                    (C @ (blk - 128.0) @ C.T) / q
+                ).astype(np.int32).reshape(64)
+        coefs.append(arr)
+
+    if scans is None:
+        scans = _default_progressive_scans(len(comps))
+
+    def nonint_grid(ci: int) -> tuple[int, int]:
+        _cid, ch, cv = comps[ci]
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    dc_l, dc_u, kx = 0, 1, 5
+    entropy: list[bytes] = []
+    for kind, cis, ss, se, ah, al in scans:
+        enc = _QMEncoder()
+        dc_stats = bytearray(64)
+        ac_stats = bytearray(256)
+        fixed = bytearray([113])
+        if kind == "dc" and ah == 0:
+            cstates = {ci: [0, 0] for ci in cis}
+            if len(cis) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in cis:
+                            _cid, ch, cv = comps[ci]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    dc = int(coefs[ci][my * cv + by,
+                                                       mx * ch + bx, 0])
+                                    _arith_enc_dc(enc, dc >> al,
+                                                  cstates[ci], dc_stats,
+                                                  dc_l, dc_u)
+            else:
+                ci = cis[0]
+                bh_, bw_b = nonint_grid(ci)
+                for by in range(bh_):
+                    for bx in range(bw_b):
+                        dc = int(coefs[ci][by, bx, 0])
+                        _arith_enc_dc(enc, dc >> al, cstates[ci],
+                                      dc_stats, dc_l, dc_u)
+        elif kind == "dc":  # DC refinement: fixed-context bit (G.1.3.2)
+            units = []
+            if len(cis) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in cis:
+                            _cid, ch, cv = comps[ci]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    units.append((ci, my * cv + by,
+                                                  mx * ch + bx))
+            else:
+                bh_, bw_b = nonint_grid(cis[0])
+                units = [(cis[0], by, bx) for by in range(bh_)
+                         for bx in range(bw_b)]
+            for ci, by, bx in units:
+                enc.encode(fixed, 0, (int(coefs[ci][by, bx, 0]) >> al) & 1)
+        elif ah == 0:  # AC first scan (single component, G.1.1)
+            ci = cis[0]
+            bh_, bw_b = nonint_grid(ci)
+            for by in range(bh_):
+                for bx in range(bw_b):
+                    block = coefs[ci][by, bx]
+                    zz = [0] * 64
+                    for k in range(ss, se + 1):
+                        v = int(block[_ZZ_POS[k]])
+                        t = abs(v) >> al  # point transform toward zero
+                        zz[k] = -t if v < 0 else t
+                    _arith_enc_ac_band(enc, zz, ss, se, ac_stats, fixed, kx)
+        else:  # AC refinement scan (G.1.3.3)
+            ci = cis[0]
+            bh_, bw_b = nonint_grid(ci)
+            for by in range(bh_):
+                for bx in range(bw_b):
+                    block = coefs[ci][by, bx]
+                    tval = {}
+                    ke = kex = ss - 1
+                    for k in range(ss, se + 1):
+                        v = int(block[_ZZ_POS[k]])
+                        t = abs(v) >> al
+                        tval[k] = t
+                        if t:
+                            ke = k
+                        if abs(v) >> ah:
+                            kex = k
+                    k = ss
+                    while k <= ke:
+                        st = 3 * (k - 1)
+                        if k > kex:
+                            enc.encode(ac_stats, st, 0)  # not EOB yet
+                        while True:
+                            t = tval[k]
+                            if t:
+                                if t >> 1:  # history coef: correction bit
+                                    enc.encode(ac_stats, st + 2, t & 1)
+                                else:  # newly nonzero: flag + fixed sign
+                                    enc.encode(ac_stats, st + 1, 1)
+                                    enc.encode(
+                                        fixed, 0,
+                                        1 if int(block[_ZZ_POS[k]]) < 0
+                                        else 0,
+                                    )
+                                break
+                            enc.encode(ac_stats, st + 1, 0)
+                            st += 3
+                            k += 1
+                        k += 1
+                    if ke < se:
+                        enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
+        entropy.append(enc.flush())
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qzz = bytes(int(q[r][c]) for r, c in _ZIGZAG)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        struct.pack(">BBB", cid, (ch << 4) | cv, 0) for cid, ch, cv in comps
+    )
+    out = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0x00]) + qzz)
+        + seg(0xCA, sof)  # SOF10: progressive DCT, arithmetic coding
+        + seg(0xCC, bytes([0x00, (dc_u << 4) | dc_l, 0x10, kx]))
+    )
+    for (kind, cis, ss, se, ah, al), data in zip(scans, entropy):
+        sos = bytes([len(cis)]) + b"".join(
+            bytes([comps[ci][0], 0x00]) for ci in cis
+        ) + bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos) + data
+    return out + b"\xff\xd9"
+
+
+def decode_jpeg_progressive_arith(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL arithmetic-coded progressive JPEG decode (SOF10): marker
+    parse with DAC conditioning, per-scan QM decode into persistent
+    coefficient arrays (DC first/refine, AC first/refine per G.2), then
+    the shared dequantize → IDCT → assemble tail. The QM decoder and
+    all statistics restart per scan; restart intervals are refused."""
+    import struct
+
+    import numpy as np
+
+    if blob[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+    qtabs: dict[int, np.ndarray] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    width = height = 0
+    mcus_x = mcus_y = hmax = vmax = 0
+    coefs: list[np.ndarray] = []
+    pos = 2
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = blob[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                vals = (
+                    struct.unpack(f">{64}H", data[i : i + 128])
+                    if pq
+                    else data[i : i + 64]
+                )
+                tab = np.zeros((8, 8))
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    tab[r][c] = vals[k]
+                qtabs[tq] = tab
+                i += n
+        elif marker == 0xCC:
+            i = 0
+            while i + 1 < len(data):
+                tc, tb = data[i] >> 4, data[i] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (data[i + 1] & 0x0F, data[i + 1] >> 4)
+                else:
+                    ac_cond[tb] = data[i + 1]
+                i += 2
+        elif marker == 0xCA:  # SOF10
+            prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            _jpeg_check_dims(width, height)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG sample precision {prec} (only 8-bit progressive)"
+                )
+            comps = [
+                (data[6 + 3 * k], data[7 + 3 * k] >> 4, data[7 + 3 * k] & 0x0F,
+                 data[8 + 3 * k])
+                for k in range(ncomp)
+            ]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            coefs = [
+                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+                for (_cid, ch, cv, _tq) in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"decode_jpeg_progressive_arith handles SOF10 only "
+                f"(got 0x{marker:02x})"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals unsupported in the arithmetic decoder"
+            )
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            by_id = {cid: k for k, (cid, _h, _v, _tq) in enumerate(comps)}
+            scan = [
+                (by_id[data[1 + 2 * k]], data[2 + 2 * k] >> 4,
+                 data[2 + 2 * k] & 0x0F)
+                for k in range(ns)
+            ]
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 0x0F
+            dec = _QMDecoder(blob, pos + 2 + length)
+            _decode_progressive_scan_arith(
+                dec, scan, ss, se, ah, al, comps, coefs, dc_cond, ac_cond,
+                mcus_x, mcus_y, hmax, vmax, width, height,
+            )
+            # entropy data ends at the next real marker (0xFF00 is data)
+            pos = dec.pos
+            while pos + 1 < len(blob):
+                if blob[pos] == 0xFF and blob[pos + 1] != 0x00:
+                    break
+                pos += 1
+            continue
+        pos += 2 + length
+    if not comps:
+        raise ValueError("JPEG stream missing SOF")
+
+    C = _dct_mat()
+    planes = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        bh, bw_ = coefs[ci].shape[:2]
+        deq = coefs[ci].astype(np.float64).reshape(bh, bw_, 8, 8) * qtabs[tq]
+        blocks = np.einsum("ab,ijbc,cd->ijad", C.T, deq, C) + 128.0
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8))
+    return _jpeg_assemble(planes, comps, hmax, vmax, width, height)
+
+
+def _decode_progressive_scan_arith(
+    dec, scan, ss: int, se: int, ah: int, al: int,
+    comps, coefs, dc_cond, ac_cond,
+    mcus_x: int, mcus_y: int, hmax: int, vmax: int, width: int, height: int,
+) -> None:
+    """One SOF10 scan (G.2): mirrors the encoder's four scan kinds.
+    Statistics areas and DC predictors are fresh per scan."""
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113])
+    cstates = {ci: [0, 0] for ci, _t, _a in scan}
+
+    def nonint_grid(ci: int) -> tuple[int, int]:
+        _cid, ch, cv, _tq = comps[ci]
+        cw = -(-width * ch // hmax)
+        chh = -(-height * cv // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    if ss == 0 and ah == 0:  # DC first
+        if len(scan) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, tdc, _tac in scan:
+                        _cid, ch, cv, _tq = comps[ci]
+                        dc_l, dc_u = dc_cond.get(tdc, (0, 1))
+                        dst = dc_stats.setdefault(tdc, bytearray(64))
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc = _arith_dec_dc(dec, cstates[ci], dst,
+                                                   dc_l, dc_u)
+                                coefs[ci][my * cv + by, mx * ch + bx, 0] = (
+                                    dc << al
+                                )
+        else:
+            ci, tdc, _tac = scan[0]
+            dc_l, dc_u = dc_cond.get(tdc, (0, 1))
+            dst = dc_stats.setdefault(tdc, bytearray(64))
+            bh_, bw_b = nonint_grid(ci)
+            for by in range(bh_):
+                for bx in range(bw_b):
+                    dc = _arith_dec_dc(dec, cstates[ci], dst, dc_l, dc_u)
+                    coefs[ci][by, bx, 0] = dc << al
+    elif ss == 0:  # DC refinement
+        units = []
+        if len(scan) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, _t, _a in scan:
+                        _cid, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                units.append((ci, my * cv + by, mx * ch + bx))
+        else:
+            bh_, bw_b = nonint_grid(scan[0][0])
+            units = [(scan[0][0], by, bx) for by in range(bh_)
+                     for bx in range(bw_b)]
+        for ci, by, bx in units:
+            if dec.decode(fixed, 0):
+                coefs[ci][by, bx, 0] |= 1 << al
+    elif ah == 0:  # AC first
+        ci, _tdc, tac = scan[0]
+        kx = ac_cond.get(tac, 5)
+        ast = ac_stats.setdefault(tac, bytearray(256))
+        bh_, bw_b = nonint_grid(ci)
+        for by in range(bh_):
+            for bx in range(bw_b):
+                zz = [0] * 64
+                _arith_dec_ac_band(dec, zz, ss, se, ast, fixed, kx)
+                block = coefs[ci][by, bx]
+                for k in range(ss, se + 1):
+                    if zz[k]:
+                        block[_ZZ_POS[k]] = zz[k] << al
+    else:  # AC refinement (G.2.3 / the jdarith shape)
+        ci, _tdc, tac = scan[0]
+        ast = ac_stats.setdefault(tac, bytearray(256))
+        bh_, bw_b = nonint_grid(ci)
+        p1 = 1 << al
+        for by in range(bh_):
+            for bx in range(bw_b):
+                block = coefs[ci][by, bx]
+                kex = ss - 1
+                for k in range(se, ss - 1, -1):
+                    if block[_ZZ_POS[k]]:
+                        kex = k
+                        break
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if k > kex and dec.decode(ast, st):
+                        break  # EOB
+                    while True:
+                        cur = int(block[_ZZ_POS[k]])
+                        if cur:  # history coefficient: correction bit
+                            if dec.decode(ast, st + 2):
+                                block[_ZZ_POS[k]] = (
+                                    cur + p1 if cur > 0 else cur - p1
+                                )
+                            break
+                        if dec.decode(ast, st + 1):  # newly nonzero
+                            block[_ZZ_POS[k]] = (
+                                -p1 if dec.decode(fixed, 0) else p1
+                            )
+                            break
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "arithmetic JPEG AC refinement overrun"
+                            )
+                    k += 1
+
+
+# Arithmetic-coded LOSSLESS JPEG (SOF11, T.81 Annex H.1.2.2): the DC
+# sign/magnitude tree conditioned TWO-dimensionally on the previously
+# coded differences Da (left) and Db (above), each classified into five
+# categories (zero / ±small / ±large per the DC L/U conditioning bounds),
+# giving 25 S0 contexts; the magnitude chain splits on whether Db is
+# large. Statistics layout used here: S0 = 4·(5·cat(Db) + cat(Da)),
+# X chains at 100 (Db zero/small) and 129 (Db large), magnitude bits at
+# X+14 — 158 bins. Like the Qe table, the BIN LAYOUT is transcribed
+# spec-constant data: the roundtrip contract (bit-exact on ARBITRARY
+# images, the strongest oracle in the codec family) is invariant to it
+# because encoder and decoder share the layout; external interop
+# additionally depends on transcription fidelity of Table H.2.
+
+_LL_STAT_BINS = 158
+
+
+def _ll_diff_cat(d: int, dc_l: int, dc_u: int) -> int:
+    """Classify a coded difference for Annex H conditioning: 0 zero,
+    1/2 small ±, 3/4 large ± — the same L/U magnitude-category bounds
+    the DC model uses (F.1.4.4.1.2)."""
+    if d == 0:
+        return 0
+    a = abs(d) - 1
+    m = 0 if a == 0 else 1 << (a.bit_length() - 1)
+    if m < (1 << dc_l) >> 1:
+        return 0
+    sign = 1 if d < 0 else 0
+    if m > (1 << dc_u) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def encode_jpeg_lossless_arith(
+    pixels: list[list],
+    predictor: int = 1,
+    precision: int = 8,
+    point_transform: int = 0,
+) -> bytes:
+    """REAL arithmetic-coded lossless JPEG encoder (SOF11): the SOF3
+    prediction front half (selector 1-7, modulo-2^16 differences, no
+    color transform, 2-16 bit) with the Annex H.1.2.2 two-dimensionally
+    conditioned QM entropy layer. Components share conditioning table 0
+    (joint statistics, mirrored by the decoder); per-component Da/Db
+    difference context. Bit-exact roundtrips on arbitrary images with
+    Pt=0, same as SOF3."""
+    import struct
+
+    import numpy as np
+
+    if not (2 <= precision <= 16):
+        raise ValueError(f"lossless JPEG precision must be 2-16, got {precision}")
+    if not (0 <= point_transform < precision):
+        raise ValueError("point transform must satisfy 0 <= Pt < precision")
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    gray = not isinstance(pixels[0][0], (tuple, list))
+    if gray:
+        planes = [np.asarray(pixels, dtype=np.int64) >> point_transform]
+    else:
+        rgb = np.asarray(pixels, dtype=np.int64) >> point_transform
+        planes = [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+    dc_l, dc_u = 0, 1
+    enc = _QMEncoder()
+    stats = bytearray(_LL_STAT_BINS)
+    diffs = [np.zeros((h, w), dtype=np.int64) for _ in planes]
+    for y in range(h):
+        for x in range(w):
+            for pi, p in enumerate(planes):  # sample-interleaved
+                px = _ll_predict(p, x, y, predictor, precision,
+                                 point_transform)
+                diff = (int(p[y][x]) - px) & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                da = int(diffs[pi][y][x - 1]) if x else 0
+                db = int(diffs[pi][y - 1][x]) if y else 0
+                cb = _ll_diff_cat(db, dc_l, dc_u)
+                s0 = 4 * (5 * cb + _ll_diff_cat(da, dc_l, dc_u))
+                _arith_enc_val(enc, diff, stats, s0,
+                               100 if cb <= 2 else 129)
+                diffs[pi][y][x] = diff
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", precision, h, w, ncomp) + b"".join(
+        struct.pack(">BBB", cid, 0x11, 0) for cid in range(1, ncomp + 1)
+    )
+    sos = bytes([ncomp]) + b"".join(
+        bytes([cid, 0x00]) for cid in range(1, ncomp + 1)
+    ) + bytes([predictor, 0, point_transform])
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xCB, sof)  # SOF11: lossless, arithmetic coding
+        + seg(0xCC, bytes([0x00, (dc_u << 4) | dc_l]))
+        + seg(0xDA, sos)
+        + enc.flush()
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_lossless_arith(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL arithmetic-coded lossless JPEG decode (SOF11): DAC-read
+    conditioning bounds, QM decode through the Annex H 2-D-conditioned
+    model, predictor lattice + modulo-2^16 reconstruction + point
+    transform re-shift — output identical in shape to
+    decode_jpeg_lossless (uint8, or uint16-LE above 8 bits)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+    dc_cond: dict[int, tuple[int, int]] = {}
+    comps: list[int] = []
+    width = height = 0
+    prec = 8
+    predictor = 1
+    pt = 0
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xCC:
+            i = 0
+            while i + 1 < len(data):
+                tc, tb = data[i] >> 4, data[i] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (data[i + 1] & 0x0F, data[i + 1] >> 4)
+                i += 2
+        elif marker == 0xCB:  # SOF11
+            prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            _jpeg_check_dims(width, height)
+            if not (2 <= prec <= 16):
+                raise ValueError(f"bad lossless precision {prec}")
+            comps = [data[6 + 3 * k] for k in range(ncomp)]
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals unsupported in the arithmetic decoder"
+            )
+        elif marker in _JPEG_SOF_MARKERS - {0xCB}:
+            raise NotImplementedError(
+                f"decode_jpeg_lossless_arith handles SOF11 only "
+                f"(got 0x{marker:02x})"
+            )
+        elif marker == 0xDA:
+            ns = data[0]
+            tdcs = [data[2 + 2 * k] >> 4 for k in range(ns)]
+            predictor = data[1 + 2 * ns]
+            pt = data[3 + 2 * ns] & 0x0F
+            pos += 2 + length
+            break
+        pos += 2 + length
+    else:
+        raise ValueError("lossless JPEG stream missing SOF11/SOS")
+    if not comps:
+        raise ValueError("lossless JPEG stream missing SOF11/SOS")
+
+    dec = _QMDecoder(blob, pos)
+    ncomp = len(comps)
+    dc_l, dc_u = dc_cond.get(tdcs[0] if tdcs else 0, (0, 1))
+    stats = bytearray(_LL_STAT_BINS)
+    planes = [np.zeros((height, width), dtype=np.int64) for _ in range(ncomp)]
+    diffs = [np.zeros((height, width), dtype=np.int64) for _ in range(ncomp)]
+    for y in range(height):
+        for x in range(width):
+            for pi in range(ncomp):
+                px = _ll_predict(planes[pi], x, y, predictor, prec, pt)
+                da = int(diffs[pi][y][x - 1]) if x else 0
+                db = int(diffs[pi][y - 1][x]) if y else 0
+                cb = _ll_diff_cat(db, dc_l, dc_u)
+                s0 = 4 * (5 * cb + _ll_diff_cat(da, dc_l, dc_u))
+                diff, _sign, _m = _arith_dec_val(dec, stats, s0,
+                                                 100 if cb <= 2 else 129)
+                planes[pi][y][x] = (px + diff) & 0xFFFF
+                diffs[pi][y][x] = diff
+    maxval = (1 << prec) - 1
+    out = np.stack(
+        [np.clip(p << pt, 0, maxval) for p in planes], axis=-1
+    )
+    dtype = np.uint8 if prec <= 8 else np.dtype("<u2")
+    return width, height, ncomp, out.astype(dtype).tobytes()
 
 
 def _jpeg_scan_markers(blob: bytes) -> tuple[int | None, bool, int | None]:

@@ -1028,25 +1028,32 @@ def mm_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_arith_jpeg_roundtrip",
-    # Arithmetic-coded JPEG (SOF9, T.81 Annexes D+F QM coder — round 10,
-    # the last JPEG process family that degraded) under the oracle gate,
-    # two ways at once. (1) The DC+F(4,4) checker construction (see
-    # mm_jpeg_roundtrip_decode) is pixel-exact, so the arith-decoded
-    # pixel sum has the closed form 64·(4·base + 80) — any QM interval,
-    # carry-resolution, byte-stuffing, or Annex F context bug breaks the
-    # hash. (2) On ARBITRARY doc-dependent content (rotating gray /
-    # RGB 4:2:0 / 12-bit, lossy quant), the arithmetic and Huffman
-    # streams of the same image must decode BIT-IDENTICALLY because only
-    # the entropy layer differs — `bit_identical` is 1 in the oracle, so
-    # a single mismatching sample anywhere in the corpus flips the hash.
+    # Arithmetic-coded JPEG — the FULL family (round 10): sequential
+    # SOF9 (Annexes D+F QM coder), progressive SOF10 (Annex G.2), and
+    # lossless SOF11 (Annex H.1.2.2 2-D conditioning) under one oracle
+    # gate. (1) The DC+F(4,4) checker construction (see
+    # mm_jpeg_roundtrip_decode) is pixel-exact through SOF9, so the
+    # arith-decoded pixel sum has the closed form 64·(4·base + 80) —
+    # any QM interval, carry-resolution, byte-stuffing, or Annex F
+    # context bug breaks the hash. (2) On ARBITRARY doc-dependent
+    # content (rotating gray / RGB 4:2:0 / 12-bit, lossy quant), the
+    # SOF9 and Huffman streams of the same image must decode
+    # BIT-IDENTICALLY (`bit_identical`), the SOF10 stream must match
+    # both the sequential and Huffman-progressive decodes three ways
+    # (`prog_identical`), and the SOF11 roundtrip must reproduce the
+    # input pixels exactly (`lossless_exact`) — each constant 1 in the
+    # oracle, so a single mismatch anywhere in the corpus flips the
+    # hash.
     oracle="""
 SELECT doc_id,
        'pixels' AS via,
        1 AS bit_identical,
+       1 AS prog_identical,
+       1 AS lossless_exact,
        (64 * (4 * (20 + doc_id % 150) + 80))::BIGINT AS exact_sum
 FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """,
-    survey_ref="[EXT] multimodal arithmetic-coded JPEG (SOF9, Annexes D+F, round 10)",
+    survey_ref="[EXT] multimodal arithmetic-coded JPEG (SOF9/10/11, Annexes D+F+G+H, round 10)",
     tags=["multimodal", "decode"],
 )
 def mm_arith_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,10 +1117,40 @@ def mm_arith_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     img, quant=quant, subsample=sub, precision=prec))
                 hf = MM.decode_jpeg(MM.encode_jpeg(
                     img, quant=quant, subsample=sub, precision=prec))
-                rows.append((i, via, int(a == hf), exact_sum))
+                # progressive (SOF10) is 8-bit: reuse the image, scaled
+                # down for the 12-bit mode; three-way differential
+                if prec == 8:
+                    img8 = img
+                else:
+                    img8 = [[v >> 4 for v in row] for row in img]
+                pa = MM.decode_jpeg_progressive_arith(
+                    MM.encode_jpeg_progressive_arith(
+                        img8, quant=quant, subsample=sub))
+                sq = MM.decode_jpeg(MM.encode_jpeg(
+                    img8, quant=quant, subsample=sub))
+                ph = MM.decode_jpeg_progressive(MM.encode_jpeg_progressive(
+                    img8, quant=quant, subsample=sub))
+                prog_ok = int(pa == sq == ph)
+                # lossless (SOF11): exact reproduction of the input
+                _lw, _lh, _lc, lraw = MM.decode_jpeg_lossless_arith(
+                    MM.encode_jpeg_lossless_arith(
+                        img, predictor=1 + i % 7, precision=prec))
+                if mode == 1:
+                    flat = bytes(v for row in img for p in row for v in p)
+                elif prec == 8:
+                    flat = bytes(v for row in img for v in row)
+                else:
+                    import struct as _s
+
+                    flat = b"".join(
+                        _s.pack("<H", v) for row in img for v in row
+                    )
+                rows.append((i, via, int(a == hf), prog_ok,
+                             int(lraw == flat), exact_sum))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "via", "bit_identical", "exact_sum"],
+                columns=["doc_id", "via", "bit_identical",
+                         "prog_identical", "lossless_exact", "exact_sum"],
             )
 
     schema = T.StructType(
@@ -1121,6 +1158,8 @@ def mm_arith_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("doc_id", T.LongType()),
             T.StructField("via", T.StringType()),
             T.StructField("bit_identical", T.IntegerType()),
+            T.StructField("prog_identical", T.IntegerType()),
+            T.StructField("lossless_exact", T.IntegerType()),
             T.StructField("exact_sum", T.LongType()),
         ]
     )
