@@ -1246,3 +1246,137 @@ def mm_mp4_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "mm_universal_media_inventory",
+    # The capstone of the decode lattice (round 10): ONE corpus mixing
+    # all eight owned codec families — PNG, GIF, sequential/progressive/
+    # lossless/arithmetic JPEG, WAV, MP4 — routed the way a real 100 TB
+    # mixed-media inventory scan would be: sniff_mime dispatches each
+    # blob to its modality's parser (images → capability-gated pixel
+    # decode, audio → fmt-chunk walk, video → box walk), and every
+    # emitted field is closed-form in doc_id. Pins (a) magic dispatch
+    # never mis-routes a family, (b) the capability probe claims
+    # 'pixels' exactly where a full decode exists and 'header' where
+    # the contract is metadata-only, (c) all eight parsers agree with
+    # their closed forms simultaneously in one pass.
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg-seq'
+         WHEN 3 THEN 'jpeg-prog' WHEN 4 THEN 'jpeg-lossless'
+         WHEN 5 THEN 'jpeg-arith' WHEN 6 THEN 'wav' ELSE 'mp4'
+       END AS family,
+       CASE doc_id % 8
+         WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+         WHEN 6 THEN 'audio/wav' WHEN 7 THEN 'video/mp4'
+         ELSE 'image/jpeg'
+       END AS mime,
+       CASE WHEN doc_id % 8 IN (6, 7) THEN 'header' ELSE 'pixels' END AS via,
+       CASE doc_id % 8
+         WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 6
+         WHEN 4 THEN 8 + doc_id % 3 WHEN 6 THEN 0
+         WHEN 7 THEN 160 + 16 * (doc_id % 5) ELSE 8
+       END::INT AS width,
+       CASE doc_id % 8
+         WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 5
+         WHEN 4 THEN 6 + doc_id % 2 WHEN 6 THEN 0
+         WHEN 7 THEN 96 + 8 * (doc_id % 3) ELSE 8
+       END::INT AS height,
+       CASE doc_id % 8
+         WHEN 6 THEN 8000 + 100 * (doc_id % 10)
+         WHEN 7 THEN 1000 + doc_id % 2000
+         ELSE 0
+       END::BIGINT AS extra
+FROM documents WHERE doc_id < 400 ORDER BY doc_id
+""",
+    survey_ref="[EXT] multimodal universal inventory (8-family capability lattice, round 10)",
+    tags=["multimodal", "inventory"],
+)
+def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-media inventory scan: synthesize one blob per doc from a
+    rotating 8-family codec set, then dispatch on sniff_mime exactly as
+    a production scan would — images through the capability-gated
+    decode, audio through parse_wav_header, video through
+    parse_mp4_meta. `extra` carries the per-modality scalar (audio
+    framerate / video duration). Blobs never leave the executors; the
+    driver sees typed metadata rows only."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def make_blob(i: int) -> bytes:
+        fam = i % 8
+        if fam == 0:
+            w, h = 4 + i % 5, 3 + i % 4
+            return MM.encode_png([[(i % 256, 10, 20)] * w] * h)
+        if fam == 1:
+            w, h = 3 + i % 6, 2 + i % 5
+            return MM.encode_gif([[(250, i % 256, 0)] * w] * h)
+        if fam == 2:
+            return MM.encode_jpeg([[(10 + i % 200)] * 8] * 8)
+        if fam == 3:
+            return MM.encode_jpeg_progressive([[(10 + i % 200)] * 8] * 8)
+        if fam == 4:
+            w, h = 8 + i % 3, 6 + i % 2
+            return MM.encode_jpeg_lossless(
+                [[(i * 31 + 7 * x + 13 * y) % 256 for x in range(w)]
+                 for y in range(h)],
+                predictor=1 + i % 7,
+            )
+        if fam == 5:
+            return MM.encode_jpeg_arith([[(10 + i % 200)] * 8] * 8)
+        if fam == 6:
+            return MM.encode_wav(
+                [(i + k) % 256 for k in range(40)],
+                framerate=8000 + 100 * (i % 10),
+            )
+        return MM.encode_mp4(
+            160 + 16 * (i % 5), 96 + 8 * (i % 3), 1000 + i % 2000,
+            n_audio=i % 2, streaming_layout=bool(i % 2),
+        )
+
+    fam_names = ["png", "gif", "jpeg-seq", "jpeg-prog", "jpeg-lossless",
+                 "jpeg-arith", "wav", "mp4"]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                blob = make_blob(i)
+                mime = MM.sniff_mime(blob)
+                if mime == "audio/wav":
+                    _m, _nch, rate, _bits = MM.parse_wav_header(blob)
+                    row = (i, fam_names[i % 8], mime, "header", 0, 0, rate)
+                elif mime == "video/mp4":
+                    _m, w, h, dur, _ntr, _hd = MM.parse_mp4_meta(blob)
+                    row = (i, fam_names[i % 8], mime, "header", w, h, dur)
+                else:
+                    m, w, h, _c, via = MM.decode_image_meta(blob)
+                    row = (i, fam_names[i % 8], m, via, w, h, 0)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "family", "mime", "via", "width",
+                         "height", "extra"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("family", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("via", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("extra", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
