@@ -1077,3 +1077,46 @@ class TestJpegLosslessArithmetic:
         mut = blob[:i] + b"\xff\xdd\x00\x04\x00\x08" + blob[i:]
         assert MM.decode_capability(mut) == "header"
         assert MM.decode_image_meta(blob[:-15])[4] in ("pixels", "header")
+
+
+class TestMp3Header:
+    """MPEG audio frame-header walk (round 10): ID3v2 syncsafe skip +
+    version/layer/bitrate/samplerate tables. Payload decode out of
+    scope, as with MP4 — the header IS the 100 TB scan contract."""
+
+    def test_header_roundtrip_variants(self):
+        cases = [
+            dict(),
+            dict(bitrate_kbps=320, samplerate=48000),
+            dict(mono=True, id3_size=0),
+            dict(mpeg2=True, bitrate_kbps=64, samplerate=22050),
+            dict(bitrate_kbps=32, samplerate=32000, id3_size=100),
+        ]
+        for kw in cases:
+            b = MM.encode_mp3_stub(**kw)
+            assert MM.parse_mp3_header(b) == (
+                "audio/mp3",
+                kw.get("bitrate_kbps", 128),
+                kw.get("samplerate", 44100),
+                1 if kw.get("mono") else 2,
+            )
+            assert MM.sniff_mime(b) == "audio/mp3"
+
+    def test_bare_frame_sync_and_jpeg_no_collision(self):
+        bare = MM.encode_mp3_stub(id3_size=0)[10:]
+        assert MM.sniff_mime(bare) == "audio/mp3"
+        assert MM.parse_mp3_header(bare)[1] == 128
+        # JPEG's FF D8 must never sniff as MP3 frame sync
+        assert MM.sniff_mime(MM.encode_jpeg([[1] * 8] * 8)) == "image/jpeg"
+
+    def test_degradations(self):
+        # ID3 tag present but frame truncated away → mime only
+        assert MM.parse_mp3_header(
+            b"ID3\x03\x00\x00\x00\x00\x00\x7f") == ("audio/mp3", 0, 0, 0)
+        assert MM.parse_mp3_header(b"RIFFxxxx")[0] == (
+            "application/octet-stream")
+        assert MM.parse_mp3_header(None)[0] == "application/octet-stream"
+        # reserved version/layer bits degrade to zeros
+        bad = bytearray(MM.encode_mp3_stub(id3_size=0))
+        bad[10 + 1] = 0xE8  # version=01 (reserved)
+        assert MM.parse_mp3_header(bytes(bad[10:])) == ("audio/mp3", 0, 0, 0)

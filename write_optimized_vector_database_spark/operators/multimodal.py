@@ -84,6 +84,10 @@ def sniff_mime(blob: bytes | None) -> str:
     # so a prefix table can't catch it generically (round 10)
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         return "video/mp4"
+    # bare MPEG audio frame sync (11 set bits; JPEG's FF D8 cannot
+    # collide since D8 & E0 != E0) — tagless MP3s (round 10)
+    if len(blob) >= 4 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0:
+        return "audio/mp3"
     return "application/octet-stream"
 
 
@@ -4073,6 +4077,102 @@ def parse_mp4_header(blob: bytes | None) -> tuple[str, int, int, int]:
     slice of parse_mp4_meta."""
     mime, w, h, _dur, n_tracks, _hd = parse_mp4_meta(blob)
     return (mime, w, h, n_tracks)
+
+
+# ---------------------------------------------------------------------------
+# Audio (MP3 / MPEG-1/2/2.5 audio frame headers, ISO 11172-3 / 13818-3) —
+# round 10: the compressed-audio twin of the MP4 walker. ID3v2 tags are
+# skipped by their syncsafe size, the first frame header yields
+# version/layer/bitrate/samplerate/channels from the public tables, and
+# audio PAYLOAD decode stays out of scope exactly like MP4's mdat.
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, indexed [version-group][layer][bitrate_index];
+# version-group 0 = MPEG1, 1 = MPEG2/2.5 (which share tables)
+_MP3_BITRATES = (
+    (
+        (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+        (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ),
+    (
+        (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+        (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ),
+)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}  # header version field → rates
+
+
+def encode_mp3_stub(
+    bitrate_kbps: int = 128,
+    samplerate: int = 44100,
+    mono: bool = False,
+    id3_size: int = 32,
+    mpeg2: bool = False,
+) -> bytes:
+    """Structurally valid MP3: ID3v2.3 tag (syncsafe-sized zero padding)
+    followed by one MPEG audio Layer III frame with a spec-correct
+    header and zero-filled payload of the exact frame length. Audio
+    sample decode is out of scope BY DESIGN — header metadata is the
+    100 TB scan contract, as with MP4."""
+    ver_bits = 0b10 if mpeg2 else 0b11
+    group = 1 if mpeg2 else 0
+    rates = _MP3_RATES[2] if mpeg2 else _MP3_RATES[3]
+    br_idx = _MP3_BITRATES[group][2].index(bitrate_kbps)
+    sr_idx = rates.index(samplerate)
+    hdr = bytes([
+        0xFF,
+        0xE0 | (ver_bits << 3) | (0b01 << 1) | 1,  # sync, version, Layer III
+        (br_idx << 4) | (sr_idx << 2),  # no padding
+        (0b11 if mono else 0b00) << 6,
+    ])
+    per_frame = 144 if not mpeg2 else 72  # MPEG2 Layer III halves it
+    flen = (per_frame * bitrate_kbps * 1000) // samplerate
+    id3 = b"ID3\x03\x00\x00" + bytes(
+        [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+         (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+    ) + b"\x00" * id3_size
+    return id3 + hdr + b"\x00" * (flen - 4)
+
+
+def parse_mp3_header(blob: bytes | None) -> tuple[str, int, int, int]:
+    """(mime, bitrate_kbps, samplerate, n_channels) from the first MPEG
+    audio frame header, skipping a leading ID3v2 tag by its syncsafe
+    size — the compressed-audio slice of the header lattice. Returns
+    octet-stream zeros for non-MP3 input and audio/mp3 zeros when only
+    the ID3 tag is readable (truncated blobs degrade, never raise)."""
+    if not blob or len(blob) < 4:
+        return ("application/octet-stream", 0, 0, 0)
+    pos = 0
+    saw_id3 = False
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        saw_id3 = True
+        size = ((blob[6] & 0x7F) << 21) | ((blob[7] & 0x7F) << 14) | (
+            (blob[8] & 0x7F) << 7
+        ) | (blob[9] & 0x7F)
+        pos = 10 + size
+    if pos + 4 > len(blob):
+        return ("audio/mp3" if saw_id3 else "application/octet-stream",
+                0, 0, 0)
+    b0, b1, b2, b3 = blob[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return ("audio/mp3" if saw_id3 else "application/octet-stream",
+                0, 0, 0)
+    version = (b1 >> 3) & 0x03
+    layer = (b1 >> 1) & 0x03
+    if version == 1 or layer == 0:  # reserved values
+        return ("audio/mp3", 0, 0, 0)
+    group = 0 if version == 3 else 1
+    layer_idx = 3 - layer  # header layer field: 3=I, 2=II, 1=III
+    bitrate = _MP3_BITRATES[group][layer_idx][(b2 >> 4) & 0x0F]
+    sr_idx = (b2 >> 2) & 0x03
+    if sr_idx == 3:
+        return ("audio/mp3", 0, 0, 0)
+    samplerate = _MP3_RATES[version][sr_idx]
+    channels = 1 if ((b3 >> 6) & 0x03) == 0b11 else 2
+    return ("audio/mp3", bitrate, samplerate, channels)
 
 
 FEATURE_DIM = 16

@@ -1380,3 +1380,76 @@ def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "mm_mp3_frame_header_scan",
+    # MPEG audio (MP3) frame headers — round 10: ID3v2 syncsafe-size
+    # skip + the public version/layer bitrate and samplerate tables.
+    # Rotating MPEG1/MPEG2 variants, bitrates, rates, channel modes and
+    # ID3 tag sizes, all closed-form in doc_id; any syncsafe-size,
+    # table-index, or channel-mode bug breaks the hash. Audio payload
+    # decode is out of scope by design (same contract as MP4 mdat).
+    oracle="""
+SELECT doc_id,
+       'audio/mp3' AS mime,
+       CASE WHEN doc_id % 3 = 0 THEN 64
+            ELSE CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                                 WHEN 2 THEN 192 ELSE 320 END
+       END::INT AS bitrate_kbps,
+       CASE doc_id % 3 WHEN 0 THEN 24000 WHEN 1 THEN 48000
+                       ELSE 32000 END::INT AS samplerate,
+       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END::INT AS n_channels
+FROM documents WHERE doc_id < 300 ORDER BY doc_id
+""",
+    survey_ref="[EXT] multimodal MP3 frame-header walk (round 10)",
+    tags=["multimodal", "audio"],
+)
+def mm_mp3_frame_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio metadata scan: synthesize an MP3 per doc
+    (ID3v2 tag + one spec-correct Layer III frame), parse the frame
+    header back. One Arrow-batched pass; the driver sees typed rows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 3 == 0:
+                    blob = MM.encode_mp3_stub(
+                        bitrate_kbps=64, samplerate=24000, mono=(i % 2 == 0),
+                        id3_size=i % 50, mpeg2=True,
+                    )
+                else:
+                    br = (64, 128, 192, 320)[i % 4]
+                    sr = 48000 if i % 3 == 1 else 32000
+                    blob = MM.encode_mp3_stub(
+                        bitrate_kbps=br, samplerate=sr, mono=(i % 2 == 0),
+                        id3_size=i % 50,
+                    )
+                mime, br_out, sr_out, nch = MM.parse_mp3_header(blob)
+                rows.append((i, mime, br_out, sr_out, nch))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "bitrate_kbps", "samplerate",
+                         "n_channels"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("bitrate_kbps", T.IntegerType()),
+            T.StructField("samplerate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
