@@ -1120,3 +1120,83 @@ class TestMp3Header:
         bad = bytearray(MM.encode_mp3_stub(id3_size=0))
         bad[10 + 1] = 0xE8  # version=01 (reserved)
         assert MM.parse_mp3_header(bytes(bad[10:])) == ("audio/mp3", 0, 0, 0)
+
+
+class TestTiffHeader:
+    """TIFF 6.0 IFD walk (round 10): both byte orders, mixed
+    SHORT/LONG tag values, degradation on corrupt offsets."""
+
+    def test_both_byte_orders(self):
+        for be in (False, True):
+            b = MM.encode_tiff_stub(641, 479, 3, big_endian=be)
+            assert MM.parse_tiff_header(b) == ("image/tiff", 641, 479, 3)
+            assert MM.sniff_mime(b) == "image/tiff"
+            assert MM.parse_media_header(b) == ("image/tiff", 641, 479, 3)
+            assert MM.decode_capability(b) == "header"
+            assert MM.decode_image_meta(b) == (
+                "image/tiff", 641, 479, 3, "header",
+            )
+
+    def test_degradations(self):
+        full = MM.encode_tiff_stub(32, 16, 1)
+        for n in (2, 6, 9, 14, len(full) - 3):
+            out = MM.parse_tiff_header(full[:n])
+            assert isinstance(out, tuple) and len(out) == 4
+        import struct
+
+        bad = full[:4] + struct.pack("<I", 0xFFFFFF) + full[8:]
+        assert MM.parse_tiff_header(bad) == ("image/tiff", 0, 0, 0)
+        assert MM.parse_tiff_header(b"notatiff")[0] == (
+            "application/octet-stream")
+
+
+class TestHierarchicalArithmetic:
+    """Arithmetic pyramid stages (round 10): SOF9 coarse + SOF13
+    differential sequential DCT + SOF15 differential lossless — the
+    hierarchical matrix's arithmetic column. Same pixel-exact contract
+    as the Huffman pyramids (the lossless correction absorbs all DCT
+    loss)."""
+
+    def test_pixel_exact_both_depths(self):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(3)
+        for stages in (2, 3):
+            hh, ww = rng.choice([(12, 12), (9, 17), (16, 24)])
+            px = [[rng.randint(0, 255) for _ in range(ww)]
+                  for _ in range(hh)]
+            blob = MM.encode_jpeg_hierarchical(px, stages=stages,
+                                               arithmetic=True)
+            w, h, c, raw = MM.decode_jpeg_hierarchical(blob)
+            assert (w, h, c) == (ww, hh, 1)
+            assert np.array_equal(
+                np.frombuffer(raw, np.uint8).reshape(hh, ww), np.array(px))
+            # measurably smaller than the Huffman pyramid
+            hblob = MM.encode_jpeg_hierarchical(px, stages=stages)
+            assert len(blob) < len(hblob)
+
+    def test_lossy_quantizer_still_exact(self):
+        import numpy as np
+
+        px = [[(7 * x * y + 13 * x) % 256 for x in range(16)]
+              for y in range(16)]
+        blob = MM.encode_jpeg_hierarchical(px, quant=[4] * 64, stages=3,
+                                           arithmetic=True)
+        _w, _h, _c, raw = MM.decode_jpeg_hierarchical(blob)
+        assert np.array_equal(
+            np.frombuffer(raw, np.uint8).reshape(16, 16), np.array(px))
+
+    def test_capability_accepts_arithmetic_pyramids(self):
+        blob = MM.encode_jpeg_hierarchical([[60] * 12] * 12, stages=3,
+                                           arithmetic=True)
+        assert MM._jpeg_hier_decodable(blob)
+        assert MM.decode_capability(blob) == "pixels"
+        assert MM.decode_image_meta(blob) == ("image/jpeg", 12, 12, 1,
+                                              "pixels")
+        # differential-progressive stages still degrade: rewrite the
+        # SOF13 marker to SOF14 (0xCE)
+        mut = blob.replace(b"\xff\xcd", b"\xff\xce", 1)
+        assert not MM._jpeg_hier_decodable(mut)
+        assert MM.decode_capability(mut) == "header"

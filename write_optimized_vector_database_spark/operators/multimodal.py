@@ -54,6 +54,8 @@ MAGIC_PREFIXES: dict[bytes, str] = {
     b"GIF8": "image/gif",
     b"RIFF": "audio/wav",
     b"ID3": "audio/mp3",
+    b"II\x2a\x00": "image/tiff",
+    b"MM\x00\x2a": "image/tiff",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"\x00\x00\x00 ftyp": "video/mp4",
 }
@@ -1970,7 +1972,10 @@ def _jpeg_upsample2x(plane):
 
 
 def encode_jpeg_hierarchical(
-    pixels: list[list], quant: list[int] | None = None, stages: int = 2
+    pixels: list[list],
+    quant: list[int] | None = None,
+    stages: int = 2,
+    arithmetic: bool = False,
 ) -> bytes:
     """REAL hierarchical JPEG encoder (T.81 Annex J): DHP declares the
     full-resolution frame, a reduced-resolution SEQUENTIAL DCT frame
@@ -1988,9 +1993,14 @@ def encode_jpeg_hierarchical(
     AC table's 10-bit categories). The encoder reconstructs each stage
     with the decoder's own arithmetic (same quantize→dequantize→IDCT→
     round→clip path), which is what makes the residual the decoder
-    will need computable at encode time. Grayscale only — the
-    hierarchical progression is per component and one plane exercises
-    every code path."""
+    will need computable at encode time. `arithmetic=True` (round 10,
+    completing the hierarchical matrix) swaps every stage's entropy
+    layer for the QM coder: SOF9 coarse, SOF13 differential sequential
+    DCT (the DC model with PRED pinned to 0 per frame semantics), and
+    SOF15 differential lossless (the Annex H 2-D model over correction
+    values, no spatial prediction) — same pixel-exact pyramid contract.
+    Grayscale only — the hierarchical progression is per component and
+    one plane exercises every code path."""
     import struct
 
     import numpy as np
@@ -2027,21 +2037,33 @@ def encode_jpeg_hierarchical(
     def sof_payload(fh: int, fw: int) -> bytes:
         return struct.pack(">BHHB", 8, fh, fw, 1) + struct.pack(">BBB", 1, 0x11, 0)
 
-    # ---- coarsest level: non-differential sequential frame (SOF0) ----
+    dc_l, dc_u, kx = 0, 1, 5
+
+    # ---- coarsest level: non-differential sequential frame ----
     coarse = levels[-1]
     ch_, cw = coarse.shape
-    dc_map = _huff_encode_map(_DC_BITS, _DC_VALS)
-    ac_map = _huff_encode_map(_AC_BITS, _AC_VALS)
-    bw = _JpegBitWriter()
     bxs, bys = -(-cw // 8), -(-ch_ // 8)
     recon = np.zeros((bys * 8, bxs * 8))
-    pred = 0
+    if arithmetic:
+        qenc = _QMEncoder()
+        a_dc, a_ac = bytearray(64), bytearray(256)
+        a_fx = bytearray([113])
+        cstate = [0, 0]
+    else:
+        dc_map = _huff_encode_map(_DC_BITS, _DC_VALS)
+        ac_map = _huff_encode_map(_AC_BITS, _AC_VALS)
+        bw = _JpegBitWriter()
+        pred = 0
     for by in range(bys):
         for bx in range(bxs):
             blk = _plane_blocks(coarse.astype(np.float64), bx, by)
             coef = np.round((C @ (blk - 128.0) @ C.T) / q).astype(int)
             zz = [int(coef[r][c]) for r, c in _ZIGZAG]
-            pred = _encode_block(bw, zz, pred, dc_map, ac_map)
+            if arithmetic:
+                _arith_enc_block(qenc, zz, cstate, a_dc, a_ac, a_fx,
+                                 dc_l, dc_u, kx)
+            else:
+                pred = _encode_block(bw, zz, pred, dc_map, ac_map)
             dq = np.zeros((8, 8))
             for k, (r, c) in enumerate(_ZIGZAG):
                 dq[r][c] = zz[k]
@@ -2051,37 +2073,57 @@ def encode_jpeg_hierarchical(
     recon = np.clip(np.round(recon[:ch_, :cw]), 0, 255).astype(np.int64)
 
     qzz = bytes(int(q[r][c]) for r, c in _ZIGZAG)
-    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     stream = (
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xDE, sof_payload(h, w))  # DHP: full dims
         + seg(0xDB, bytes([0x00]) + qzz)
-        + seg(0xC0, sof_payload(ch_, cw))
-        + seg(0xC4, dht_dc)
-        + seg(0xC4, dht_ac)
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        + bw.flush()
     )
+    if arithmetic:
+        stream += (
+            seg(0xCC, bytes([0x00, (dc_u << 4) | dc_l, 0x10, kx]))
+            + seg(0xC9, sof_payload(ch_, cw))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + qenc.flush()
+        )
+    else:
+        stream += (
+            seg(0xC0, sof_payload(ch_, cw))
+            + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+            + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bw.flush()
+        )
 
-    # ---- middle stage (stages=3): differential sequential DCT (SOF5) ----
+    # ---- middle stage (stages=3): differential sequential DCT ----
     if stages == 3:
         target = levels[1]
         th_, tw = target.shape
         ref = _jpeg_upsample2x(recon)[:th_, :tw]
         diff = (target - ref).astype(np.float64)
-        dc12 = _huff_encode_map(_DC_BITS12, _DC_VALS12)
-        ac12 = _huff_encode_map(_AC_BITS12, _AC_VALS12)
-        bwm = _JpegBitWriter()
         bxs, bys = -(-tw // 8), -(-th_ // 8)
         rdiff = np.zeros((bys * 8, bxs * 8))
+        if arithmetic:
+            qenc = _QMEncoder()  # QM coder + statistics restart per frame
+            a_dc, a_ac = bytearray(64), bytearray(256)
+            cstate = [0, 0]
+        else:
+            dc12 = _huff_encode_map(_DC_BITS12, _DC_VALS12)
+            ac12 = _huff_encode_map(_AC_BITS12, _AC_VALS12)
+            bwm = _JpegBitWriter()
         for by in range(bys):
             for bx in range(bxs):
                 blk = _plane_blocks(diff, bx, by)  # no level shift
                 coef = np.round((C @ blk @ C.T) / q).astype(int)
                 zz = [int(coef[r][c]) for r, c in _ZIGZAG]
-                _encode_block(bwm, zz, 0, dc12, ac12)  # PRED = 0
+                if arithmetic:
+                    # PRED = 0 in differential frames: code the DC value
+                    # itself through the DC model, predictor pinned
+                    _arith_enc_dc(qenc, zz[0], cstate, a_dc, dc_l, dc_u)
+                    cstate[0] = 0
+                    _arith_enc_ac_band(qenc, zz, 1, 63, a_ac, a_fx, kx)
+                else:
+                    _encode_block(bwm, zz, 0, dc12, ac12)  # PRED = 0
                 dq = np.zeros((8, 8))
                 for k, (r, c) in enumerate(_ZIGZAG):
                     dq[r][c] = zz[k]
@@ -2089,19 +2131,51 @@ def encode_jpeg_hierarchical(
         recon = np.clip(
             ref + np.round(rdiff[:th_, :tw]).astype(np.int64), 0, 255
         )
-        # redefine table slots 0/0 and 1/0 with the wide-range tables —
-        # sequential redefinition between frames is spec-legal
+        if arithmetic:
+            stream += (
+                seg(0xDF, bytes([0x11]))
+                + seg(0xCD, sof_payload(th_, tw))  # SOF13
+                + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + qenc.flush()
+            )
+        else:
+            # redefine table slots 0/0 and 1/0 with the wide-range
+            # tables — sequential redefinition between frames is legal
+            stream += (
+                seg(0xDF, bytes([0x11]))
+                + seg(0xC5, sof_payload(th_, tw))
+                + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS12) + bytes(_DC_VALS12))
+                + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS12) + bytes(_AC_VALS12))
+                + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + bwm.flush()
+            )
+
+    # ---- final stage: differential lossless correction ----
+    ref = _jpeg_upsample2x(recon)[:h, :w]
+    if arithmetic:
+        qenc = _QMEncoder()
+        ll_stats = bytearray(_LL_STAT_BINS)
+        dprev = np.zeros((h, w), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                d = (int(full[y][x]) - int(ref[y][x])) & 0xFFFF
+                if d > 32767:
+                    d -= 65536
+                da = int(dprev[y][x - 1]) if x else 0
+                db = int(dprev[y - 1][x]) if y else 0
+                cb = _ll_diff_cat(db, dc_l, dc_u)
+                s0 = 4 * (5 * cb + _ll_diff_cat(da, dc_l, dc_u))
+                _arith_enc_val(qenc, d, ll_stats, s0,
+                               100 if cb <= 2 else 129)
+                dprev[y][x] = d
         stream += (
             seg(0xDF, bytes([0x11]))
-            + seg(0xC5, sof_payload(th_, tw))
-            + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS12) + bytes(_DC_VALS12))
-            + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS12) + bytes(_AC_VALS12))
-            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-            + bwm.flush()
+            + seg(0xCF, sof_payload(h, w))  # SOF15
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+            + qenc.flush()
+            + b"\xff\xd9"
         )
-
-    # ---- final stage: differential lossless correction (SOF7) ----
-    ref = _jpeg_upsample2x(recon)[:h, :w]
+        return stream
     ll_map = _huff_encode_map(_DC_BITS_LL, _DC_VALS_LL)
     bw2 = _JpegBitWriter()
     for y in range(h):
@@ -2132,10 +2206,12 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
     J.1.1.2 upsampling filter, and differential lossless frames (SOF7)
     add modulo-2^16 corrections. Differential SEQUENTIAL DCT frames
     (SOF5, round 10) decode with zero DC prediction and no level shift,
-    their residual added to the reference and clamped; differential
-    PROGRESSIVE (SOF6) and arithmetic variants raise
-    NotImplementedError — the capability probe routes such streams to
-    the header walk. Returns
+    their residual added to the reference and clamped; ARITHMETIC
+    stages (SOF9 coarse, SOF13 differential DCT, SOF15 differential
+    lossless — later round 10) decode through the QM coder with
+    per-frame statistics restart; differential PROGRESSIVE variants
+    (SOF6/SOF14) raise NotImplementedError — the capability probe
+    routes such streams to the header walk. Returns
     (width, height, 1, uint8 bytes) cropped to the DHP dimensions."""
     import struct
 
@@ -2148,6 +2224,8 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
     pending_exp = 0
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     C = _dct_mat()
     frame: dict = {}
     pos = 2
@@ -2196,7 +2274,7 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(data[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7):
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7, 0xC9, 0xCD, 0xCF):
             prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
             _jpeg_check_dims(fw, fh)
             if nc != 1:
@@ -2205,8 +2283,16 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                 )
             frame = {"marker": marker, "prec": prec, "h": fh, "w": fw,
                      "tq": data[8]}
-        elif marker in (0xC2, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE,
-                        0xCF):
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (round 10)
+            i = 0
+            while i + 1 < len(data):
+                tc, tb = data[i] >> 4, data[i] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (data[i + 1] & 0x0F, data[i + 1] >> 4)
+                else:
+                    ac_cond[tb] = data[i + 1]
+                i += 2
+        elif marker in (0xC2, 0xC6, 0xCA, 0xCB, 0xCE):
             raise NotImplementedError(
                 f"hierarchical frame type 0x{marker:02x} not supported"
             )
@@ -2229,6 +2315,82 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                     )
                 ref = _jpeg_upsample2x(ref)[:fh, :fw]
                 pending_exp = 0
+            if frame["marker"] in (0xC9, 0xCD):  # arithmetic DCT stage
+                differential = frame["marker"] == 0xCD
+                if differential and ref is None:
+                    raise ValueError("differential frame with no reference")
+                dec = _QMDecoder(blob, pos + 2 + length)
+                dc_l, dc_u = dc_cond.get(tdc, (0, 1))
+                kx = ac_cond.get(tac, 5)
+                a_dc, a_ac = bytearray(64), bytearray(256)
+                a_fx = bytearray([113])
+                cstate = [0, 0]
+                mid = float(1 << (frame["prec"] - 1))
+                bxs, bys = -(-fw // 8), -(-fh // 8)
+                plane = np.zeros((bys * 8, bxs * 8))
+                q = qtabs[frame["tq"]]
+                for by in range(bys):
+                    for bx in range(bxs):
+                        if differential:
+                            zz = [0] * 64
+                            # PRED pinned to 0 in differential frames
+                            zz[0] = _arith_dec_dc(dec, cstate, a_dc,
+                                                  dc_l, dc_u)
+                            cstate[0] = 0
+                            _arith_dec_ac_band(dec, zz, 1, 63, a_ac,
+                                               a_fx, kx)
+                        else:
+                            zz = _arith_dec_block(dec, cstate, a_dc, a_ac,
+                                                  a_fx, dc_l, dc_u, kx)
+                        dq = np.zeros((8, 8))
+                        for k2, (r, c) in enumerate(_ZIGZAG):
+                            dq[r][c] = zz[k2]
+                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            C.T @ (dq * q) @ C
+                            + (0.0 if differential else mid)
+                        )
+                if differential:
+                    ref = np.clip(
+                        ref[:fh, :fw]
+                        + np.round(plane[:fh, :fw]).astype(np.int64),
+                        0, (1 << frame["prec"]) - 1,
+                    )
+                else:
+                    ref = np.clip(np.round(plane[:fh, :fw]), 0,
+                                  (1 << frame["prec"]) - 1).astype(np.int64)
+                pos = dec.pos
+                while pos + 1 < len(blob):
+                    if blob[pos] == 0xFF and blob[pos + 1] != 0x00:
+                        break
+                    pos += 1
+                frame = {}
+                continue
+            if frame["marker"] == 0xCF:  # arithmetic differential lossless
+                if ref is None:
+                    raise ValueError("differential frame with no reference")
+                dec = _QMDecoder(blob, pos + 2 + length)
+                dc_l, dc_u = dc_cond.get(tdc, (0, 1))
+                ll_stats = bytearray(_LL_STAT_BINS)
+                out = np.zeros((fh, fw), dtype=np.int64)
+                dprev = np.zeros((fh, fw), dtype=np.int64)
+                for y in range(fh):
+                    for x in range(fw):
+                        da = int(dprev[y][x - 1]) if x else 0
+                        db = int(dprev[y - 1][x]) if y else 0
+                        cb = _ll_diff_cat(db, dc_l, dc_u)
+                        s0 = 4 * (5 * cb + _ll_diff_cat(da, dc_l, dc_u))
+                        d, _sg, _m = _arith_dec_val(
+                            dec, ll_stats, s0, 100 if cb <= 2 else 129)
+                        out[y][x] = (int(ref[y][x]) + d) & 0xFFFF
+                        dprev[y][x] = d
+                ref = out
+                pos = dec.pos
+                while pos + 1 < len(blob):
+                    if blob[pos] == 0xFF and blob[pos + 1] != 0x00:
+                        break
+                    pos += 1
+                frame = {}
+                continue
             if frame["marker"] in (0xC0, 0xC1, 0xC5):
                 differential = frame["marker"] == 0xC5
                 if differential and ref is None:
@@ -3682,10 +3844,11 @@ def _jpeg_has_dri(blob: bytes) -> bool:
 def _jpeg_hier_decodable(blob: bytes) -> bool:
     """True when a hierarchical (DHP) stream uses only the frame types
     decode_jpeg_hierarchical implements: single-component 8-bit
-    non-differential sequential (SOF0/SOF1) or lossless (SOF3) stages
-    plus differential sequential DCT (SOF5) and differential lossless
-    (SOF7) refinements, no restart intervals. Differential progressive
-    (SOF6) and arithmetic frames degrade to the header walk."""
+    non-differential sequential (SOF0/SOF1/SOF9) or lossless (SOF3)
+    stages plus differential sequential DCT (SOF5/SOF13) and
+    differential lossless (SOF7/SOF15) refinements — Huffman AND
+    arithmetic as of round 10 — no restart intervals. Differential
+    progressive stages (SOF6/SOF14) degrade to the header walk."""
     import struct
 
     pos = 2
@@ -3708,11 +3871,12 @@ def _jpeg_hier_decodable(blob: bytes) -> bool:
             prec, _h, _w, ncomp = struct.unpack(">BHHB", blob[pos + 4 : pos + 10])
             if marker == 0xDE:
                 saw_dhp = True
-            elif marker not in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7):
+            elif marker not in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7,
+                                0xC9, 0xCD, 0xCF):
                 return False
             if ncomp != 1:
                 return False
-            if marker in (0xC0, 0xC1, 0xC5, 0xDE) and prec != 8:
+            if marker in (0xC0, 0xC1, 0xC5, 0xC9, 0xCD, 0xDE) and prec != 8:
                 return False
         if marker == 0xDA:
             # skip entropy data to the next marker (un-stuff 0xFF00/RSTn)
@@ -3779,6 +3943,8 @@ def parse_media_header(blob: bytes | None) -> tuple[str, int, int, int]:
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         # ISO-BMFF (MP4): box walk to moov/trak/tkhd (round 10)
         return parse_mp4_header(blob)
+    if blob[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return parse_tiff_header(blob)  # TIFF IFD walk (round 10)
     return ("application/octet-stream", 0, 0, 0)
 
 
@@ -4077,6 +4243,77 @@ def parse_mp4_header(blob: bytes | None) -> tuple[str, int, int, int]:
     slice of parse_mp4_meta."""
     mime, w, h, _dur, n_tracks, _hd = parse_mp4_meta(blob)
     return (mime, w, h, n_tracks)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (TIFF 6.0 baseline IFD walk) — round 10: scan-corpus staple. Both
+# byte orders, inline SHORT/LONG tag values, first-IFD metadata only
+# (dims, samples per pixel). Strip data stays opaque, as with MP4/MP3.
+# ---------------------------------------------------------------------------
+
+
+def encode_tiff_stub(
+    width: int, height: int, spp: int = 3, big_endian: bool = False,
+) -> bytes:
+    """Structurally valid single-IFD TIFF: header, IFD with
+    ImageWidth/ImageLength/BitsPerSample/SamplesPerPixel entries, zero
+    next-IFD pointer, tiny opaque strip."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    magic = b"MM\x00\x2a" if big_endian else b"II\x2a\x00"
+
+    def entry(tag: int, typ: int, count: int, val: int) -> bytes:
+        if typ == 3:  # SHORT: left-justified in the value field (both orders)
+            return struct.pack(bo + "HHIHH", tag, typ, count, val, 0)
+        return struct.pack(bo + "HHII", tag, typ, count, val)
+
+    entries = (
+        entry(256, 4, 1, width)      # ImageWidth, LONG
+        + entry(257, 3, 1, height)   # ImageLength, SHORT (mixed types)
+        + entry(258, 3, 1, 8)        # BitsPerSample
+        + entry(277, 3, 1, spp)      # SamplesPerPixel
+    )
+    ifd = struct.pack(bo + "H", 4) + entries + struct.pack(bo + "I", 0)
+    return magic + struct.pack(bo + "I", 8) + ifd + b"\x00" * 8
+
+
+def parse_tiff_header(blob: bytes | None) -> tuple[str, int, int, int]:
+    """(mime, width, height, samples_per_pixel) from the first IFD,
+    both byte orders, inline SHORT/LONG values. Corrupt offsets and
+    truncations degrade to zeros, never raise."""
+    import struct
+
+    if not blob or len(blob) < 8:
+        return ("application/octet-stream", 0, 0, 0)
+    if blob[:4] == b"II\x2a\x00":
+        bo = "<"
+    elif blob[:4] == b"MM\x00\x2a":
+        bo = ">"
+    else:
+        return ("application/octet-stream", 0, 0, 0)
+    (off,) = struct.unpack(bo + "I", blob[4:8])
+    width = height = spp = 0
+    if off + 2 <= len(blob):
+        (n,) = struct.unpack(bo + "H", blob[off : off + 2])
+        for k in range(n):
+            e = off + 2 + 12 * k
+            if e + 12 > len(blob):
+                break
+            tag, typ, _cnt = struct.unpack(bo + "HHI", blob[e : e + 8])
+            if typ == 3:  # SHORT: first 2 bytes of the value field
+                (val,) = struct.unpack(bo + "H", blob[e + 8 : e + 10])
+            elif typ == 4:
+                (val,) = struct.unpack(bo + "I", blob[e + 8 : e + 12])
+            else:
+                continue
+            if tag == 256:
+                width = val
+            elif tag == 257:
+                height = val
+            elif tag == 277:
+                spp = val
+    return ("image/tiff", width, height, spp)
 
 
 # ---------------------------------------------------------------------------

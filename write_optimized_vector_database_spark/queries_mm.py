@@ -863,12 +863,15 @@ def mm_gif_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_lossless_hier_roundtrip",
     # Lossless (SOF3) and hierarchical (DHP/EXP + SOF7) JPEG through the
     # REAL decode path (round 10 — the 'last exotic variants'): each doc
-    # synthesizes a deterministic ARBITRARY-content grayscale image
+    # (extended later in round 10 with the ARITHMETIC twins: SOF11
+    # lossless and SOF9/13/15 pyramids, same closed-form oracle) each
+    # doc synthesizes a deterministic ARBITRARY-content grayscale image
     # (pixel(x,y) = (doc_id*31 + 7x + 13y) mod 256 — x/y/doc-dependent,
     # so any predictor, modulo-2^16, upsampling-filter, or correction-
-    # frame bug shifts some pixel), encodes it losslessly (even docs:
-    # SOF3 with predictor 1 + doc_id%7; odd docs: hierarchical pyramid
-    # whose differential-lossless stage absorbs the DCT loss), decodes
+    # frame bug shifts some pixel), encodes it losslessly by doc_id%4 —
+    # SOF3 (predictor 1 + doc_id%7), Huffman pyramid, SOF11 arithmetic
+    # lossless, or arithmetic pyramid (SOF9/13/15, 3-stage every 8th) —
+    # whose differential-lossless stage absorbs any DCT loss, decodes
     # it back, and reports the decoded pixel SUM. The oracle is the
     # closed form over the SAME formula — the roundtrip is bit-exact or
     # the hash breaks. `via` pins that the capability probe routed to a
@@ -876,7 +879,8 @@ def mm_gif_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH dims AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'lossless' ELSE 'hierarchical' END AS family,
+         CASE doc_id % 4 WHEN 0 THEN 'lossless' WHEN 1 THEN 'hierarchical'
+              WHEN 2 THEN 'lossless-arith' ELSE 'hier-arith' END AS family,
          (8 + doc_id % 5)::INT AS width,
          (6 + doc_id % 7)::INT AS height
   FROM documents
@@ -914,18 +918,27 @@ def mm_lossless_hier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [(i * 31 + 7 * x + 13 * y) % 256 for x in range(w)]
                     for y in range(h)
                 ]
-                if i % 2 == 0:
+                fam = i % 4
+                if fam == 0:
                     family = "lossless"
                     blob = MM.encode_jpeg_lossless(img, predictor=1 + i % 7)
-                else:
+                    decode = MM.decode_jpeg_lossless
+                elif fam == 1:
                     family = "hierarchical"
                     blob = MM.encode_jpeg_hierarchical(img)
+                    decode = MM.decode_jpeg_hierarchical
+                elif fam == 2:
+                    family = "lossless-arith"
+                    blob = MM.encode_jpeg_lossless_arith(
+                        img, predictor=1 + i % 7)
+                    decode = MM.decode_jpeg_lossless_arith
+                else:
+                    family = "hier-arith"
+                    blob = MM.encode_jpeg_hierarchical(
+                        img, stages=3 if i % 8 == 3 else 2, arithmetic=True)
+                    decode = MM.decode_jpeg_hierarchical
                 via = MM.decode_capability(blob)
-                dw, dh, _nch, raw = (
-                    MM.decode_jpeg_lossless(blob)
-                    if i % 2 == 0
-                    else MM.decode_jpeg_hierarchical(blob)
-                )
+                dw, dh, _nch, raw = decode(blob)
                 rows.append((i, family, dw, dh, via, sum(raw)))
             yield pd.DataFrame(
                 rows,
@@ -1251,8 +1264,8 @@ def mm_mp4_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_universal_media_inventory",
     # The capstone of the decode lattice (round 10): ONE corpus mixing
-    # all eight owned codec families — PNG, GIF, sequential/progressive/
-    # lossless/arithmetic JPEG, WAV, MP4 — routed the way a real 100 TB
+    # all nine owned codec families — PNG, GIF, sequential/progressive/
+    # lossless/arithmetic JPEG, WAV, MP4, TIFF — routed the way a 100 TB
     # mixed-media inventory scan would be: sniff_mime dispatches each
     # blob to its modality's parser (images → capability-gated pixel
     # decode, audio → fmt-chunk walk, video → box walk), and every
@@ -1263,30 +1276,35 @@ def mm_mp4_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their closed forms simultaneously in one pass.
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 8
+       CASE doc_id % 9
          WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg-seq'
          WHEN 3 THEN 'jpeg-prog' WHEN 4 THEN 'jpeg-lossless'
-         WHEN 5 THEN 'jpeg-arith' WHEN 6 THEN 'wav' ELSE 'mp4'
+         WHEN 5 THEN 'jpeg-arith' WHEN 6 THEN 'wav' WHEN 7 THEN 'mp4'
+         ELSE 'tiff'
        END AS family,
-       CASE doc_id % 8
+       CASE doc_id % 9
          WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
          WHEN 6 THEN 'audio/wav' WHEN 7 THEN 'video/mp4'
+         WHEN 8 THEN 'image/tiff'
          ELSE 'image/jpeg'
        END AS mime,
-       CASE WHEN doc_id % 8 IN (6, 7) THEN 'header' ELSE 'pixels' END AS via,
-       CASE doc_id % 8
+       CASE WHEN doc_id % 9 IN (6, 7, 8) THEN 'header' ELSE 'pixels' END AS via,
+       CASE doc_id % 9
          WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 3 + doc_id % 6
          WHEN 4 THEN 8 + doc_id % 3 WHEN 6 THEN 0
-         WHEN 7 THEN 160 + 16 * (doc_id % 5) ELSE 8
+         WHEN 7 THEN 160 + 16 * (doc_id % 5)
+         WHEN 8 THEN 100 + doc_id % 40 ELSE 8
        END::INT AS width,
-       CASE doc_id % 8
+       CASE doc_id % 9
          WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 2 + doc_id % 5
          WHEN 4 THEN 6 + doc_id % 2 WHEN 6 THEN 0
-         WHEN 7 THEN 96 + 8 * (doc_id % 3) ELSE 8
+         WHEN 7 THEN 96 + 8 * (doc_id % 3)
+         WHEN 8 THEN 50 + doc_id % 30 ELSE 8
        END::INT AS height,
-       CASE doc_id % 8
+       CASE doc_id % 9
          WHEN 6 THEN 8000 + 100 * (doc_id % 10)
          WHEN 7 THEN 1000 + doc_id % 2000
+         WHEN 8 THEN 1 + doc_id % 3
          ELSE 0
        END::BIGINT AS extra
 FROM documents WHERE doc_id < 400 ORDER BY doc_id
@@ -1296,10 +1314,10 @@ FROM documents WHERE doc_id < 400 ORDER BY doc_id
 )
 def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-media inventory scan: synthesize one blob per doc from a
-    rotating 8-family codec set, then dispatch on sniff_mime exactly as
+    rotating 9-family codec set, then dispatch on sniff_mime exactly as
     a production scan would — images through the capability-gated
     decode, audio through parse_wav_header, video through
-    parse_mp4_meta. `extra` carries the per-modality scalar (audio
+    parse_mp4_meta, TIFF through the IFD walk. `extra` carries the per-modality scalar (audio
     framerate / video duration). Blobs never leave the executors; the
     driver sees typed metadata rows only."""
     import pandas as pd
@@ -1312,7 +1330,12 @@ def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def make_blob(i: int) -> bytes:
-        fam = i % 8
+        fam = i % 9
+        if fam == 8:
+            return MM.encode_tiff_stub(
+                100 + i % 40, 50 + i % 30, 1 + i % 3,
+                big_endian=bool(i % 2),
+            )
         if fam == 0:
             w, h = 4 + i % 5, 3 + i % 4
             return MM.encode_png([[(i % 256, 10, 20)] * w] * h)
@@ -1343,7 +1366,7 @@ def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fam_names = ["png", "gif", "jpeg-seq", "jpeg-prog", "jpeg-lossless",
-                 "jpeg-arith", "wav", "mp4"]
+                 "jpeg-arith", "wav", "mp4", "tiff"]
 
     def fn(batches):
         for pdf in batches:
@@ -1354,13 +1377,16 @@ def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mime = MM.sniff_mime(blob)
                 if mime == "audio/wav":
                     _m, _nch, rate, _bits = MM.parse_wav_header(blob)
-                    row = (i, fam_names[i % 8], mime, "header", 0, 0, rate)
+                    row = (i, fam_names[i % 9], mime, "header", 0, 0, rate)
                 elif mime == "video/mp4":
                     _m, w, h, dur, _ntr, _hd = MM.parse_mp4_meta(blob)
-                    row = (i, fam_names[i % 8], mime, "header", w, h, dur)
+                    row = (i, fam_names[i % 9], mime, "header", w, h, dur)
+                elif mime == "image/tiff":
+                    _m, w, h, spp = MM.parse_tiff_header(blob)
+                    row = (i, fam_names[i % 9], mime, "header", w, h, spp)
                 else:
                     m, w, h, _c, via = MM.decode_image_meta(blob)
-                    row = (i, fam_names[i % 8], m, via, w, h, 0)
+                    row = (i, fam_names[i % 9], m, via, w, h, 0)
                 rows.append(row)
             yield pd.DataFrame(
                 rows,
