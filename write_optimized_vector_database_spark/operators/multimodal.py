@@ -484,6 +484,208 @@ def encode_gif(
     )
 
 
+def encode_gif_animated(
+    frames: list[list[list[tuple[int, int, int]]]],
+    delays_cs: list[int] | None = None,
+    loop: int = 0,
+) -> bytes:
+    """REAL animated GIF89a encoder (round 10): one global palette from
+    the union of all frames' colors (≤256), NETSCAPE2.0 looping
+    extension, and per frame a graphic-control extension (delay in
+    centiseconds, disposal=do-not-dispose) + image descriptor + LZW
+    stream. Round-trips bit-exactly through decode_gif_frames."""
+    import struct
+
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    h = len(frames[0])
+    w = len(frames[0][0]) if h else 0
+    if any(len(f) != h or (h and len(f[0]) != w) for f in frames):
+        raise ValueError("all frames must share dimensions")
+    delays = delays_cs or [10] * len(frames)
+    if len(delays) != len(frames):
+        raise ValueError("delays_cs must match frame count")
+    palette: list[tuple[int, int, int]] = []
+    pal_pos: dict[tuple[int, int, int], int] = {}
+    for f in frames:
+        for row in f:
+            for px in row:
+                if px not in pal_pos:
+                    pal_pos[px] = len(palette)
+                    palette.append(px)
+    if len(palette) > 256:
+        raise ValueError(f"GIF palette overflow: {len(palette)} unique colors")
+    gct_bits = max(1, (max(1, len(palette) - 1)).bit_length())
+    gct_n = 1 << gct_bits
+    min_code_size = max(2, gct_bits)
+    gct = bytearray()
+    for i in range(gct_n):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+        + bytes(gct)
+        # NETSCAPE2.0 application extension: loop count (0 = forever)
+        + b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        + struct.pack("<H", loop)
+        + b"\x00"
+    )
+    for f, delay in zip(frames, delays):
+        indices = [pal_pos[px] for row in f for px in row]
+        lzw = _gif_lzw_encode(indices, min_code_size)
+        sub = b"".join(
+            bytes((len(lzw[i : i + 255]),)) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        out += (
+            b"\x21\xf9\x04"  # GCE: disposal=1 (keep), no transparency
+            + struct.pack("<BHB", 0x04, delay, 0)
+            + b"\x00"
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes((min_code_size,))
+            + sub
+            + b"\x00"
+        )
+    return bytes(out + b"\x3b")
+
+
+def decode_gif_frames(
+    blob: bytes,
+) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """REAL multi-frame GIF decode (round 10): every image descriptor
+    is LZW-decoded and composited onto the logical-screen canvas at its
+    (left, top) offset under do-not-dispose semantics, so sub-rectangle
+    delta frames reconstruct full canvases. Returns (width, height,
+    [(delay_cs, rgb_bytes), ...]) — one full-canvas RGB buffer per
+    frame. Transparency indices are painted opaque (the encoder never
+    emits them; foreign transparent GIFs decode with their transparent
+    color visible)."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    canvas = bytearray(3 * w * h)
+    frames: list[tuple[int, bytes]] = []
+    delay = 0
+    while pos < len(blob):
+        block = blob[pos]
+        pos += 1
+        if block == 0x21:
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9 and blob[pos] >= 4:  # graphic control
+                (delay,) = struct.unpack("<H", blob[pos + 2 : pos + 4])
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", blob[pos : pos + 9]
+            )
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = blob[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = blob[pos]
+            pos += 1
+            lzw = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                lzw += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            indices = _gif_lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            if ipacked & 0x40:
+                deint = [0] * (iw * ih)
+                for src, y in enumerate(_gif_interlace_order(ih)):
+                    deint[y * iw : (y + 1) * iw] = indices[
+                        src * iw : (src + 1) * iw
+                    ]
+                indices = deint
+            for y in range(ih):
+                for x in range(iw):
+                    idx = indices[y * iw + x]
+                    o = 3 * ((top + y) * w + (left + x))
+                    canvas[o : o + 3] = ct[3 * idx : 3 * idx + 3]
+            frames.append((delay, bytes(canvas)))
+            delay = 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF stream contains no image data")
+    return w, h, frames
+
+
+def parse_gif_meta(
+    blob: bytes | None,
+) -> tuple[str, int, int, int, int, int]:
+    """(mime, width, height, n_frames, total_duration_cs, loop) without
+    any LZW decode — image data sub-blocks are skipped by length, so
+    this is the O(header+block-lengths) scan-path slice for animations.
+    Non-GIF input → octet-stream zeros; truncation degrades to the
+    frames counted so far."""
+    import struct
+
+    if not blob or blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 13:
+        return ("application/octet-stream", 0, 0, 0, 0, 0)
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = total = loop = 0
+    try:
+        while pos < len(blob):
+            block = blob[pos]
+            pos += 1
+            if block == 0x21:
+                label = blob[pos]
+                pos += 1
+                if label == 0xF9 and blob[pos] >= 4:
+                    (d,) = struct.unpack("<H", blob[pos + 2 : pos + 4])
+                    total += d
+                elif label == 0xFF and blob[pos] == 11 and blob[
+                    pos + 1 : pos + 12
+                ] == b"NETSCAPE2.0":
+                    (loop,) = struct.unpack(
+                        "<H", blob[pos + 14 : pos + 16]
+                    )
+                while blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+            elif block == 0x2C:
+                ipacked = blob[pos + 8]
+                pos += 9
+                if ipacked & 0x80:
+                    pos += 3 * (2 << (ipacked & 0x07))
+                pos += 1  # min code size
+                while blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+                n_frames += 1
+            elif block == 0x3B:
+                break
+            else:
+                break
+    except IndexError:
+        pass  # truncated: report what was walked
+    return ("image/gif", w, h, n_frames, total, loop)
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
     """Full GIF LZW decoder (handles ANY conforming stream, not just the
     literal-only encoder above): variable code width, CLEAR/EOI,
@@ -4440,6 +4642,59 @@ def byte_histogram_features(df: DataFrame, blob_col: str = "blob", id_col: str =
             ]
         ),
     )
+
+
+def gif_frame_sample(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+) -> DataFrame:
+    """REAL video-frame sampling (round 10): animated-GIF blobs decode
+    executor-side (decode_gif_frames — full LZW + canvas composition)
+    and yield up to `n_frames` evenly-spaced full-canvas frames per
+    blob as rows of (id, frame_idx, delay_cs, width, height,
+    sum_r/g/b). This is the fake frame_sample's REAL twin: same
+    iterator-UDF fan-out shape (multiple rows per blob, frames never
+    materialize on the driver), actual pixels. Non-GIF or corrupt blobs
+    yield zero rows — the per-blob degradation a 100 TB mixed corpus
+    needs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    w, h, frames = decode_gif_frames(bytes(blob))
+                except Exception:  # noqa: BLE001 — degrade per blob
+                    continue
+                k = min(n_frames, len(frames))
+                picks = sorted({j * len(frames) // k for j in range(k)})
+                for fi in picks:
+                    delay, rgb = frames[fi]
+                    rows.append(
+                        (rid, fi, delay, w, h,
+                         sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "delay_cs", "width",
+                         "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("delay_cs", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return df.select(id_col, blob_col).mapInPandas(fn, schema=schema)
 
 
 def frame_sample(

@@ -1479,3 +1479,74 @@ def mm_mp3_frame_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+
+
+@register(
+    "mm_gif_animation_frames",
+    # REAL video-frame sampling (round 10): per doc an ANIMATED GIF is
+    # synthesized (2-5 solid-color frames, colors/delays closed-form in
+    # (doc_id, frame)), decoded back frame by frame (full LZW + canvas
+    # composition under do-not-dispose), and every sampled frame's
+    # per-channel pixel SUM is emitted — so palette-union indexing, the
+    # NETSCAPE/GCE walks, frame ordering, and the canvas compositor are
+    # all pinned by the closed form. This is the fake frame_sample
+    # plumbing made REAL: same fan-out shape (N rows per blob), actual
+    # decoded pixels.
+    oracle="""
+WITH g AS (
+  SELECT d.doc_id, f.f AS frame_idx,
+         (5 + d.doc_id % 4)::INT AS w, (4 + d.doc_id % 3)::INT AS h,
+         (2 + d.doc_id % 4) AS nf
+  FROM documents d, range(5) f(f)
+  WHERE d.doc_id < 240 AND f.f < 2 + d.doc_id % 4
+)
+SELECT doc_id, frame_idx,
+       (5 + (doc_id + frame_idx) % 6)::INT AS delay_cs,
+       w AS width, h AS height,
+       (w * h * ((doc_id * 37 + frame_idx * 11) % 256))::BIGINT AS sum_r,
+       (w * h * ((doc_id * 7 + frame_idx * 23) % 256))::BIGINT AS sum_g,
+       (w * h * ((doc_id * 13 + frame_idx * 5) % 256))::BIGINT AS sum_b
+FROM g ORDER BY doc_id, frame_idx
+""",
+    survey_ref="[EXT] multimodal animated GIF + real frame sampling (round 10)",
+    tags=["multimodal", "video", "decode"],
+)
+def mm_gif_animation_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling as a query: synthesize → decode →
+    per-frame channel sums through the gif_frame_sample operator (an
+    Arrow-batched iterator UDF fanning out N rows per blob). Blobs and
+    frames never leave the executors."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id")
+    )
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def mk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, nf = 5 + i % 4, 4 + i % 3, 2 + i % 4
+                frames = [
+                    [[((i * 37 + f * 11) % 256, (i * 7 + f * 23) % 256,
+                       (i * 13 + f * 5) % 256)] * w for _ in range(h)]
+                    for f in range(nf)
+                ]
+                blob = MM.encode_gif_animated(
+                    frames, delays_cs=[5 + (i + f) % 6 for f in range(nf)])
+                rows.append((i, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(
+        mk,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]),
+    )
+    return MM.gif_frame_sample(blobs, n_frames=5).orderBy(
+        "doc_id", "frame_idx"
+    )
