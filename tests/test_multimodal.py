@@ -1273,3 +1273,31 @@ class TestAnimatedGif:
         assert sorted((r.doc_id, r.frame_idx) for r in rows) == [
             (1, 0), (1, 2)]
         assert all(r.width == 6 and r.height == 4 for r in rows)
+
+
+def test_with_media_meta_universal_routing(spark):
+    """The with_media_meta OPERATOR routes every modality to its parser
+    in one Arrow pass — including MP3 and null/garbage blobs, which the
+    inventory query's corpus doesn't cover."""
+    import pandas as pd
+
+    blobs = [
+        MM.encode_png([[(1, 2, 3)] * 4] * 3),
+        MM.encode_wav([5] * 30, framerate=9000),
+        MM.encode_mp3_stub(bitrate_kbps=192, samplerate=32000),
+        MM.encode_mp4(100, 60, 700),
+        MM.encode_tiff_stub(20, 10, 3),
+        b"complete garbage",
+        None,
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(7)), "blob": blobs})
+    )
+    out = {r.doc_id: r for r in MM.with_media_meta(df).collect()}
+    assert (out[0].mime, out[0].via, out[0].width) == ("image/png", "pixels", 4)
+    assert (out[1].mime, out[1].extra) == ("audio/wav", 9000)
+    assert (out[2].mime, out[2].extra) == ("audio/mp3", 192)
+    assert (out[3].mime, out[3].width, out[3].extra) == ("video/mp4", 100, 700)
+    assert (out[4].mime, out[4].width, out[4].extra) == ("image/tiff", 20, 3)
+    assert out[5].via == "opaque" and out[6].via == "opaque"
+    assert len(out) == 7  # every blob yields exactly one row, never raises

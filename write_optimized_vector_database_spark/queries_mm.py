@@ -1368,44 +1368,33 @@ def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam_names = ["png", "gif", "jpeg-seq", "jpeg-prog", "jpeg-lossless",
                  "jpeg-arith", "wav", "mp4", "tiff"]
 
-    def fn(batches):
+    def mk(batches):
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                blob = make_blob(i)
-                mime = MM.sniff_mime(blob)
-                if mime == "audio/wav":
-                    _m, _nch, rate, _bits = MM.parse_wav_header(blob)
-                    row = (i, fam_names[i % 9], mime, "header", 0, 0, rate)
-                elif mime == "video/mp4":
-                    _m, w, h, dur, _ntr, _hd = MM.parse_mp4_meta(blob)
-                    row = (i, fam_names[i % 9], mime, "header", w, h, dur)
-                elif mime == "image/tiff":
-                    _m, w, h, spp = MM.parse_tiff_header(blob)
-                    row = (i, fam_names[i % 9], mime, "header", w, h, spp)
-                else:
-                    m, w, h, _c, via = MM.decode_image_meta(blob)
-                    row = (i, fam_names[i % 9], m, via, w, h, 0)
-                rows.append(row)
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "family", "mime", "via", "width",
-                         "height", "extra"],
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "blob": [make_blob(int(i)) for i in pdf["doc_id"]],
+                }
             )
 
-    schema = T.StructType(
-        [
+    blobs = docs.mapInPandas(
+        mk,
+        schema=T.StructType([
             T.StructField("doc_id", T.LongType()),
-            T.StructField("family", T.StringType()),
-            T.StructField("mime", T.StringType()),
-            T.StructField("via", T.StringType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("extra", T.LongType()),
-        ]
+            T.StructField("blob", T.BinaryType()),
+        ]),
     )
-    return docs.mapInPandas(fn, schema=schema).orderBy("doc_id")
+    # the universal routing is the with_media_meta OPERATOR (sniff →
+    # modality parser); the query only stamps the expected family name
+    meta = MM.with_media_meta(blobs)
+    return meta.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(n) for n in fam_names]),
+            (F.col("doc_id") % 9 + 1).cast("int"),
+        ).alias("family"),
+        "mime", "via", "width", "height", "extra",
+    ).orderBy("doc_id")
 
 
 @register(
