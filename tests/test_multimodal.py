@@ -629,15 +629,20 @@ class TestDecodeRobustness:
 
 
 def test_png_capability_is_per_variant():
-    """A 16-bit or interlaced PNG is NOT stdlib-decodable, so the
-    capability probe must not promise 'pixels' for it (same per-format
-    discipline as the JPEG SOF0+SOS check)."""
+    """The PNG capability gate mirrors the decoder's ACTUAL matrix
+    (round 10: depths 1/2/4/8/16, all color types, Adam7 — so 16-bit
+    and interlaced now probe as 'pixels'); spec-invalid combinations
+    (bad depth, sub-byte RGB) still degrade."""
     png = MM.encode_png([[(1, 2, 3)] * 4] * 3)
     assert MM.decode_capability(png) == "pixels"
     deep = png[:24] + bytes([16]) + png[25:]  # IHDR bit depth 8 → 16
-    assert MM.decode_capability(deep) == "header"
+    assert MM.decode_capability(deep) == "pixels"
     inter = png[:28] + bytes([1]) + png[29:]  # IHDR interlace → Adam7
-    assert MM.decode_capability(inter) == "header"
+    assert MM.decode_capability(inter) == "pixels"
+    bad = png[:24] + bytes([3]) + png[25:]  # depth 3 is spec-invalid
+    assert MM.decode_capability(bad) == "header"
+    subrgb = png[:24] + bytes([4]) + png[25:]  # 4-bit RGB is invalid
+    assert MM.decode_capability(subrgb) == "header"
 
 
 class TestJpegLosslessHierarchical:
@@ -1301,3 +1306,119 @@ def test_with_media_meta_universal_routing(spark):
     assert (out[4].mime, out[4].width, out[4].extra) == ("image/tiff", 20, 3)
     assert out[5].via == "opaque" and out[6].via == "opaque"
     assert len(out) == 7  # every blob yields exactly one row, never raises
+
+
+class TestPngFullMatrix:
+    """PNG variant matrix (round 10): depths 1/2/4/8/16, palette with
+    PLTE lookup, alpha channels, and Adam7 interlace — every stream
+    hand-built independently of the encoder, so these pin the decoder
+    against the spec, not against our own writer."""
+
+    @staticmethod
+    def _chunk(tag, data):
+        import struct
+        import zlib
+
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    @classmethod
+    def _build(cls, w, h, depth, color, interlace, raw, plte=b""):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + cls._chunk(b"IHDR", ihdr)
+        if plte:
+            out += cls._chunk(b"PLTE", plte)
+        return out + cls._chunk(b"IDAT", zlib.compress(raw)) + cls._chunk(
+            b"IEND", b"")
+
+    def test_16bit_gray_and_rgb(self):
+        import struct
+
+        w, h = 5, 3
+        vals = [[(1000 * y + 137 * x) % 65536 for x in range(w)]
+                for y in range(h)]
+        raw = b"".join(
+            b"\x00" + b"".join(struct.pack(">H", v) for v in row)
+            for row in vals)
+        dw, dh, dn, px = MM.decode_png(self._build(w, h, 16, 0, 0, raw))
+        got = [struct.unpack("<H", px[2 * i : 2 * i + 2])[0]
+               for i in range(w * h)]
+        assert got == [v for row in vals for v in row]
+        # RGB with the up filter (bpp=6 byte distance)
+        import random
+
+        rng = random.Random(2)
+        vals = [[tuple(rng.randint(0, 65535) for _ in range(3))
+                 for _ in range(4)] for _ in range(3)]
+        rows, prev = [], bytes(24)
+        for y in range(3):
+            cur = b"".join(struct.pack(">H", c) for p in vals[y] for c in p)
+            rows.append(b"\x02" + bytes(
+                (cur[i] - prev[i]) & 0xFF for i in range(24)))
+            prev = cur
+        _w, _h, dn, px = MM.decode_png(
+            self._build(4, 3, 16, 2, 0, b"".join(rows)))
+        got = [struct.unpack("<H", px[2 * i : 2 * i + 2])[0]
+               for i in range(36)]
+        assert got == [c for row in vals for p in row for c in p]
+
+    def test_palette_and_subbyte_gray(self):
+        plte = b"".join(bytes((i * 16, 255 - i * 16, i * 7))
+                        for i in range(16))
+        w, h = 7, 4
+        idx = [[(x + y) % 16 for x in range(w)] for y in range(h)]
+        raw = b""
+        for row in idx:
+            line = bytearray()
+            for i in range(0, w, 2):
+                line.append(row[i] << 4 | (row[i + 1] if i + 1 < w else 0))
+            raw += b"\x00" + bytes(line)
+        dw, dh, dn, px = MM.decode_png(self._build(w, h, 4, 3, 0, raw, plte))
+        assert (dw, dh, dn) == (w, h, 3)
+        for y in range(h):
+            for x in range(w):
+                i = idx[y][x]
+                assert px[3 * (y * w + x) : 3 * (y * w + x) + 3] == (
+                    plte[3 * i : 3 * i + 3])
+        # 1-bit gray scales to 0/255
+        w, h = 10, 2
+        bits = [[(x ^ y) & 1 for x in range(w)] for y in range(h)]
+        raw = b""
+        for row in bits:
+            line = bytearray(2)
+            for x, b in enumerate(row):
+                if b:
+                    line[x // 8] |= 0x80 >> (x % 8)
+            raw += b"\x00" + bytes(line)
+        _w, _h, _n, px = MM.decode_png(self._build(w, h, 1, 0, 0, raw))
+        assert list(px) == [255 if b else 0 for row in bits for b in row]
+
+    def test_rgba_and_adam7(self):
+        w, h = 3, 2
+        vals = [[(x * 10, y * 20, x + y, 128 + x) for x in range(w)]
+                for y in range(h)]
+        raw = b"".join(
+            b"\x00" + bytes(c for p in row for c in p) for row in vals)
+        _w, _h, dn, px = MM.decode_png(self._build(w, h, 8, 6, 0, raw))
+        assert dn == 4 and px == bytes(
+            c for row in vals for p in row for c in p)
+        # Adam7: seven independently-filtered passes scattered on grid
+        w = h = 9
+        img = [[(13 * y + 7 * x) % 256 for x in range(w)] for y in range(h)]
+        raw = b""
+        for (x0, y0, dx, dy) in MM._PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            for j in range(ph):
+                raw += b"\x00" + bytes(
+                    img[y0 + j * dy][x0 + i * dx] for i in range(pw))
+        blob = self._build(w, h, 8, 0, 1, raw)
+        _w, _h, _n, px = MM.decode_png(blob)
+        assert list(px) == [v for row in img for v in row]
+        assert MM.decode_capability(blob) == "pixels"
+        assert MM.decode_image(blob) == (9, 9, 1)

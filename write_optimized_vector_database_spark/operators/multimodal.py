@@ -5,9 +5,12 @@ BASELINE.json mandates the *pipeline shape*: binary payloads flow through
 Arrow-batched UDFs with typed schemas, partition-friendly and
 column-prunable. The container has no image codec LIBRARY, so this
 module carries its own spec-conforming stdlib codecs:
-- PNG: full encode + decode (zlib inflate, all five scanline filters);
+- PNG: full encode + decode — the complete variant matrix as of
+  round 10: bit depths 1/2/4/8/16, gray/RGB/palette/alpha color types,
+  all five scanline filters, Adam7 interlace;
 - GIF: full encode + decode (palette, LZW both directions, 4-pass
-  de-interlace);
+  de-interlace), plus ANIMATED streams (round 10): multi-frame
+  encode/decode with canvas composition and the no-LZW metadata walk;
 - JPEG: full sequential encode + decode at 8-bit (baseline SOF0) and
   12-bit (extended sequential SOF1: 2048 level shift, widened DHT
   tables — DCT, quantize, Huffman, restart markers, 4:2:0/4:4:4
@@ -138,47 +141,28 @@ def encode_png(pixels: list[list[tuple[int, int, int]]]) -> bytes:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """REAL PNG decode on stdlib only: chunk walk → IHDR dims → inflate
-    IDAT → reverse scanline filters (all five filter types per the PNG
-    spec) → raw interleaved samples. 8-bit non-interlaced images, any
-    color type. Returns (width, height, n_channels, pixel_bytes)."""
-    import struct
-    import zlib
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if not blob.startswith(b"\x89PNG\r\n\x1a\n"):
-        raise ValueError("not a PNG stream")
-    pos, width = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(blob):
-        (length,) = struct.unpack(">I", blob[pos : pos + 4])
-        tag = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or interlace:
-                raise ValueError("only 8-bit non-interlaced PNGs supported")
-            nch = _PNG_CHANNELS[color]
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * nch
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
+                  bpp: int) -> tuple[bytearray, int]:
+    """Reverse the five scanline filters over `h` rows of `stride`
+    bytes starting at raw[off]; returns (unfiltered bytes, new offset).
+    `bpp` is the filter's byte distance (max(1, channels·depth/8))."""
     out = bytearray()
     prev = bytearray(stride)
-    for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+    for _y in range(h):
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
         for x in range(stride):
-            a = line[x - nch] if x >= nch else 0  # left
+            a = line[x - bpp] if x >= bpp else 0  # left
             b = prev[x]  # up
-            c = prev[x - nch] if x >= nch else 0  # up-left
+            c = prev[x - bpp] if x >= bpp else 0  # up-left
             if ft == 1:
                 line[x] = (line[x] + a) & 0xFF
             elif ft == 2:
@@ -192,6 +176,122 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
                 line[x] = (line[x] + pred) & 0xFF
         out += line
         prev = line
+    return out, off
+
+
+def _png_rows_to_samples(rows: bytearray, w: int, h: int, depth: int,
+                         nch: int, stride: int) -> list[list[tuple]]:
+    """Unpack unfiltered scanlines into per-pixel channel tuples at the
+    native depth (sub-byte depths MSB-first per the spec)."""
+    px = []
+    for y in range(h):
+        line = rows[y * stride : (y + 1) * stride]
+        row = []
+        if depth == 16:
+            for x in range(w):
+                row.append(tuple(
+                    (line[2 * (x * nch + c)] << 8)
+                    | line[2 * (x * nch + c) + 1]
+                    for c in range(nch)
+                ))
+        elif depth == 8:
+            for x in range(w):
+                row.append(tuple(line[x * nch + c] for c in range(nch)))
+        else:  # 1/2/4-bit gray or palette indices, single channel
+            per_byte = 8 // depth
+            mask = (1 << depth) - 1
+            for x in range(w):
+                byte = line[x // per_byte]
+                shift = 8 - depth * (x % per_byte + 1)
+                row.append(((byte >> shift) & mask,))
+        px.append(row)
+    return px
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode on stdlib only — the FULL variant matrix as of
+    round 10: chunk walk → inflate IDAT → reverse all five scanline
+    filters (byte distance = channels·depth/8) → sample unpack at bit
+    depths 1/2/4/8/16, every color type (gray, RGB, PLTE palette,
+    gray+alpha, RGBA), non-interlaced or Adam7 (each pass an
+    independently filtered sub-image scattered on the grid). Palette
+    images resolve to RGB; sub-byte gray scales to 8-bit; 16-bit
+    samples return as uint16-LE (len = w·h·nch·2 discriminates, same
+    convention as the 12-bit JPEG path). Returns
+    (width, height, n_channels, pixel_bytes)."""
+    import struct
+    import zlib
+
+    if not blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG stream")
+    pos, width = 8, None
+    idat = bytearray()
+    plte = b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"bad PNG bit depth {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {color}")
+            if depth < 8 and color not in (0, 3):
+                raise ValueError("sub-byte depth requires gray or palette")
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    nch = 1 if color == 3 else _PNG_CHANNELS[color]
+    bpp = max(1, nch * depth // 8)
+    raw = zlib.decompress(bytes(idat))
+
+    grid: list[list[tuple | None]] = [[None] * width for _ in range(height)]
+    if interlace:  # Adam7
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * nch * depth + 7) // 8
+            rows, off = _png_unfilter(raw, off, ph, stride, bpp)
+            sub = _png_rows_to_samples(rows, pw, ph, depth, nch, stride)
+            for j in range(ph):
+                for i in range(pw):
+                    grid[y0 + j * dy][x0 + i * dx] = sub[j][i]
+    else:
+        stride = (width * nch * depth + 7) // 8
+        rows, _ = _png_unfilter(raw, 0, height, stride, bpp)
+        sub = _png_rows_to_samples(rows, width, height, depth, nch, stride)
+        grid = sub  # type: ignore[assignment]
+
+    out = bytearray()
+    if color == 3:  # palette → RGB
+        for row in grid:
+            for pxv in row:
+                i = 3 * pxv[0]
+                out += plte[i : i + 3]
+        return width, height, 3, bytes(out)
+    if depth == 16:
+        for row in grid:
+            for pxv in row:
+                for v in pxv:
+                    out += struct.pack("<H", v)
+        return width, height, nch, bytes(out)
+    maxv = (1 << depth) - 1
+    for row in grid:
+        for pxv in row:
+            for v in pxv:
+                out.append(v * 255 // maxv if depth < 8 else v)
     return width, height, nch, bytes(out)
 
 
@@ -275,9 +375,16 @@ def decode_capability(blob: bytes | None) -> str:
     if not blob:
         return "opaque"
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        # stdlib decoder covers 8-bit non-interlaced (IHDR depth at
-        # offset 24, interlace at 28); other PNGs need the PIL probe
-        if len(blob) >= 29 and blob[24] == 8 and blob[28] == 0:
+        # round 10: the stdlib decoder covers the full variant matrix —
+        # depths 1/2/4/8/16, all color types, Adam7 — with the spec's
+        # one constraint (sub-byte depth only for gray/palette)
+        if (
+            len(blob) >= 29
+            and blob[24] in (1, 2, 4, 8, 16)
+            and blob[25] in _PNG_CHANNELS
+            and blob[28] in (0, 1)
+            and not (blob[24] < 8 and blob[25] not in (0, 3))
+        ):
             return "pixels"
     elif blob[:6] in (b"GIF87a", b"GIF89a"):
         return "pixels"
