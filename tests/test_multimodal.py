@@ -589,6 +589,10 @@ class TestDecodeRobustness:
             MM.encode_jpeg_arith(rng.integers(0, 256, (8, 8)).tolist()),
             MM.encode_png([[(1, 2, 3)] * 9] * 7),
             MM.encode_gif([[(250, 0, 0)] * 6] * 5),
+            MM.encode_gif_animated(
+                [[[(40 * f, 9, 9)] * 5] * 4 for f in range(3)]),
+            MM.encode_jpeg_hierarchical(
+                rng.integers(0, 256, (9, 9)).tolist(), arithmetic=True),
         ]
         for seed_blob in seeds:
             cases = [bytes(seed_blob[:n]) for n in (3, 9, 21, len(seed_blob) // 2,
