@@ -1426,3 +1426,82 @@ class TestPngFullMatrix:
         assert list(px) == [v for row in img for v in row]
         assert MM.decode_capability(blob) == "pixels"
         assert MM.decode_image(blob) == (9, 9, 1)
+
+
+class TestRasterDimsGuards:
+    """Fuzz-found (round 10, in-round sweep over the new surfaces): a
+    corrupt PNG IHDR / GIF descriptor can claim dims whose allocation
+    is GBs before any pixel data is read — the same executor-stall
+    hazard the JPEG decoders already guard. All three raster decoders
+    now refuse implausible dims BEFORE allocating, and the PNG inflate
+    is bounded to the geometry's exact byte need (zlib-bomb proof)."""
+
+    def test_png_implausible_dims_refused(self):
+        import struct
+
+        import pytest
+
+        png = MM.encode_png([[(1, 2, 3)] * 4] * 3)
+        huge = png[:16] + struct.pack(">II", 0xFFFFFFF, 0xFFFFFFF) + png[24:]
+        with pytest.raises(ValueError, match="implausible"):
+            MM.decode_png(huge)
+        assert MM.decode_image_meta(huge)[4] in ("header", "opaque")
+
+    def test_png_zlib_bomb_bounded(self):
+        import struct
+        import zlib
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        # 64 MB of zeros compresses to ~64 KB; the decode must inflate
+        # only the 3x4 geometry's bytes, never the bomb
+        ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (64 << 20))
+        blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+        w, h, n, px = MM.decode_png(blob)
+        assert (w, h, n) == (4, 3, 1) and len(px) == 12
+
+    def test_gif_implausible_dims_refused(self):
+        import struct
+
+        import pytest
+
+        gif = MM.encode_gif([[(9, 9, 9)] * 4] * 3)
+        i = gif.index(b"\x2c")
+        huge = (gif[: i + 5]
+                + struct.pack("<HH", 65535, 65535) + gif[i + 9 :])
+        with pytest.raises(ValueError, match="implausible"):
+            MM.decode_gif(huge)
+        assert MM.decode_image_meta(huge)[4] in ("header", "opaque")
+
+    def test_gif_frame_rect_must_fit_canvas(self):
+        import struct
+
+        import pytest
+
+        blob = bytearray(MM.encode_gif_animated(
+            [[[(1, 2, 3)] * 4] * 3], delays_cs=[5]))
+        i = bytes(blob).index(b"\x2c")
+        # frame offset pushed past the logical screen
+        mut = (bytes(blob[: i + 1]) + struct.pack("<HH", 3, 2)
+               + bytes(blob[i + 5 :]))
+        with pytest.raises(ValueError, match="exceeds the logical screen"):
+            MM.decode_gif_frames(mut)
+
+
+def test_gif_lzw_min_code_size_guarded():
+    """Fuzz-found (round 10): a mutated LZW minimum-code-size byte of
+    up to 255 would attempt a 2^255-entry base table — the decoder must
+    refuse outside the spec's 12-bit code ceiling, and the graceful
+    wrapper must degrade."""
+    import pytest
+
+    gif = MM.encode_gif([[(9, 9, 9)] * 4] * 3)
+    i = gif.index(b"\x2c")  # descriptor; min code size follows the 9 bytes
+    mut = gif[: i + 10] + bytes([200]) + gif[i + 11 :]
+    with pytest.raises(ValueError, match="implausible GIF LZW"):
+        MM.decode_gif(mut)
+    assert MM.decode_image_meta(mut)[4] in ("header", "opaque")

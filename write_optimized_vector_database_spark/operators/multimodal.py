@@ -141,6 +141,26 @@ def encode_png(pixels: list[list[tuple[int, int, int]]]) -> bytes:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
 
 
+# Shared raster-dims guard (round 10, fuzz-found): a corrupt PNG IHDR or
+# GIF screen/image descriptor can claim up to 2^32 rows and drive a
+# multi-GB allocation before any pixel data is read — refuse exactly the
+# way the JPEG decoders do (same message family, so decode_image_meta
+# degrades the blob to the header walk). The cap is tighter than the
+# numpy-backed JPEG one because these decoders build per-pixel Python
+# structures: 16M pixels is already a minutes-scale decode, and
+# anything larger should route to the header walk, not stall an
+# executor core.
+_MAX_RASTER_PIXELS = 1 << 24
+
+
+def _check_raster_dims(width: int, height: int, what: str) -> None:
+    if width <= 0 or height <= 0 or width * height > _MAX_RASTER_PIXELS:
+        raise ValueError(
+            f"implausible {what} dimensions {width}x{height} "
+            f"(> {_MAX_RASTER_PIXELS} pixels) — refusing the allocation"
+        )
+
+
 # Adam7 interlace passes: (x_start, y_start, x_step, y_step)
 _PNG_ADAM7 = (
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -250,9 +270,22 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
+    _check_raster_dims(width, height, "PNG")
     nch = 1 if color == 3 else _PNG_CHANNELS[color]
     bpp = max(1, nch * depth // 8)
-    raw = zlib.decompress(bytes(idat))
+    # bound the inflate to the geometry's exact byte need so a
+    # decompression bomb in a tiny IDAT cannot out-allocate the dims
+    # guard (fuzz-hardening, round 10)
+    if interlace:
+        expected = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw and ph:
+                expected += ph * (1 + (pw * nch * depth + 7) // 8)
+    else:
+        expected = height * (1 + (width * nch * depth + 7) // 8)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
 
     grid: list[list[tuple | None]] = [[None] * width for _ in range(height)]
     if interlace:  # Adam7
@@ -674,6 +707,7 @@ def decode_gif_frames(
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[6:13])
+    _check_raster_dims(w, h, "GIF")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -698,6 +732,11 @@ def decode_gif_frames(
             left, top, iw, ih, ipacked = struct.unpack(
                 "<HHHHB", blob[pos : pos + 9]
             )
+            _check_raster_dims(iw, ih, "GIF")
+            if left + iw > w or top + ih > h:
+                raise ValueError(
+                    "GIF frame rectangle exceeds the logical screen"
+                )
             pos += 9
             ct = gct
             if ipacked & 0x80:
@@ -788,7 +827,7 @@ def parse_gif_meta(
                 break
             else:
                 break
-    except IndexError:
+    except (IndexError, struct.error):
         pass  # truncated: report what was walked
     return ("image/gif", w, h, n_frames, total, loop)
 
@@ -796,7 +835,13 @@ def parse_gif_meta(
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
     """Full GIF LZW decoder (handles ANY conforming stream, not just the
     literal-only encoder above): variable code width, CLEAR/EOI,
-    dictionary growth with the prev+first-symbol rule, 12-bit ceiling."""
+    dictionary growth with the prev+first-symbol rule, 12-bit ceiling.
+    A corrupt minimum code size is refused BEFORE the base-table
+    allocation: a mutated byte of up to 255 would otherwise attempt a
+    2^255-entry list (fuzz-found, round 10); the spec's 12-bit code
+    ceiling bounds it to 11."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"implausible GIF LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     base = [[i] for i in range(clear)]
@@ -868,6 +913,7 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
             pos += 1
         elif block == 0x2C:  # image descriptor
             _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", blob[pos : pos + 9])
+            _check_raster_dims(iw, ih, "GIF")
             pos += 9
             ct = gct
             if ipacked & 0x80:
