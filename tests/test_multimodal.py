@@ -756,17 +756,18 @@ class TestJpegLosslessHierarchical:
     def test_hierarchical_unsupported_stage_degrades(self):
         img = self._rand(12, 10, seed=2)
         blob = MM.encode_jpeg_hierarchical(img)
-        # rewrite the correction frame SOF7 -> SOF6 (differential
-        # PROGRESSIVE, not implemented): capability must fall to
+        # rewrite the correction frame SOF7 -> SOF2 (non-differential
+        # PROGRESSIVE inside a pyramid, not implemented — SOF6/SOF14
+        # became real later in round 10): capability must fall to
         # 'header', the walker must refuse, decode_image_meta must not
         # raise
-        mut = blob.replace(b"\xff\xc7", b"\xff\xc6", 1)
+        mut = blob.replace(b"\xff\xc7", b"\xff\xc2", 1)
         assert not MM._jpeg_hier_decodable(mut)
         assert MM.decode_capability(mut) == "header"
         assert MM.decode_image_meta(mut)[4] == "header"
         import pytest
 
-        with pytest.raises(NotImplementedError, match="0xc6"):
+        with pytest.raises(NotImplementedError, match="0xc2"):
             MM.decode_jpeg_hierarchical(mut)
 
     def test_lossless_dri_refused_not_misdecoded(self):
@@ -1204,9 +1205,9 @@ class TestHierarchicalArithmetic:
         assert MM.decode_capability(blob) == "pixels"
         assert MM.decode_image_meta(blob) == ("image/jpeg", 12, 12, 1,
                                               "pixels")
-        # differential-progressive stages still degrade: rewrite the
-        # SOF13 marker to SOF14 (0xCE)
-        mut = blob.replace(b"\xff\xcd", b"\xff\xce", 1)
+        # arithmetic-progressive NON-differential stages still degrade:
+        # rewrite the SOF13 marker to SOF10 (0xCA)
+        mut = blob.replace(b"\xff\xcd", b"\xff\xca", 1)
         assert not MM._jpeg_hier_decodable(mut)
         assert MM.decode_capability(mut) == "header"
 
@@ -1505,3 +1506,60 @@ def test_gif_lzw_min_code_size_guarded():
     with pytest.raises(ValueError, match="implausible GIF LZW"):
         MM.decode_gif(mut)
     assert MM.decode_image_meta(mut)[4] in ("header", "opaque")
+
+
+class TestHierarchicalDifferentialProgressive:
+    """Differential PROGRESSIVE pyramid stages (SOF6 Huffman / SOF14
+    arithmetic) — the final cell of the JPEG process matrix (round 10).
+    The middle differential frame is coded as two spectral-selection
+    scans (DC, then the 1-63 AC band, Ah=Al=0 — spec-legal progressive
+    without successive approximation); the walker accumulates scans and
+    finalizes on the next structural marker. Same pixel-exact pyramid
+    contract; successive-approximation streams still degrade."""
+
+    def test_pixel_exact_both_entropies(self):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(8)
+        for arith in (False, True):
+            hh, ww = rng.choice([(12, 12), (9, 17), (16, 24)])
+            px = [[rng.randint(0, 255) for _ in range(ww)]
+                  for _ in range(hh)]
+            blob = MM.encode_jpeg_hierarchical(
+                px, stages=3, arithmetic=arith, progressive_middle=True)
+            assert (b"\xff\xce" if arith else b"\xff\xc6") in blob
+            w, h, c, raw = MM.decode_jpeg_hierarchical(blob)
+            assert np.array_equal(
+                np.frombuffer(raw, np.uint8).reshape(hh, ww), np.array(px))
+
+    def test_lossy_quant_still_exact(self):
+        import numpy as np
+
+        px = [[(11 * x * y + 5 * y) % 256 for x in range(16)]
+              for y in range(16)]
+        for arith in (False, True):
+            blob = MM.encode_jpeg_hierarchical(
+                px, quant=[3] * 64, stages=3, arithmetic=arith,
+                progressive_middle=True)
+            _w, _h, _c, raw = MM.decode_jpeg_hierarchical(blob)
+            assert np.array_equal(
+                np.frombuffer(raw, np.uint8).reshape(16, 16), np.array(px))
+
+    def test_capability_and_sa_degradation(self):
+        px = [[(7 * i) % 256 for i in range(12)]] * 12
+        for arith in (False, True):
+            blob = MM.encode_jpeg_hierarchical(
+                px, stages=3, arithmetic=arith, progressive_middle=True)
+            assert MM._jpeg_hier_decodable(blob)
+            assert MM.decode_capability(blob) == "pixels"
+            assert MM.decode_image_meta(blob)[4] == "pixels"
+        # a successive-approximation scan header (Ah=1) must degrade
+        blob = MM.encode_jpeg_hierarchical(px, stages=3,
+                                           progressive_middle=True)
+        i = blob.index(b"\xff\xc6")
+        j = blob.index(b"\xff\xda", i)
+        mut = blob[: j + 9] + bytes([0x10]) + blob[j + 10 :]
+        assert not MM._jpeg_hier_decodable(mut)
+        assert MM.decode_capability(mut) == "header"

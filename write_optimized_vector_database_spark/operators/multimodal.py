@@ -24,8 +24,12 @@ module carries its own spec-conforming stdlib codecs:
   8/12-bit), progressive SOF10 (Annex G.2: per-scan QM restart,
   point-transformed DC, banded AC, refinement correction model), and
   lossless SOF11 (Annex H.1.2.2: 2-D Da/Db-conditioned model,
-  2-16 bit). Only the standalone differential processes degrade
-  gracefully to header metadata.
+  2-16 bit), with differential stages — including the PROGRESSIVE ones
+  (SOF6/SOF14, spectral-selection scans) — decoding inside
+  hierarchical pyramids. What still degrades gracefully to header
+  metadata: standalone differential frames (invalid streams outside a
+  pyramid per T.81) and successive-approximation
+  differential-progressive pyramid stages.
 - WAV: RIFF/WAVE PCM encode/decode (stdlib `wave`) + a wave-free
   fmt-chunk header walk for truncated blobs (round 10);
 - MP4: structurally real ISO-BMFF container encode + recursive box-walk
@@ -435,8 +439,11 @@ def decode_capability(blob: bytes | None) -> str:
         # the walker implements (SOF0/1/3/5/7); the full arithmetic
         # family — SEQUENTIAL (SOF9, Annexes D+F), PROGRESSIVE (SOF10,
         # Annex G.2) and LOSSLESS (SOF11, Annex H.1.2.2) — decodes for
-        # real as of round 10; only the differential processes
-        # (SOF5-7/13-15 outside a hierarchical pyramid) degrade
+        # real as of round 10; differential stages (SOF5-7/13-15,
+        # incl. spectral-selection SOF6/SOF14) decode inside pyramids —
+        # what degrades: standalone differential frames (invalid
+        # streams per T.81) and successive-approximation
+        # differential-progressive pyramid stages
         if sof == 0xC3 and has_sos and prec is not None and (
             2 <= prec <= 16
         ) and not _jpeg_has_dri(blob):
@@ -2331,6 +2338,7 @@ def encode_jpeg_hierarchical(
     quant: list[int] | None = None,
     stages: int = 2,
     arithmetic: bool = False,
+    progressive_middle: bool = False,
 ) -> bytes:
     """REAL hierarchical JPEG encoder (T.81 Annex J): DHP declares the
     full-resolution frame, a reduced-resolution SEQUENTIAL DCT frame
@@ -2354,8 +2362,13 @@ def encode_jpeg_hierarchical(
     DCT (the DC model with PRED pinned to 0 per frame semantics), and
     SOF15 differential lossless (the Annex H 2-D model over correction
     values, no spatial prediction) — same pixel-exact pyramid contract.
-    Grayscale only — the hierarchical progression is per component and
-    one plane exercises every code path."""
+    `progressive_middle=True` (with stages=3 — the final cell of the
+    matrix) codes the middle differential frame PROGRESSIVELY as two
+    spectral-selection scans (a DC scan then the 1-63 AC band, Ah=Al=0
+    — spec-legal progressive without successive approximation): SOF6
+    under Huffman entropy, SOF14 under arithmetic. Grayscale only — the
+    hierarchical progression is per component and one plane exercises
+    every code path."""
     import struct
 
     import numpy as np
@@ -2458,27 +2471,13 @@ def encode_jpeg_hierarchical(
         diff = (target - ref).astype(np.float64)
         bxs, bys = -(-tw // 8), -(-th_ // 8)
         rdiff = np.zeros((bys * 8, bxs * 8))
-        if arithmetic:
-            qenc = _QMEncoder()  # QM coder + statistics restart per frame
-            a_dc, a_ac = bytearray(64), bytearray(256)
-            cstate = [0, 0]
-        else:
-            dc12 = _huff_encode_map(_DC_BITS12, _DC_VALS12)
-            ac12 = _huff_encode_map(_AC_BITS12, _AC_VALS12)
-            bwm = _JpegBitWriter()
+        blocks_zz: list[list[int]] = []
         for by in range(bys):
             for bx in range(bxs):
                 blk = _plane_blocks(diff, bx, by)  # no level shift
                 coef = np.round((C @ blk @ C.T) / q).astype(int)
                 zz = [int(coef[r][c]) for r, c in _ZIGZAG]
-                if arithmetic:
-                    # PRED = 0 in differential frames: code the DC value
-                    # itself through the DC model, predictor pinned
-                    _arith_enc_dc(qenc, zz[0], cstate, a_dc, dc_l, dc_u)
-                    cstate[0] = 0
-                    _arith_enc_ac_band(qenc, zz, 1, 63, a_ac, a_fx, kx)
-                else:
-                    _encode_block(bwm, zz, 0, dc12, ac12)  # PRED = 0
+                blocks_zz.append(zz)
                 dq = np.zeros((8, 8))
                 for k, (r, c) in enumerate(_ZIGZAG):
                     dq[r][c] = zz[k]
@@ -2486,7 +2485,88 @@ def encode_jpeg_hierarchical(
         recon = np.clip(
             ref + np.round(rdiff[:th_, :tw]).astype(np.int64), 0, 255
         )
-        if arithmetic:
+        if progressive_middle:
+            # two spectral-selection scans (DC, then AC band 1-63), no
+            # successive approximation — the SOF6/SOF14 shape
+            if arithmetic:
+                enc1 = _QMEncoder()  # QM + stats restart per SCAN
+                a_dc = bytearray(64)
+                cstate = [0, 0]
+                for zz in blocks_zz:
+                    _arith_enc_dc(enc1, zz[0], cstate, a_dc, dc_l, dc_u)
+                    cstate[0] = 0  # PRED = 0 in differential frames
+                enc2 = _QMEncoder()
+                a_ac = bytearray(256)
+                a_fx2 = bytearray([113])
+                for zz in blocks_zz:
+                    _arith_enc_ac_band(enc2, zz, 1, 63, a_ac, a_fx2, kx)
+                stream += (
+                    seg(0xDF, bytes([0x11]))
+                    + seg(0xCE, sof_payload(th_, tw))  # SOF14
+                    + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+                    + enc1.flush()
+                    + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+                    + enc2.flush()
+                )
+            else:
+                dc12 = _huff_encode_map(_DC_BITS12, _DC_VALS12)
+                ac12 = _huff_encode_map(_AC_BITS12, _AC_VALS12)
+                bw1 = _JpegBitWriter()
+                for zz in blocks_zz:
+                    size, bits_ = _jpeg_magnitude(zz[0])  # PRED = 0
+                    code, ln = dc12[size]
+                    bw1.write(code, ln)
+                    if size:
+                        bw1.write(bits_, size)
+                bw2m = _JpegBitWriter()
+                for zz in blocks_zz:
+                    # the AC half of the sequential block coder: every
+                    # end-of-block is EOB0 (0x00), a legal (length-1)
+                    # progressive EOB run
+                    last = 0
+                    for k in range(63, 0, -1):
+                        if zz[k]:
+                            last = k
+                            break
+                    run = 0
+                    for k in range(1, last + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac12[0xF0]
+                            bw2m.write(code, ln)
+                            run -= 16
+                        size, bits_ = _jpeg_magnitude(zz[k])
+                        code, ln = ac12[(run << 4) | size]
+                        bw2m.write(code, ln)
+                        bw2m.write(bits_, size)
+                        run = 0
+                    if last < 63:
+                        code, ln = ac12[0x00]  # EOB (run length 1)
+                        bw2m.write(code, ln)
+                stream += (
+                    seg(0xDF, bytes([0x11]))
+                    + seg(0xC6, sof_payload(th_, tw))  # SOF6
+                    + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS12)
+                          + bytes(_DC_VALS12))
+                    + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS12)
+                          + bytes(_AC_VALS12))
+                    + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+                    + bw1.flush()
+                    + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+                    + bw2m.flush()
+                )
+        elif arithmetic:
+            qenc = _QMEncoder()  # QM coder + statistics restart per frame
+            a_dc, a_ac = bytearray(64), bytearray(256)
+            cstate = [0, 0]
+            for zz in blocks_zz:
+                # PRED = 0 in differential frames: code the DC value
+                # itself through the DC model, predictor pinned
+                _arith_enc_dc(qenc, zz[0], cstate, a_dc, dc_l, dc_u)
+                cstate[0] = 0
+                _arith_enc_ac_band(qenc, zz, 1, 63, a_ac, a_fx, kx)
             stream += (
                 seg(0xDF, bytes([0x11]))
                 + seg(0xCD, sof_payload(th_, tw))  # SOF13
@@ -2494,6 +2574,11 @@ def encode_jpeg_hierarchical(
                 + qenc.flush()
             )
         else:
+            dc12 = _huff_encode_map(_DC_BITS12, _DC_VALS12)
+            ac12 = _huff_encode_map(_AC_BITS12, _AC_VALS12)
+            bwm = _JpegBitWriter()
+            for zz in blocks_zz:
+                _encode_block(bwm, zz, 0, dc12, ac12)  # PRED = 0
             # redefine table slots 0/0 and 1/0 with the wide-range
             # tables — sequential redefinition between frames is legal
             stream += (
@@ -2564,9 +2649,12 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
     their residual added to the reference and clamped; ARITHMETIC
     stages (SOF9 coarse, SOF13 differential DCT, SOF15 differential
     lossless — later round 10) decode through the QM coder with
-    per-frame statistics restart; differential PROGRESSIVE variants
-    (SOF6/SOF14) raise NotImplementedError — the capability probe
-    routes such streams to the header walk. Returns
+    per-frame statistics restart; differential PROGRESSIVE frames
+    (SOF6 Huffman / SOF14 arithmetic) decode as multi-scan
+    spectral-selection accumulations finalized at the next structural
+    marker — successive-approximation scans raise NotImplementedError
+    and the capability probe routes such streams to the header walk.
+    Returns
     (width, height, 1, uint8 bytes) cropped to the DHP dimensions."""
     import struct
 
@@ -2583,12 +2671,39 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
     ac_cond: dict[int, int] = {}
     C = _dct_mat()
     frame: dict = {}
+    prog: dict = {}  # active differential-progressive frame (SOF6/SOF14)
+
+    def finish_prog():
+        """Finalize an accumulated differential-progressive frame:
+        dequantize the collected coefficients, IDCT with no level
+        shift, add to the reference and clamp."""
+        nonlocal ref, prog, frame
+        if not prog:
+            return
+        fh, fw = prog["h"], prog["w"]
+        q = qtabs[prog["tq"]]
+        bxs = -(-fw // 8)
+        plane = np.zeros((prog["bys"] * 8, bxs * 8))
+        for bi, zz in enumerate(prog["blocks"]):
+            dq = np.zeros((8, 8))
+            for k2, (r, c) in enumerate(_ZIGZAG):
+                dq[r][c] = zz[k2]
+            by, bx = divmod(bi, bxs)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = C.T @ (dq * q) @ C
+        ref = np.clip(
+            ref[:fh, :fw] + np.round(plane[:fh, :fw]).astype(np.int64),
+            0, (1 << prog["prec"]) - 1,
+        )
+        prog = {}
+        frame = {}
+
     pos = 2
     while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
+            finish_prog()
             break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -2603,6 +2718,7 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                     "hierarchical decode supports single-component frames"
                 )
         elif marker == 0xDF:  # EXP
+            finish_prog()
             pending_exp = data[0]
         elif marker == 0xDB:
             i = 0
@@ -2629,7 +2745,9 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(data[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_map(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7, 0xC9, 0xCD, 0xCF):
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCD,
+                        0xCE, 0xCF):
+            finish_prog()
             prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
             _jpeg_check_dims(fw, fh)
             if nc != 1:
@@ -2647,7 +2765,7 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                 else:
                     ac_cond[tb] = data[i + 1]
                 i += 2
-        elif marker in (0xC2, 0xC6, 0xCA, 0xCB, 0xCE):
+        elif marker in (0xC2, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"hierarchical frame type 0x{marker:02x} not supported"
             )
@@ -2670,6 +2788,83 @@ def decode_jpeg_hierarchical(blob: bytes) -> tuple[int, int, int, bytes]:
                     )
                 ref = _jpeg_upsample2x(ref)[:fh, :fw]
                 pending_exp = 0
+            if frame["marker"] in (0xC6, 0xCE):  # differential progressive
+                if ref is None:
+                    raise ValueError("differential frame with no reference")
+                if ns != 1:
+                    raise NotImplementedError(
+                        "interleaved differential-progressive scan"
+                    )
+                ss = data[1 + 2 * ns]
+                se = data[2 + 2 * ns]
+                if data[3 + 2 * ns] != 0:
+                    raise NotImplementedError(
+                        "successive approximation unsupported in "
+                        "differential progressive stages"
+                    )
+                bxs, bys = -(-fw // 8), -(-fh // 8)
+                if not prog:
+                    prog = {"h": fh, "w": fw, "tq": frame["tq"],
+                            "prec": frame["prec"], "bys": bys,
+                            "blocks": [[0] * 64 for _ in range(bxs * bys)]}
+                if frame["marker"] == 0xCE:  # arithmetic (SOF14)
+                    dec = _QMDecoder(blob, pos + 2 + length)
+                    if ss == 0:
+                        dc_l, dc_u = dc_cond.get(tdc, (0, 1))
+                        a_dc = bytearray(64)
+                        cstate = [0, 0]
+                        for zz in prog["blocks"]:
+                            zz[0] = _arith_dec_dc(dec, cstate, a_dc,
+                                                  dc_l, dc_u)
+                            cstate[0] = 0  # PRED = 0, differential
+                    else:
+                        kx = ac_cond.get(tac, 5)
+                        a_ac = bytearray(256)
+                        a_fx = bytearray([113])
+                        for zz in prog["blocks"]:
+                            _arith_dec_ac_band(dec, zz, ss, se, a_ac,
+                                               a_fx, kx)
+                    pos = dec.pos
+                else:  # Huffman (SOF6)
+                    br2 = _JpegBitReader(blob, pos + 2 + length)
+                    if ss == 0:
+                        tab = htabs[(0, tdc)]
+                        for zz in prog["blocks"]:
+                            size = br2.huff(tab)
+                            zz[0] = (_jpeg_extend(br2.bits(size), size)
+                                     if size else 0)
+                    else:
+                        tab = htabs[(1, tac)]
+                        eobrun = 0
+                        for zz in prog["blocks"]:
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = br2.huff(tab)
+                                r, s = sym >> 4, sym & 0x0F
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1  # EOBn
+                                    if r:
+                                        eobrun += br2.bits(r)
+                                    break
+                                k += r
+                                if k > se:
+                                    raise ValueError("JPEG AC index overrun")
+                                zz[k] = _jpeg_extend(br2.bits(s), s)
+                                k += 1
+                    pos = br2.pos
+                while pos + 1 < len(blob):
+                    if blob[pos] == 0xFF and blob[pos + 1] != 0x00 and not (
+                        0xD0 <= blob[pos + 1] <= 0xD7
+                    ):
+                        break
+                    pos += 1
+                continue  # the frame stays active for further scans
             if frame["marker"] in (0xC9, 0xCD):  # arithmetic DCT stage
                 differential = frame["marker"] == 0xCD
                 if differential and ref is None:
@@ -4200,14 +4395,17 @@ def _jpeg_hier_decodable(blob: bytes) -> bool:
     """True when a hierarchical (DHP) stream uses only the frame types
     decode_jpeg_hierarchical implements: single-component 8-bit
     non-differential sequential (SOF0/SOF1/SOF9) or lossless (SOF3)
-    stages plus differential sequential DCT (SOF5/SOF13) and
-    differential lossless (SOF7/SOF15) refinements — Huffman AND
-    arithmetic as of round 10 — no restart intervals. Differential
-    progressive stages (SOF6/SOF14) degrade to the header walk."""
+    stages plus differential sequential DCT (SOF5/SOF13), differential
+    PROGRESSIVE (SOF6/SOF14 — spectral-selection scans only, so every
+    scan must carry Ah=Al=0), and differential lossless (SOF7/SOF15)
+    refinements — Huffman AND arithmetic as of round 10 — no restart
+    intervals. Successive-approximation differential-progressive
+    streams degrade to the header walk."""
     import struct
 
     pos = 2
     saw_dhp = False
+    last_sof = None
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             return False
@@ -4226,14 +4424,25 @@ def _jpeg_hier_decodable(blob: bytes) -> bool:
             prec, _h, _w, ncomp = struct.unpack(">BHHB", blob[pos + 4 : pos + 10])
             if marker == 0xDE:
                 saw_dhp = True
-            elif marker not in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7,
-                                0xC9, 0xCD, 0xCF):
+            elif marker not in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                                0xC9, 0xCD, 0xCE, 0xCF):
                 return False
+            else:
+                last_sof = marker
             if ncomp != 1:
                 return False
-            if marker in (0xC0, 0xC1, 0xC5, 0xC9, 0xCD, 0xDE) and prec != 8:
+            if marker in (0xC0, 0xC1, 0xC5, 0xC6, 0xC9, 0xCD, 0xCE,
+                          0xDE) and prec != 8:
                 return False
         if marker == 0xDA:
+            if last_sof in (0xC6, 0xCE):
+                # progressive differential scans: single component,
+                # spectral selection only (Ah = Al = 0)
+                ns = blob[pos + 4]
+                if ns != 1 or pos + 4 + 4 + 2 * ns > len(blob):
+                    return False
+                if blob[pos + 4 + 3 + 2 * ns] != 0:
+                    return False
             # skip entropy data to the next marker (un-stuff 0xFF00/RSTn)
             pos += 2 + length
             while pos + 1 < len(blob):

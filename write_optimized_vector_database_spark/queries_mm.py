@@ -863,8 +863,10 @@ def mm_gif_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_lossless_hier_roundtrip",
     # Lossless (SOF3) and hierarchical (DHP/EXP + SOF7) JPEG through the
     # REAL decode path (round 10 — the 'last exotic variants'): each doc
-    # (extended later in round 10 with the ARITHMETIC twins: SOF11
-    # lossless and SOF9/13/15 pyramids, same closed-form oracle) each
+    # (extended later in round 10 with the ARITHMETIC twins — SOF11
+    # lossless, SOF9/13/15 pyramids — and the differential-PROGRESSIVE
+    # middles: SOF6 at doc_id%16==5, SOF14 at %16==11; same closed-form
+    # oracle) each
     # doc synthesizes a deterministic ARBITRARY-content grayscale image
     # (pixel(x,y) = (doc_id*31 + 7x + 13y) mod 256 — x/y/doc-dependent,
     # so any predictor, modulo-2^16, upsampling-filter, or correction-
@@ -925,7 +927,9 @@ def mm_lossless_hier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     decode = MM.decode_jpeg_lossless
                 elif fam == 1:
                     family = "hierarchical"
-                    blob = MM.encode_jpeg_hierarchical(img)
+                    blob = MM.encode_jpeg_hierarchical(
+                        img, stages=3 if i % 16 == 5 else 2,
+                        progressive_middle=(i % 16 == 5))  # SOF6 slice
                     decode = MM.decode_jpeg_hierarchical
                 elif fam == 2:
                     family = "lossless-arith"
@@ -935,7 +939,8 @@ def mm_lossless_hier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     family = "hier-arith"
                     blob = MM.encode_jpeg_hierarchical(
-                        img, stages=3 if i % 8 == 3 else 2, arithmetic=True)
+                        img, stages=3 if i % 8 == 3 else 2, arithmetic=True,
+                        progressive_middle=(i % 16 == 11))  # SOF14 slice
                     decode = MM.decode_jpeg_hierarchical
                 via = MM.decode_capability(blob)
                 dw, dh, _nch, raw = decode(blob)
