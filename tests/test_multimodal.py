@@ -1563,3 +1563,86 @@ class TestHierarchicalDifferentialProgressive:
         mut = blob[: j + 9] + bytes([0x10]) + blob[j + 10 :]
         assert not MM._jpeg_hier_decodable(mut)
         assert MM.decode_capability(mut) == "header"
+
+
+class TestAdviceR10Fixes:
+    """Pins for the ADVICE r10 degrade-contract holes: every one of
+    these inputs crashed (or silently corrupted) the universal-inventory
+    scan before the fix; all must now degrade per blob."""
+
+    def test_mp3_bitrate_index_15_degrades(self):
+        # high nibble 0xF = bitrate index 15 ('bad' per ISO 11172-3 —
+        # the tables hold only 0-14): used to IndexError mid-batch
+        blob = b"\xff\xfb\xf0\x00" + b"\x00" * 16
+        assert MM.parse_mp3_header(blob) == ("audio/mp3", 0, 0, 0)
+
+    def test_sniff_requires_plausible_mp3_header(self):
+        # UTF-16LE BOM text sniffed as audio/mp3 and fabricated
+        # bitrate/samplerate metadata from text bytes
+        txt = b"\xff\xfe" + "hello world".encode("utf-16-le")
+        assert MM.sniff_mime(txt) == "application/octet-stream"
+        # bitrate-15 / reserved-field sync candidates are rejected too
+        assert MM.sniff_mime(b"\xff\xfb\xf0\x00") == "application/octet-stream"
+        assert MM.sniff_mime(b"\xff\xe8\x00\x00") == "application/octet-stream"
+        # a real tagless frame (ID3 stripped) still sniffs as mp3
+        bare = MM.encode_mp3_stub(id3_size=0)[10:]
+        assert MM.sniff_mime(bare) == "audio/mp3"
+        assert MM.parse_mp3_header(bare)[1] == 128
+
+    def test_png_short_plte_fails_decode_and_degrades(self):
+        # palette image with no PLTE: decode must raise (not return a
+        # truncated pixel buffer) and the graceful wrapper must fall to
+        # the header walk with via='header'
+        raw = b"".join(b"\x00" + bytes([x % 4 for x in range(4)])
+                       for _ in range(3))
+        png = TestPngFullMatrix._build(4, 3, 8, 3, 0, raw)
+        with pytest.raises(ValueError, match="palette"):
+            MM.decode_png(png)
+        fmt, w, h, _c, via = MM.decode_image_meta(png)
+        assert (fmt, w, h, via) == ("image/png", 4, 3, "header")
+        # short-but-present PLTE (covers indexes 0-1, image uses 3)
+        png2 = TestPngFullMatrix._build(4, 3, 8, 3, 0, raw, plte=b"\x00" * 6)
+        with pytest.raises(ValueError, match="palette"):
+            MM.decode_png(png2)
+
+    def test_truncated_v1_mvhd_degrades(self):
+        import struct
+
+        def box(tag, payload):
+            return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+        # v1 mvhd whose payload stops at 28 bytes — the u64 duration
+        # field (ends at offset 32) is missing; as the FINAL box this
+        # raised struct.error through the walk
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 24)
+        out = MM.parse_mp4_meta(ftyp + box(b"moov", mvhd))
+        assert out[0] == "video/mp4" and out[3] == 0
+
+    def test_with_media_meta_survives_hostile_batch(self, spark):
+        # one Arrow batch mixing every ADVICE r10 crash seed with valid
+        # blobs: the scan must yield one row per blob, never raise
+        seeds = [
+            b"\xff\xfb\xf0\x00" + b"\x00" * 8,     # mp3 bitrate idx 15
+            b"\xff\xfe" + "hi".encode("utf-16-le"),  # BOM text
+            MM.encode_mp3_stub(),                    # valid mp3
+            MM.encode_png([[(1, 2, 3)] * 3] * 2),    # valid png
+        ]
+        import struct
+        mvhd = struct.pack(">I", 8 + 28) + b"mvhd" + bytes([1, 0, 0, 0]) + b"\x00" * 24
+        seeds.append(
+            struct.pack(">I", 20) + b"ftyp" + b"isom\x00\x00\x02\x00isom"
+            + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        )
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(seeds)],
+            "doc_id long, blob binary",
+        )
+        rows = {r.doc_id: r for r in MM.with_media_meta(df).collect()}
+        assert len(rows) == len(seeds)
+        # rejected sync candidates fall through the image path → opaque
+        assert rows[0].mime == "unknown" and rows[0].via == "opaque"
+        assert rows[1].mime == "unknown" and rows[1].via == "opaque"
+        assert rows[2].mime == "audio/mp3" and rows[2].extra == 128
+        assert rows[3].mime == "image/png" and rows[3].width == 3
+        assert rows[4].mime == "video/mp4" and rows[4].extra == 0

@@ -94,10 +94,49 @@ def sniff_mime(blob: bytes | None) -> str:
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         return "video/mp4"
     # bare MPEG audio frame sync (11 set bits; JPEG's FF D8 cannot
-    # collide since D8 & E0 != E0) — tagless MP3s (round 10)
-    if len(blob) >= 4 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0:
+    # collide since D8 & E0 != E0) — tagless MP3s (round 10). Sync bits
+    # alone are a 1-in-32 false positive on arbitrary bytes (UTF-16LE
+    # BOM text sniffed as MP3, ADVICE r10): the candidate header must
+    # also carry non-reserved fields AND the frame geometry it declares
+    # must be consistent with the blob — either the blob is exactly one
+    # complete frame, or a second frame sync sits right where the first
+    # frame ends (the standard bare-sync validation).
+    if _mp3_sync_plausible(blob):
         return "audio/mp3"
     return "application/octet-stream"
+
+
+def _mp3_sync_plausible(blob: bytes) -> bool:
+    """True when blob[0:4] is a fully-valid MPEG audio frame header AND
+    the declared frame length lines up with the blob (exact single
+    frame, or a following frame sync at the boundary)."""
+    if len(blob) < 4 or blob[0] != 0xFF or (blob[1] & 0xE0) != 0xE0:
+        return False
+    version = (blob[1] >> 3) & 0x03
+    layer = (blob[1] >> 1) & 0x03
+    br_idx = (blob[2] >> 4) & 0x0F
+    sr_idx = (blob[2] >> 2) & 0x03
+    if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return False  # reserved fields / free-format (unverifiable)
+    group = 0 if version == 3 else 1
+    layer_idx = 3 - layer
+    bitrate = _MP3_BITRATES[group][layer_idx][br_idx] * 1000
+    samplerate = _MP3_RATES[version][sr_idx]
+    padding = (blob[2] >> 1) & 0x01
+    if layer == 3:  # Layer I: 4-byte slots
+        flen = (12 * bitrate // samplerate + padding) * 4
+    else:  # Layers II/III: 1-byte slots (MPEG2/2.5 Layer III halves)
+        per = 144 if (layer != 1 or version == 3) else 72
+        flen = per * bitrate // samplerate + padding
+    if flen < 4:
+        return False
+    if len(blob) == flen:
+        return True  # exactly one complete frame
+    return (
+        len(blob) >= flen + 2
+        and blob[flen] == 0xFF
+        and (blob[flen + 1] & 0xE0) == 0xE0
+    )
 
 
 DECODED_META_SCHEMA = T.StructType(
@@ -313,6 +352,16 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
 
     out = bytearray()
     if color == 3:  # palette → RGB
+        # a missing/short PLTE must fail the decode, not silently emit a
+        # truncated pixel buffer while the meta claims full dims — the
+        # caller's capability probe then degrades to the header walk
+        # (ADVICE r10)
+        max_idx = max((pxv[0] for row in grid for pxv in row), default=0)
+        if len(plte) < 3 * (max_idx + 1):
+            raise ValueError(
+                f"PNG palette short: index {max_idx} needs "
+                f"{3 * (max_idx + 1)} PLTE bytes, have {len(plte)}"
+            )
         for row in grid:
             for pxv in row:
                 i = 3 * pxv[0]
@@ -4770,9 +4819,21 @@ def parse_mp4_meta(
         for ctype, cbody, cend in _mp4_boxes(blob, body, bend):
             if ctype == b"mvhd" and cbody + 20 <= cend:
                 ver = blob[cbody]
-                if ver == 1 and cbody + 28 <= cend:  # v1: u64 times
-                    (tsc,) = struct.unpack(">I", blob[cbody + 20 : cbody + 24])
-                    (dur,) = struct.unpack(">Q", blob[cbody + 24 : cbody + 32])
+                # v1 duration field ends at payload offset 32 — guarding
+                # only to +28 let a truncated final mvhd raise
+                # struct.error through the walk (ADVICE r10). A v1 box
+                # too short for its own layout degrades to zero duration
+                # rather than misreading v0 offsets.
+                if ver == 1:  # v1: u64 times
+                    if cbody + 32 <= cend:
+                        (tsc,) = struct.unpack(
+                            ">I", blob[cbody + 20 : cbody + 24]
+                        )
+                        (dur,) = struct.unpack(
+                            ">Q", blob[cbody + 24 : cbody + 32]
+                        )
+                    else:
+                        tsc = dur = 0
                 else:
                     tsc, dur = struct.unpack(
                         ">II", blob[cbody + 12 : cbody + 20]
@@ -4967,7 +5028,10 @@ def parse_mp3_header(blob: bytes | None) -> tuple[str, int, int, int]:
         return ("audio/mp3", 0, 0, 0)
     group = 0 if version == 3 else 1
     layer_idx = 3 - layer  # header layer field: 3=I, 2=II, 1=III
-    bitrate = _MP3_BITRATES[group][layer_idx][(b2 >> 4) & 0x0F]
+    br_idx = (b2 >> 4) & 0x0F
+    if br_idx == 15:  # 'bad' per spec — tables hold only 0-14 (ADVICE r10)
+        return ("audio/mp3", 0, 0, 0)
+    bitrate = _MP3_BITRATES[group][layer_idx][br_idx]
     sr_idx = (b2 >> 2) & 0x03
     if sr_idx == 3:
         return ("audio/mp3", 0, 0, 0)
@@ -5037,22 +5101,32 @@ def with_media_meta(
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob) if blob is not None else b""
-                mime = sniff_mime(b)
-                if mime == "audio/wav":
-                    _m, _nch, rate, _bits = parse_wav_header(b)
-                    rows.append((rid, mime, "header", 0, 0, rate))
-                elif mime == "audio/mp3":
-                    _m, br, _sr, _nch = parse_mp3_header(b)
-                    rows.append((rid, mime, "header", 0, 0, br))
-                elif mime == "video/mp4":
-                    _m, w, h, dur, _ntr, _hd = parse_mp4_meta(b)
-                    rows.append((rid, mime, "header", w, h, dur))
-                elif mime == "image/tiff":
-                    _m, w, h, spp = parse_tiff_header(b)
-                    rows.append((rid, mime, "header", w, h, spp))
-                else:
-                    m, w, h, _c, via = decode_image_meta(b)
-                    rows.append((rid, m, via, w, h, 0))
+                # blanket per-blob guard (ADVICE r10): the documented
+                # contract is degrade-per-blob, never per Arrow batch —
+                # one corrupt blob routed to ANY parser must not crash
+                # the scan. Parsers still degrade internally; this is
+                # the last-resort backstop.
+                try:
+                    mime = sniff_mime(b)
+                    if mime == "audio/wav":
+                        _m, _nch, rate, _bits = parse_wav_header(b)
+                        rows.append((rid, mime, "header", 0, 0, rate))
+                    elif mime == "audio/mp3":
+                        _m, br, _sr, _nch = parse_mp3_header(b)
+                        rows.append((rid, mime, "header", 0, 0, br))
+                    elif mime == "video/mp4":
+                        _m, w, h, dur, _ntr, _hd = parse_mp4_meta(b)
+                        rows.append((rid, mime, "header", w, h, dur))
+                    elif mime == "image/tiff":
+                        _m, w, h, spp = parse_tiff_header(b)
+                        rows.append((rid, mime, "header", w, h, spp))
+                    else:
+                        m, w, h, _c, via = decode_image_meta(b)
+                        rows.append((rid, m, via, w, h, 0))
+                except Exception:  # noqa: BLE001 — degrade per blob
+                    rows.append(
+                        (rid, "application/octet-stream", "error", 0, 0, 0)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "mime", "via", "width", "height", "extra"],
