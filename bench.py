@@ -855,6 +855,35 @@ def main() -> None:
                     "30" if is_full_sf else "6",
                 )
             )
+            # in-loop auto_resize (VERDICT r10 #1): the serving loop no
+            # longer just RECOMMENDS on the growth odometer — when a
+            # fold flips needs_rebuild, the loop rebuilds at the
+            # √n-scaled nlist via the generation-swap path (appends
+            # landing mid-rebuild stay in the new generation's delta;
+            # gated by tests/test_incremental_index.py). The witness
+            # measures the ADC phase right before and right after the
+            # swap under the SAME live write load.
+            resize_alpha = float(
+                os.environ.get("SPARK_GRAFT_BENCH_RESIZE_ALPHA", "4.0")
+            )
+            resize_event: dict | None = None
+
+            def _adc_probe_ms() -> float:
+                from write_optimized_vector_database_spark.operators.ivfpq import (
+                    ivfpq_adc_topk,
+                )
+
+                idx = spark.read.parquet(coll._stable_index_path())
+                cents_p, books_p = coll._index_artifacts()
+                tp0 = time.time()
+                ivfpq_adc_topk(
+                    idx, qdf, cents_p, books_p, k=40, nprobe=8,
+                    metric="ip", vec_id_col="id",
+                ).count()
+                wall = (time.time() - tp0) * 1000.0
+                release_query_broadcasts()
+                return round(wall, 1)
+
             t0 = time.time()
             lat: list[float] = []
             fresh = 0
@@ -889,6 +918,48 @@ def main() -> None:
                         # allocation stalls (observed: gateway death
                         # mid-serving on the first cadence run)
                         spark.sparkContext._jvm.System.gc()
+                        # act on the odometer ONCE per window: rebuild
+                        # at the recommended geometry while the stream
+                        # keeps writing, bracketed by ADC probes under
+                        # identical load
+                        if resize_event is None and coll.needs_rebuild(
+                            resize_alpha
+                        ):
+                            d_pre = coll.describe_index()
+                            nlist_before = int(
+                                coll._meta().get("index_nlist", 0)
+                            )
+                            adc_pre = _adc_probe_ms()
+                            tr = time.time()
+                            coll.auto_resize(alpha=resize_alpha)
+                            rw = time.time() - tr
+                            adc_post = _adc_probe_ms()
+                            resize_event = {
+                                "fired": True,
+                                "at_s": round(time.time() - t0, 1),
+                                "wall_s": round(rw, 1),
+                                "nlist_before": nlist_before,
+                                "recommended_nlist": d_pre[
+                                    "recommended_nlist"
+                                ],
+                                "rows_at_resize": d_pre["index_rows"],
+                                "rows_built_before": d_pre[
+                                    "index_rows_built"
+                                ],
+                                "nlist_after": int(
+                                    coll._meta().get("index_nlist", 0)
+                                ),
+                                "phase_stable_adc_before_ms": adc_pre,
+                                "phase_stable_adc_after_ms": adc_post,
+                            }
+                            print(
+                                f"in-loop auto_resize: rows "
+                                f"{d_pre['index_rows']} wall {rw:.1f} s "
+                                f"nlist -> {resize_event['nlist_after']} "
+                                f"ADC {adc_pre} -> {adc_post} ms",
+                                file=sys.stderr,
+                            )
+                            spark.sparkContext._jvm.System.gc()
                         last_maint = time.time()
                 # serving wall ends when the latency samples end (ADVICE
                 # r08): the phase probes and RYW polling below happen
@@ -904,7 +975,7 @@ def main() -> None:
                     exact_topk,
                 )
 
-                idx_df = spark.read.parquet(f"{tmp}/index_stable")
+                idx_df = spark.read.parquet(coll._stable_index_path())
                 cents, codebooks = coll._index_artifacts()
                 tp = time.time()
                 ivfpq_adc_topk(
@@ -976,6 +1047,11 @@ def main() -> None:
                 "index_rows_now": coll.describe_index()["index_rows"],
                 "needs_rebuild": coll.needs_rebuild(),
                 "recommended_nlist": coll.recommended_nlist(),
+                # in-loop resize witness (VERDICT r10 #1): fired=False
+                # with needs_rebuild=False above means the window never
+                # outgrew the index — the loop watched and nothing was
+                # owed; fired=True carries the measured before/after
+                "auto_resize": resize_event or {"fired": False},
             }
             timings["concurrent_serving_query"] = round(
                 _pctl(lat, 0.5), 3

@@ -144,7 +144,7 @@ def test_describe_index_observability(spark, coll):
     assert d["certified"] is True and d["serving_nprobe"] == 12
     assert d["certified_recall"] >= 0.9 and d["certified_family"] == "ivfpq"
     assert d["auto_tune"]["chosen"]["recall"] == d["certified_recall"]
-    assert d["index_build_id"] >= 1 and d["centroids_path"] == "index_centroids_stable"
+    assert d["index_build_id"] >= 1 and d["centroids_path"].startswith("index_centroids_stable")
     coll.build_indexes(nlist=4, m=2)
     d2 = coll.describe_index()
     assert d2["certified"] is False and d2["certified_recall"] is None

@@ -45,7 +45,9 @@ def coll(spark, tmp_path):
 
 
 def _index_rows(spark, path):
-    df = spark.read.parquet(f"{path}/index_stable")
+    # resolve the live generation via the manifest pointer (round 11)
+    c = VectorCollection(spark, path, metric="ip")
+    df = spark.read.parquet(c._stable_index_path())
     return {
         (r.id, int(r.centroid_id), tuple(r.codes)) for r in df.collect()
     }
@@ -66,8 +68,8 @@ def test_refresh_equals_full_reencode(spark, coll):
     # ground truth: full re-encode of current() with the same artifacts
     from write_optimized_vector_database_spark.operators.ivfpq import ivfpq_encode
 
-    cents = spark.read.parquet(f"{coll.path}/index_centroids_stable")
-    cbs = spark.read.parquet(f"{coll.path}/index_codebooks")
+    cents = spark.read.parquet(coll._stable_centroids_path())
+    cbs = spark.read.parquet(coll._codebooks_path())
     cur = coll.current().filter(F.col("vector").isNotNull())
     want = {
         (r.id, int(r.centroid_id), tuple(r.codes))
@@ -84,7 +86,7 @@ def test_refresh_equals_full_reencode(spark, coll):
 def test_refresh_rewrites_only_affected_lists(spark, coll):
     files_before = {
         f: os.path.getmtime(f)
-        for f in glob.glob(f"{coll.path}/index_stable/centroid_id=*/*.parquet")
+        for f in glob.glob(f"{coll._stable_index_path()}/centroid_id=*/*.parquet")
     }
     # touch exactly one existing id
     coll.ingest(
@@ -92,7 +94,7 @@ def test_refresh_rewrites_only_affected_lists(spark, coll):
     )
     stats = coll.refresh_indexes()
     assert stats["n_touched"] == 1
-    nlist_total = len(glob.glob(f"{coll.path}/index_stable/centroid_id=*"))
+    nlist_total = len(glob.glob(f"{coll._stable_index_path()}/centroid_id=*"))
     assert stats["n_lists_rewritten"] < nlist_total
     untouched_same = 0
     for f, mt in files_before.items():
@@ -175,8 +177,8 @@ def test_streaming_ingest_with_online_maintenance(spark, coll, tmp_path):
 
     # index epoch advanced past every streamed epoch → delta is empty
     assert coll._index_epoch() == coll.changelog().agg(F.max("epoch")).first()[0]
-    cents = spark.read.parquet(f"{coll.path}/index_centroids_stable")
-    cbs = spark.read.parquet(f"{coll.path}/index_codebooks")
+    cents = spark.read.parquet(coll._stable_centroids_path())
+    cbs = spark.read.parquet(coll._codebooks_path())
     cur = coll.current().filter(F.col("vector").isNotNull())
     want = {
         (r.id, int(r.centroid_id), tuple(r.codes))
@@ -244,8 +246,9 @@ def test_refresh_property_random_op_sequences(spark, tmp_path):
         c.ingest(spark.createDataFrame(rows(ops[split:], 10_000), SCHEMA))
         c.refresh_indexes()
 
-        cents = spark.read.parquet(f"{path}/index_centroids_stable")
-        cbs = spark.read.parquet(f"{path}/index_codebooks")
+        c2 = VectorCollection(spark, path, metric="ip")
+        cents = spark.read.parquet(c2._stable_centroids_path())
+        cbs = spark.read.parquet(c2._codebooks_path())
         cur = c.current().filter(F.col("vector").isNotNull())
         want = {
             (r.id, int(r.centroid_id), tuple(r.codes))
@@ -357,3 +360,234 @@ def test_odometer_counts_net_delta_not_gross(spark, coll):
     coll.refresh_indexes()
     assert coll.describe_index()["index_rows"] == 170
     assert coll.describe_index()["needs_rebuild"] is False
+
+
+class TestRebuildUnderIngest:
+    """VERDICT r10 #1: a rebuild (the auto_resize path) must run beside
+    live ingest without losing or double-serving a single row. The
+    build captures its epoch bound BEFORE materializing its input,
+    writes a fresh generation, and swaps atomically — appends, upserts,
+    deletes, and even a whole refresh fold landing mid-rebuild stay
+    correct on both sides of the swap."""
+
+    MID_VEC = [9.0] * 8  # dominates every fixture vector under IP
+
+    def _interleave(self, spark, coll, fired):
+        """The mid-rebuild workload, run at the index_built_preswap
+        fault point: new inserts, an upsert, a delete, AND a full
+        refresh fold against the old generation."""
+
+        def hook(point):
+            if point != "index_built_preswap" or fired:
+                return
+            fired.append(True)
+            mid = [
+                ("INSERT", i, "mid", "ns0", self.MID_VEC, [0], 50_000 + i)
+                for i in range(300, 310)
+            ]
+            mid.append(("UPSERT", 0, "t0", "ns0", [7.0] * 8, [0], 50_900))
+            mid.append(("DELETE", 1, "t1", "ns0", None, None, 50_901))
+            coll.ingest(spark.createDataFrame(mid, SCHEMA))
+            # the fold rewrites the OLD generation and advances its
+            # epoch past the build bound — the swap must regress the
+            # epoch to the bound so these rows land back in the delta
+            coll.refresh_indexes()
+
+        return hook
+
+    def test_no_row_lost_or_double_indexed_across_swap(self, spark, coll):
+        from write_optimized_vector_database_spark import collection as CM
+
+        # pre-rebuild delta the rebuild should fold in
+        coll.ingest(
+            spark.createDataFrame(_ops(range(200, 220), epoch0=10_000), SCHEMA)
+        )
+        build_hi = coll.changelog().agg(F.max("epoch")).first()[0]
+        fired: list = []
+        CM.FAULT_INJECT_HOOK = self._interleave(spark, coll, fired)
+        try:
+            coll.build_indexes(nlist=16, m=4, nbits=4)
+        finally:
+            CM.FAULT_INJECT_HOOK = None
+        assert fired, "mid-rebuild hook never ran"
+
+        # the swap pinned the epoch to the pre-build bound, NOT the
+        # mid-rebuild fold's advanced epoch
+        assert coll._index_epoch() == build_hi
+
+        idx_ids = {t[0] for t in _index_rows(spark, coll.path)}
+        # nothing that arrived mid-rebuild is in the new generation...
+        assert not (idx_ids & set(range(300, 310)))
+        # ...and the new generation is exactly the visible view at the
+        # bound: ids deleted/updated mid-rebuild keep their as-of rows
+        want_ids = {
+            r.id for r in coll.visible_as_of(build_hi).collect()
+        }
+        assert idx_ids == want_ids
+        assert {0, 1} <= idx_ids  # stale versions present, served fresh below
+
+        # every visible row is reachable: index covers epoch <= bound,
+        # the delta scan covers epoch > bound — union is the whole view
+        cur_rows = {r.id: r for r in coll.current().collect()}
+        delta_ids = {i for i, r in cur_rows.items() if r.epoch > build_hi}
+        assert delta_ids == set(range(300, 310)) | {0}
+        assert set(cur_rows) == (idx_ids - {1}) | delta_ids
+
+        # full read path across the swap: mid-rebuild inserts dominate
+        # under IP (RYW through the new generation's delta), the
+        # deleted id never surfaces, the upserted id scores on its NEW
+        # vector, and no (query, id) pair appears twice
+        q = spark.createDataFrame(
+            [(0, [1.0] * 8)], "query_id long, query_vec array<float>"
+        )
+        got = coll.topk_two_phase(q, k=12, nprobe=16, rerank_factor=8).collect()
+        got_ids = [r.vec_id for r in got]
+        assert len(got_ids) == len(set(got_ids)) == 12
+        assert 1 not in got_ids
+        assert set(range(300, 310)) <= set(got_ids)  # RYW witnessed
+        by_id = {r.vec_id: r for r in got}
+        assert 0 in by_id and abs(by_id[0].score - 56.0) < 1e-4  # 8*7.0
+
+    def test_crash_before_swap_leaves_old_generation_live(self, spark, coll):
+        from write_optimized_vector_database_spark import collection as CM
+
+        d0 = coll.describe_index()
+        q = spark.createDataFrame(
+            [(0, [1.0] * 8)], "query_id long, query_vec array<float>"
+        )
+        before = {
+            (r.query_id, r.vec_id)
+            for r in coll.topk_two_phase(q, k=5, nprobe=8).collect()
+        }
+
+        def boom(point):
+            if point == "index_built_preswap":
+                raise RuntimeError("injected crash before swap")
+
+        CM.FAULT_INJECT_HOOK = boom
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                coll.build_indexes(nlist=16, m=4, nbits=4)
+        finally:
+            CM.FAULT_INJECT_HOOK = None
+
+        # manifest untouched: same generation, same knobs, same answers
+        d1 = coll.describe_index()
+        assert d1["index_build_id"] == d0["index_build_id"]
+        assert coll._meta()["index_nlist"] == 8
+        after = {
+            (r.query_id, r.vec_id)
+            for r in coll.topk_two_phase(q, k=5, nprobe=8).collect()
+        }
+        assert after == before
+        # re-running the interrupted build succeeds, reusing (and
+        # overwriting) the orphan generation dirs — a crashed build
+        # never consumes a generation number
+        coll.build_indexes(nlist=16, m=4, nbits=4)
+        assert coll.describe_index()["index_build_id"] == d0["index_build_id"] + 1
+        assert coll._meta()["index_nlist"] == 16
+
+    def test_generations_are_gcd_current_plus_previous(self, spark, coll):
+        import os as _os
+
+        for nlist in (8, 8, 8):
+            coll.build_indexes(nlist=nlist, m=4, nbits=4)
+        names = {
+            d for d in _os.listdir(coll.path) if d.startswith("index_stable")
+        }
+        live = coll._stable_index_subdir()
+        assert live in names
+        # exactly current + previous survive
+        assert len(names) == 2
+
+
+class TestRecertificationSurvivesResize:
+    """VERDICT r10 #2: self-sizing must not silently void the recall
+    promise — auto_resize re-measures the certificate at the new
+    geometry and re-certifies, or re-walks the ladder; a miss is
+    recorded honestly (target_met=False), never masked as certified."""
+
+    @staticmethod
+    def _vops(ids, epoch0=0, dim=8):
+        # distinct, deterministic vectors (the shared _ops fixture
+        # collapses to ~350 duplicates, which makes exact top-k
+        # membership ill-posed for recall measurement)
+        import hashlib
+
+        out = []
+        for i in ids:
+            h = hashlib.sha256(str(i).encode()).digest()
+            vec = [(h[j] / 255.0) * 2 - 1 for j in range(dim)]
+            out.append(("INSERT", i, f"t{i % 2}", "ns0", vec, [i % 4], epoch0 + i))
+        return out
+
+    def _certified_coll(self, spark, tmp_path):
+        coll = VectorCollection(spark, str(tmp_path / "c"), metric="ip")
+        coll.ingest(spark.createDataFrame(self._vops(range(200)), SCHEMA))
+        coll.compact()
+        coll.build_indexes(nlist=8, nbits=4, target_recall=0.9)
+        return coll
+
+    def _grow(self, spark, coll, rounds=4):
+        for gen in range(rounds):
+            base = 1_000 * (gen + 1)
+            coll.ingest(
+                spark.createDataFrame(
+                    self._vops(range(base, base + 200),
+                               epoch0=100_000 * (gen + 1)),
+                    SCHEMA,
+                )
+            )
+            coll.refresh_indexes()
+
+    def test_resize_recertifies(self, spark, tmp_path):
+        coll = self._certified_coll(spark, tmp_path)
+        d0 = coll.describe_index()
+        assert d0["certified"] is True
+        cert_nprobe = coll._meta()["calibrated_nprobe"]
+
+        self._grow(spark, coll)
+        assert coll.needs_rebuild() is True
+        out = coll.auto_resize()
+        assert out is not None and out["needs_rebuild"] is False
+        meta = coll._meta()
+        if out["certified"]:
+            # cheap-probe pass or ladder re-certification — either way
+            # the promise survived the resize at the certified knobs
+            assert out["certified_recall"] >= 0.9
+            assert meta["calibrated_nprobe"] == cert_nprobe
+            assert meta["calibrated_build_id"] == meta["index_build_id"]
+            assert meta["auto_tune"]["target_met"] is True
+        else:
+            # honest miss: the ladder RAN at the new geometry and
+            # recorded it — never the silent-void state where the old
+            # build's target_met=True coexists with a stale certificate
+            assert meta["auto_tune"]["target_met"] is False
+        # this fixture is well-conditioned enough that the promise
+        # should in fact survive
+        assert out["certified"] is True
+
+    def test_resize_without_recert_stales_loudly(self, spark, tmp_path):
+        coll = self._certified_coll(spark, tmp_path)
+        self._grow(spark, coll)
+        out = coll.auto_resize(recertify=False)
+        # the r06 knob-explicit rule applies and describe_index says so
+        assert out["certified"] is False
+        assert out["certified_recall"] is None
+
+    def test_uncertified_resize_stays_uncertified(self, spark, coll):
+        # a collection never built with target_recall has no promise to
+        # keep — resize must not fabricate one
+        for gen in range(4):
+            base = 1_000 * (gen + 1)
+            coll.ingest(
+                spark.createDataFrame(
+                    _ops(range(base, base + 200),
+                         epoch0=100_000 * (gen + 1)),
+                    SCHEMA,
+                )
+            )
+            coll.refresh_indexes()
+        out = coll.auto_resize()
+        assert out is not None
+        assert out["certified"] is False

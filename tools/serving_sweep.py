@@ -247,7 +247,7 @@ def run_growth(spark, gens: int, synthetic_n: int = 0, dim: int = 768,
         n0 = base.count()
 
         def adc_wall() -> float:
-            idx = spark.read.parquet(f"{tmp}/index_stable")
+            idx = spark.read.parquet(coll._stable_index_path())
             cents, codebooks = coll._index_artifacts()
             t0 = time.time()
             ivfpq_adc_topk(

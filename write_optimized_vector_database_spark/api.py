@@ -94,7 +94,7 @@ def run_batch(
             # else the plain-IVF index from build_ivf_index(). Both take
             # the full QueryRequest filter surface as of r07, so a
             # filtered request never falls back to an unindexed scan.
-            has_stable = collection.fs.exists(f"{collection.path}/index_stable")
+            has_stable = collection.fs.exists(collection._stable_index_path())
             if has_stable:
                 part = collection.topk_two_phase(
                     qdf,

@@ -541,6 +541,7 @@ class VectorCollection:
         _cur: DataFrame | None = None,
         _centroids: DataFrame | None = None,
         _collect_corr: bool = True,
+        _build_hi: int | None = None,
     ) -> dict | None:
         """Build the *stable generation*: IVF-partitioned index with PQ
         codes over the current snapshot (reference delta/stable split,
@@ -610,15 +611,41 @@ class VectorCollection:
                 print(f"build[{name}]: {now - _t[0]:.2f}s", file=_sys.stderr)
                 _t[0] = now
 
-        # current() is a shuffle (snapshot ∪ tail → latest-by-id window);
-        # the build makes several passes over it (dim probe, centroid
-        # sample, codebook sample, encode) — persist once, unpersist at
-        # the end, so the window runs once instead of per-pass. The
-        # auto-escalation loop passes its own already-persisted snapshot
-        # (_cur) so consecutive ladder rungs share ONE materialization.
+        # Rebuild-under-ingest atomicity (VERDICT r10 #1): the snapshot
+        # epoch the build covers is captured BEFORE the build input
+        # materializes, exactly the fold-window bound refresh_indexes
+        # uses one level down. Appends/upserts landing DURING the
+        # rebuild have epoch > build_hi, are absent from the build
+        # input by construction, and stay in the NEW generation's delta
+        # (the swap sets index_epoch = build_hi, so the delta scan
+        # re-covers them) — no row is lost or double-indexed across the
+        # swap. Without the bound, the old code read max(epoch) AFTER
+        # the encode: a mid-rebuild batch would be covered by the
+        # advanced epoch yet missing from the index — invisible to both
+        # generations, minutes-wide at 100 TB rebuild walls.
+        build_hi = _build_hi
+        if build_hi is None:
+            changelog_hi = (
+                self.changelog().agg(F.max("epoch")).collect()[0][0]
+                if self._has_changelog_files()
+                else None
+            )
+            build_hi = max(
+                self._snapshot_epoch(),
+                int(changelog_hi) if changelog_hi is not None else -1,
+            )
+        # the bounded visible view is a shuffle (snapshot ∪ tail →
+        # latest-by-id window); the build makes several passes over it
+        # (dim probe, centroid sample, codebook sample, encode) —
+        # persist once, unpersist at the end, so the window runs once
+        # instead of per-pass. The auto-escalation loop passes its own
+        # already-persisted snapshot (_cur) so consecutive ladder rungs
+        # share ONE materialization (bounded by the same _build_hi).
         owns_cur = _cur is None
         cur = (
-            self.current().filter(F.col("vector").isNotNull()).persist()
+            self.visible_as_of(build_hi)
+            .filter(F.col("vector").isNotNull())
+            .persist()
             if owns_cur
             else _cur
         )
@@ -630,6 +657,17 @@ class VectorCollection:
             )
         dim = len(first[0])
         _stage("current+dim")
+        # generation-versioned layout (VERDICT r10 #1): every artifact
+        # of this build lands in fresh `_g<B>` dirs; nothing the old
+        # generation serves from is touched until the single atomic
+        # manifest swap at the end. A crash mid-build leaves the old
+        # generation fully live and only orphan dirs to GC.
+        meta0 = self._meta()
+        gen = int(meta0.get("index_build_id", 0)) + 1
+        stable_sub = f"index_stable_g{gen}"
+        cents_sub = f"index_centroids_stable_g{gen}"
+        books_sub = f"index_codebooks_g{gen}"
+        rot_sub = f"index_rotation_g{gen}"
         if use_opq:
             if not residual:
                 raise ValueError("use_opq requires residual=True (the IVFPQ path)")
@@ -642,7 +680,7 @@ class VectorCollection:
                 cur, dim=dim, m=m, nbits=nbits, vec_col="vector", id_col="id",
                 sample_fraction=sample_fraction, seed=seed,
             )
-            self._save_rotation(r_mat)
+            self._save_rotation(r_mat, rot_sub)
             # rotate once here (one Arrow pass over the persisted build
             # input); query time rotates only the ≤100-row query batch
             cur_idx = rotate_vectors(cur, r_mat, "vector")
@@ -688,7 +726,7 @@ class VectorCollection:
             )
             .mode("overwrite")
             .partitionBy("centroid_id")
-            .parquet(f"{self.path}/index_stable")
+            .parquet(f"{self.path}/{stable_sub}")
         )
         _stage("encode+write")
         # IVF-PQ centroids get their OWN path: when use_opq=True they live
@@ -696,36 +734,65 @@ class VectorCollection:
         # build_ivf_index (original space) would make a later topk_ivf /
         # calibrate_nprobe probe original-space posting lists with rotated
         # centroids — a silent systematic space mismatch.
-        cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids_stable")
-        codebooks.write.mode("overwrite").parquet(f"{self.path}/index_codebooks")
+        cents.write.mode("overwrite").parquet(f"{self.path}/{cents_sub}")
+        codebooks.write.mode("overwrite").parquet(f"{self.path}/{books_sub}")
         _stage("artifact-write")
-        max_epoch = self.changelog().agg(F.max("epoch")).collect()[0][0] if (
-            self._has_changelog_files()
-        ) else self._snapshot_epoch()
         # rows-per-list odometer baseline (VERDICT r09 #1): count the
         # just-written index entries (with spill > 1 a row counts once
         # per posting list — the unit ADC cost actually scales with).
         # Parquet count() answers from footer row counts, no data read.
         n_entries = (
-            self.spark.read.parquet(f"{self.path}/index_stable").count()
+            self.spark.read.parquet(f"{self.path}/{stable_sub}").count()
         )
         # filter↔geometry correlation stats for the planner (VERDICT r08
         # #1): per-filter-value centroid histograms, collected while the
         # build snapshot is still persisted (one narrow join + two small
-        # groupBys — negligible next to the encode pass above)
+        # groupBys — negligible next to the encode pass above). Computed
+        # against the NEW generation but NOT written yet — they ride the
+        # atomic swap below, so a query racing the rebuild never prunes
+        # old-generation probes with new-generation histograms.
+        corr_kv: dict = {}
         if _collect_corr:
-            self._collect_correlation_stats(cur)
+            corr = self._collect_correlation_stats(
+                cur, index_subdir=stable_sub, write_meta=False
+            )
+            if corr is not None:
+                corr_kv = {"corr_stats": corr, "corr_stats_fresh": True}
         if owns_cur:
             cur.unpersist()
-        # build_id is a monotonic per-build token: index_epoch alone can't
-        # distinguish "rebuilt with different knobs, no new ingest" (same
-        # max changelog epoch) from "nothing changed", so the artifact
-        # cache keys on build_id, not epoch.
+        # test/crash hook: everything of the new generation is on disk,
+        # nothing is visible — a kill here must leave the old generation
+        # fully live (gate: tests/test_storage_crash.py), and the
+        # rebuild-under-ingest gate interleaves appends + folds here
+        # (tests/test_incremental_index.py)
+        _fault("index_built_preswap")
+        # THE atomic swap: one manifest write moves every reader —
+        # index path pointers, epoch bound, knobs, odometer — from the
+        # old generation to the new. build_id is a monotonic per-build
+        # token: index_epoch alone can't distinguish "rebuilt with
+        # different knobs, no new ingest" (same max changelog epoch)
+        # from "nothing changed", so the artifact cache keys on
+        # build_id, not epoch. Re-read meta HERE (not meta0): folds
+        # landing mid-rebuild advanced index_epoch/index_rows on the
+        # OLD generation — their meta keys are overwritten by the swap
+        # (their rows are re-covered via epoch > build_hi), but any
+        # unrelated keys they wrote survive.
         meta_now = self._meta()
         self._meta_update(
-            index_epoch=int(max_epoch),
-            index_build_id=int(meta_now.get("index_build_id", 0)) + 1,
-            index_centroids_path="index_centroids_stable",
+            index_epoch=int(build_hi),
+            index_build_id=gen,
+            index_stable_path=stable_sub,
+            index_centroids_path=cents_sub,
+            index_codebooks_path=books_sub,
+            **({"index_rotation_path": rot_sub} if use_opq else {}),
+            # superseded generation survives exactly one more build for
+            # readers that resolved paths just before this swap
+            index_prev_keep=[
+                meta_now.get("index_stable_path", "index_stable"),
+                meta_now.get("index_centroids_path", "index_centroids"),
+                meta_now.get("index_codebooks_path", "index_codebooks"),
+                meta_now.get("index_rotation_path", "index_rotation"),
+            ],
             index_residual=bool(residual),
             index_spill=int(spill),
             index_opq=bool(use_opq),
@@ -745,14 +812,16 @@ class VectorCollection:
             # the plain nprobe default until re-certified. The escalation
             # loop's own inner builds hit this too, but its final meta
             # write re-certifies (calibrated_stale=False) after the last
-            # rung.
+            # rung; auto_resize re-certifies via _recertify_after_resize.
             **(
                 {"calibrated_stale": True}
                 if meta_now.get("calibrated_family") == "ivfpq"
                 else {}
             ),
+            **corr_kv,
         )
         self._evict_index_artifacts()
+        self._gc_index_generations()
 
     def _build_indexes_auto(
         self,
@@ -805,7 +874,24 @@ class VectorCollection:
                 print(f"auto[{name}]: {now - _t[0]:.2f}s", file=_sys.stderr)
                 _t[0] = now
 
-        cur = self.current().filter(F.col("vector").isNotNull()).persist()
+        # one snapshot bound for the WHOLE ladder (rebuild-under-ingest
+        # atomicity, VERDICT r10 #1): every rung builds the same epoch
+        # window and swaps to index_epoch = build_hi; appends landing
+        # during any rung stay in the final generation's delta
+        changelog_hi = (
+            self.changelog().agg(F.max("epoch")).collect()[0][0]
+            if self._has_changelog_files()
+            else None
+        )
+        build_hi = max(
+            self._snapshot_epoch(),
+            int(changelog_hi) if changelog_hi is not None else -1,
+        )
+        cur = (
+            self.visible_as_of(build_hi)
+            .filter(F.col("vector").isNotNull())
+            .persist()
+        )
         first = cur.select("vector").first()
         if first is None:
             raise ValueError(
@@ -864,6 +950,7 @@ class VectorCollection:
                 # correlation stats describe the FINAL index's geometry;
                 # collecting them per discarded rung would only add wall
                 _collect_corr=False,
+                _build_hi=build_hi,
             )
             t_probe = time.time()
             _stage(f"rung{i}-build")
@@ -924,17 +1011,17 @@ class VectorCollection:
         )
         return {**chosen, "target_met": bool(target_met)}
 
-    def _save_rotation(self, r_mat) -> None:
+    def _save_rotation(self, r_mat, subdir: str = "index_rotation") -> None:
         rows = [(int(i), [float(x) for x in r_mat[i]]) for i in range(len(r_mat))]
         self.spark.createDataFrame(rows, "i int, row array<double>").coalesce(
             1
-        ).write.mode("overwrite").parquet(f"{self.path}/index_rotation")
+        ).write.mode("overwrite").parquet(f"{self.path}/{subdir}")
 
     def _load_rotation(self):
         import numpy as np
 
         rows = (
-            self.spark.read.parquet(f"{self.path}/index_rotation")
+            self.spark.read.parquet(self._rotation_path())
             .orderBy("i")
             .collect()
         )
@@ -950,6 +1037,61 @@ class VectorCollection:
         return f"{self.path}/" + self._meta().get(
             "index_centroids_path", "index_centroids"
         )
+
+    def _stable_index_subdir(self) -> str:
+        """Live stable-index generation dir name, resolved through the
+        manifest pointer (round 11): builds write `index_stable_g<B>`
+        and ONE atomic manifest write swaps readers over — queries
+        resolve the path per call, so they serve the old generation
+        until the swap and the new one after, never a half-written mix.
+        Legacy collections (pre-generation layout) fall back to the
+        unversioned dir."""
+        return self._meta().get("index_stable_path", "index_stable")
+
+    def _stable_index_path(self) -> str:
+        return f"{self.path}/{self._stable_index_subdir()}"
+
+    def _codebooks_path(self) -> str:
+        return f"{self.path}/" + self._meta().get(
+            "index_codebooks_path", "index_codebooks"
+        )
+
+    def _rotation_path(self) -> str:
+        return f"{self.path}/" + self._meta().get(
+            "index_rotation_path", "index_rotation"
+        )
+
+    def _gc_index_generations(self) -> None:
+        """Remove stable-index generations older than current-1. The
+        immediately superseded generation is retained one build long
+        (manifest `index_prev_keep`) for readers that resolved their
+        paths just before the swap — the same retention-lag discipline
+        compact() notes for snapshot versions. Single-writer
+        maintenance assumption, as with compact()."""
+        meta = self._meta()
+        keep = {
+            meta.get("index_stable_path", "index_stable"),
+            meta.get("index_centroids_path", "index_centroids"),
+            meta.get("index_codebooks_path", "index_codebooks"),
+            meta.get("index_rotation_path", "index_rotation"),
+        } | set(meta.get("index_prev_keep", []))
+        # prefixes cover the versioned layout and its legacy unversioned
+        # twin; index_centroids (plain-IVF) and index_ivf are separate
+        # indexes and are never touched here
+        prefixes = (
+            "index_stable",
+            "index_centroids_stable",
+            "index_codebooks",
+            "index_rotation",
+        )
+        for d in self.fs.list_dirs(self.path):
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            if name in keep:
+                continue
+            if any(
+                name == p or name.startswith(p + "_g") for p in prefixes
+            ):
+                self.fs.rmtree(d)
 
     def _evict_index_artifacts(self) -> None:
         hit = self._artifact_cache.pop("idx", None)
@@ -974,7 +1116,7 @@ class VectorCollection:
             return hit[1], hit[2]
         self._evict_index_artifacts()
         cents = self.spark.read.parquet(self._stable_centroids_path()).persist()
-        codebooks = self.spark.read.parquet(f"{self.path}/index_codebooks").persist()
+        codebooks = self.spark.read.parquet(self._codebooks_path()).persist()
         self._artifact_cache["idx"] = (build_id, cents, codebooks)
         return cents, codebooks
 
@@ -1036,7 +1178,7 @@ class VectorCollection:
             return {"n_touched": 0, "n_reencoded": 0, "n_lists_rewritten": 0}
 
         cents = spark.read.parquet(self._stable_centroids_path())
-        codebooks = spark.read.parquet(f"{self.path}/index_codebooks")
+        codebooks = spark.read.parquet(self._codebooks_path())
         # visible versions of touched ids (deleted ids simply absent);
         # versions newer than fold_hi stay in the delta generation
         delta_vis = self.current().filter(in_window & F.col("vector").isNotNull())
@@ -1058,7 +1200,8 @@ class VectorCollection:
             )
         new_rows = new_rows.persist()
 
-        index = spark.read.parquet(f"{self.path}/index_stable")
+        stable_path = self._stable_index_path()
+        index = spark.read.parquet(stable_path)
         # affected lists: where touched ids sit now, plus where they used
         # to sit. touched is delta-sized → broadcast semi-join; the index
         # side is an int-only columnar scan. The hit set is also the
@@ -1106,7 +1249,7 @@ class VectorCollection:
                 self._with_bloom(out.repartition("centroid_id").write)
                 .mode("overwrite")
                 .partitionBy("centroid_id")
-                .parquet(f"{self.path}/index_stable")
+                .parquet(stable_path)
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -1116,10 +1259,10 @@ class VectorCollection:
             r.centroid_id for r in out.select("centroid_id").distinct().collect()
         }
         for cid in set(affected) - live:
-            self.fs.rmtree(f"{self.path}/index_stable/centroid_id={cid}")
+            self.fs.rmtree(f"{stable_path}/centroid_id={cid}")
         # the session caches file listings per path; the overwrite just
         # replaced files under it — stale entries 404 later reads
-        spark.catalog.refreshByPath(f"{self.path}/index_stable")
+        spark.catalog.refreshByPath(stable_path)
         # torn state: posting lists rewritten, epoch not yet advanced —
         # reads stay correct because the delta scan re-covers the folded
         # rows and the two-phase merge dedups by (query, id); a re-run
@@ -1346,7 +1489,7 @@ class VectorCollection:
         if nprobe is None:
             nprobe = self._default_nprobe(family="ivfpq")  # certified two-phase knob
         spark = self.spark
-        index = spark.read.parquet(f"{self.path}/index_stable")
+        index = spark.read.parquet(self._stable_index_path())
         cents, codebooks = self._index_artifacts()
         idx_epoch = self._index_epoch()
 
@@ -1752,8 +1895,9 @@ class VectorCollection:
         self,
         cur: DataFrame,
         top_k: int | None = None,
-        index_subdir: str = "index_stable",
+        index_subdir: str | None = None,
         label: str = "stable",
+        write_meta: bool = True,
     ) -> dict | None:
         """Per-filter-value CENTROID histograms for the filtered-search
         planner (VERDICT r08 #1). Marginal selectivity alone cannot see
@@ -1783,6 +1927,8 @@ class VectorCollection:
         from pyspark.sql import Window
 
         top_k = top_k or self._CORR_TOP_K
+        if index_subdir is None:
+            index_subdir = self._stable_index_subdir()
         cols = set(cur.columns)
         dims = [d for d in ("tenant", "namespace") if d in cols]
         has_tags = "tags" in cols
@@ -1854,7 +2000,11 @@ class VectorCollection:
                     for r in name_rows
                     if str(r.tag_id) in corr["tag"]
                 }
-        self._meta_update(corr_stats=corr, corr_stats_fresh=True)
+        # write_meta=False: the caller (a generation build) folds the
+        # histograms into its own atomic swap so they become visible
+        # together with the index they describe
+        if write_meta:
+            self._meta_update(corr_stats=corr, corr_stats_fresh=True)
         return corr
 
     def _fold_correlation_stats(
@@ -2353,17 +2503,38 @@ class VectorCollection:
         rows = int(meta.get("index_rows", built))
         return max(nlist, math.ceil(nlist * math.sqrt(rows / built)))
 
-    def auto_resize(self, alpha: float = 4.0, **build_kwargs) -> dict | None:
+    def auto_resize(
+        self, alpha: float = 4.0, recertify: bool = True, **build_kwargs
+    ) -> dict | None:
         """Rebuild the stable index at `recommended_nlist()` when
         `needs_rebuild(alpha)` — the maintenance-loop hook (call it on
         the same cadence as compact(); refresh_indexes() also surfaces
         the flag in its return dict for recommend-only deployments).
         Reuses the built knobs from the manifest (m/nbits/residual/
         spill/opq) unless overridden; returns describe_index() after a
-        rebuild, None when no rebuild was needed."""
+        rebuild, None when no rebuild was needed.
+
+        Certification survival (VERDICT r10 #2): a knob-explicit
+        rebuild stales any `target_recall` certificate by the r06 rule
+        — so a self-sizing index would silently void the recall promise
+        it was deployed with. When the pre-resize index carried a VALID
+        certificate, the resize re-measures sampled recall@k at the
+        certified serving knobs against the NEW geometry (one cheap
+        probe — no rebuild): pass → re-certify; miss → re-walk the
+        build ladder at the new nlist via build_indexes(target_recall=)
+        so the deployment either serves certified again or records the
+        miss honestly (target_met=False stays stale). Opt out with
+        recertify=False."""
         if not self.needs_rebuild(alpha):
             return None
         meta = self._meta()
+        at = meta.get("auto_tune") or {}
+        had_cert = (
+            meta.get("calibrated_family") == "ivfpq"
+            and meta.get("calibrated_nprobe") is not None
+            and not meta.get("calibrated_stale")
+            and at.get("target_recall") is not None
+        )
         kwargs = dict(
             nlist=self.recommended_nlist() or int(meta.get("index_nlist", 64)),
             m=int(meta.get("index_m", 8)),
@@ -2374,7 +2545,87 @@ class VectorCollection:
         )
         kwargs.update(build_kwargs)
         self.build_indexes(**kwargs)
+        if recertify and had_cert:
+            tgt = float(at["target_recall"])
+            k = int(at.get("k", 10))
+            nprobe = int(meta["calibrated_nprobe"])
+            rf = int(at.get("rerank_factor", 4))
+            r = self._measure_serving_recall(
+                k=k, nprobe=nprobe, rerank_factor=rf
+            )
+            if r is not None and r >= tgt:
+                self._meta_update(
+                    calibrated_stale=False,
+                    calibrated_recall=float(r),
+                    calibrated_at=time.time(),
+                    calibrated_build_id=int(
+                        self._meta().get("index_build_id", 0)
+                    ),
+                    auto_tune={
+                        **at,
+                        "target_met": True,
+                        "recert": {
+                            "recall": round(float(r), 4),
+                            "build_id": int(
+                                self._meta().get("index_build_id", 0)
+                            ),
+                            "after": "auto_resize",
+                        },
+                    },
+                )
+            else:
+                # the certified knobs don't hold at the new geometry:
+                # walk the ladder at the resized nlist — certifies at
+                # the first passing rung or records the miss honestly
+                self.build_indexes(
+                    nlist=int(kwargs["nlist"]),
+                    nbits=int(kwargs["nbits"]),
+                    target_recall=tgt,
+                    target_nprobe=nprobe,
+                    target_rerank_factor=rf,
+                )
         return self.describe_index()
+
+    def _measure_serving_recall(
+        self,
+        k: int = 10,
+        nprobe: int = 12,
+        rerank_factor: int = 4,
+        n_sample_queries: int = 8,
+    ) -> float | None:
+        """Sampled recall@k of the CURRENT stable index at the given
+        serving knobs vs the exact oracle — the Q15 frontier probe
+        shared by the auto-build ladder and post-resize recertification.
+        Bounded driver pulls only (≤ n_sample_queries × k rows)."""
+        from write_optimized_vector_database_spark.operators.ivf import (
+            recall_at_k,
+        )
+
+        cur = self.current().filter(F.col("vector").isNotNull())
+        qrows = (
+            cur.orderBy("id")
+            .limit(n_sample_queries)
+            .select(
+                F.col("id").alias("query_id"),
+                F.col("vector").alias("query_vec"),
+            )
+            .collect()
+        )
+        if not qrows:
+            return None
+        queries = self.spark.createDataFrame(
+            qrows, "query_id long, query_vec array<double>"
+        )
+        exact_plan = self.topk(queries, k=k)
+        exact = self.spark.createDataFrame(
+            exact_plan.collect(), exact_plan.schema
+        )
+        approx = self.topk_two_phase(
+            queries, k=k, nprobe=nprobe, rerank_factor=rerank_factor
+        )
+        return float(
+            recall_at_k(approx, exact, k=k).agg(F.avg("recall")).first()[0]
+        )
 
     def analyze_correlation(self) -> dict | None:
         """Recompute the filtered-search planner's per-filter-value
@@ -2395,13 +2646,15 @@ class VectorCollection:
             # resolve from whichever index actually exists on disk
             # instead of assuming 'stable' — an IVF-only collection has
             # no index_stable and the blind read would raise (ADVICE r09)
-            if self.fs.exists(f"{self.path}/index_stable"):
+            if self.fs.exists(self._stable_index_path()):
                 label = "stable"
             elif self.fs.exists(f"{self.path}/index_ivf"):
                 label = "ivf"
             else:
                 return None  # nothing built — nothing to analyze
-        subdir = "index_stable" if label == "stable" else "index_ivf"
+        subdir = (
+            self._stable_index_subdir() if label == "stable" else "index_ivf"
+        )
         if not self.fs.exists(f"{self.path}/{subdir}"):
             return None
         cur = self.current().filter(F.col("vector").isNotNull())

@@ -1066,8 +1066,10 @@ def _filtered_2p_collection(spark: SparkSession, sf_dir: str):
     from write_optimized_vector_database_spark.collection import VectorCollection
 
     hit = _FILTERED_2P_DIRS.get(sf_dir)
-    if hit is not None and os.path.isdir(os.path.join(hit[0], "index_stable")):
-        return VectorCollection(spark, hit[0], metric="ip"), hit[1]
+    if hit is not None:
+        cached = VectorCollection(spark, hit[0], metric="ip")
+        if os.path.isdir(cached._stable_index_path()):
+            return cached, hit[1]
     tmp = tempfile.mkdtemp(prefix="filtered2p_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     coll = VectorCollection(spark, tmp, metric="ip")
@@ -3034,7 +3036,11 @@ def emb_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: norms quantize at scan time, the merged ECDF is one
     group-by on the quantized value plus one ordered window over
     |distinct values| rows (bounded by the quantization grid, not the
-    table), and the sup is a single MAX."""
+    table — ≤ ~2M rows at the 1e-6 grid for unit-normalized vectors,
+    comfortably one task), and the sup is a single MAX. If a wider
+    grid ever outgrows a task, the running sum generalizes to the
+    two-pass prefix pattern: per-range-partition partial sums, then a
+    broadcast prefix-offset join — same results, no global window."""
     from pyspark.sql import Window
 
     from write_optimized_vector_database_spark.functions.distance import dot_product
@@ -3757,4 +3763,210 @@ def vec_ivfpq_spill_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c2").alias("n_covered_spill2"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rebuild-under-ingest atomicity (round 11, VERDICT r10 #1): a resize-style
+# rebuild runs WHILE upserts, deletes, and a whole refresh fold land on the
+# collection. The generation swap must leave every row served exactly once:
+# mid-rebuild arrivals in the new generation's delta, the as-of snapshot in
+# the new index, nothing lost, nothing double-served. Shared scratch
+# collection (the vec_two_phase_filtered fixture discipline).
+# ---------------------------------------------------------------------------
+
+_REBUILD_DIRS: dict[str, str] = {}
+
+
+def _rebuild_under_ingest_collection(spark: SparkSession, sf_dir: str):
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from write_optimized_vector_database_spark import collection as CM
+    from write_optimized_vector_database_spark.collection import VectorCollection
+
+    hit = _REBUILD_DIRS.get(sf_dir)
+    if hit is not None:
+        cached = VectorCollection(spark, hit, metric="ip")
+        if os.path.isdir(cached._stable_index_path()):
+            return cached
+    tmp = tempfile.mkdtemp(prefix="rebuild_ui_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    coll = VectorCollection(spark, tmp, metric="ip")
+    emb = load_table(spark, sf_dir, "embeddings")
+    coll.ingest(
+        emb.select(
+            F.lit("INSERT").alias("op"),
+            F.col("vec_id").alias("id"),
+            F.concat(F.lit("t"), (F.col("vec_id") % 2).cast("string")).alias(
+                "tenant"
+            ),
+            F.lit("ns0").alias("namespace"),
+            F.col("embedding").alias("vector"),
+            F.array((F.col("vec_id") % 4).cast("int")).alias("tags"),
+            F.col("vec_id").alias("epoch"),
+        )
+    )
+    coll.compact()
+    coll.vacuum()
+    coll.build_indexes(nlist=8, m=8, nbits=8)
+
+    fired: list = []
+
+    def interleave(point):
+        # mid-rebuild workload at the last instant before the atomic
+        # swap: upsert ids 0-9 to 2x their vector (exact in fp32),
+        # delete ids 10-19, then fold the changes into the OLD
+        # generation — the work the swap must safely discard
+        if point != "index_built_preswap" or fired:
+            return
+        fired.append(True)
+        upserts = emb.filter(F.col("vec_id") < 10).select(
+            F.lit("UPSERT").alias("op"),
+            F.col("vec_id").alias("id"),
+            F.concat(F.lit("t"), (F.col("vec_id") % 2).cast("string")).alias(
+                "tenant"
+            ),
+            F.lit("ns0").alias("namespace"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).cast(
+                "array<float>"
+            ).alias("vector"),
+            F.array((F.col("vec_id") % 4).cast("int")).alias("tags"),
+            (F.col("vec_id") + F.lit(5_000_000)).alias("epoch"),
+        )
+        deletes = emb.filter(
+            (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+        ).select(
+            F.lit("DELETE").alias("op"),
+            F.col("vec_id").alias("id"),
+            F.concat(F.lit("t"), (F.col("vec_id") % 2).cast("string")).alias(
+                "tenant"
+            ),
+            F.lit("ns0").alias("namespace"),
+            F.lit(None).cast("array<float>").alias("vector"),
+            F.lit(None).cast("array<int>").alias("tags"),
+            (F.col("vec_id") + F.lit(5_100_000)).alias("epoch"),
+        )
+        coll.ingest(upserts.unionByName(deletes))
+        coll.refresh_indexes()
+
+    CM.FAULT_INJECT_HOOK = interleave
+    try:
+        coll.build_indexes(nlist=16, m=8, nbits=8)  # the resize-style rebuild
+    finally:
+        CM.FAULT_INJECT_HOOK = None
+    coll.analyze()
+    _REBUILD_DIRS[sf_dir] = tmp
+    return coll
+
+
+@register(
+    "mut_rebuild_swap_placement",
+    oracle="""
+SELECT r.range::BIGINT AS id,
+       TRUE AS in_index,
+       r.range < 10 AS in_delta,
+       NOT (r.range BETWEEN 10 AND 19) AS visible
+FROM range(30) r ORDER BY id
+""",
+    survey_ref="S8,M3 (generation swap: per-row placement across a rebuild under ingest)",
+    tags=["mutation", "index", "lifecycle"],
+)
+def mut_rebuild_swap_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row generation placement after a rebuild that raced upserts,
+    deletes, and a refresh fold: every pre-bound id sits in the NEW
+    index (as-of snapshot), every mid-rebuild change sits in the delta
+    (epoch > the swap's pinned bound), visibility reflects the latest
+    op — no row lost to the discarded old-generation fold, none
+    double-indexed. Reference anchor: the 24 h centroid retrain runs
+    beside live ingest (/root/reference/src/cpp/core/config.h:79-81)."""
+    coll = _rebuild_under_ingest_collection(spark, sf_dir)
+    ids = spark.range(30).select(F.col("id"))
+    idx = (
+        spark.read.parquet(coll._stable_index_path())
+        .select("id").distinct()
+        .withColumn("in_index", F.lit(True))
+    )
+    cur = coll.current()
+    delta = (
+        cur.filter(F.col("epoch") > coll._index_epoch())
+        .select("id").distinct()
+        .withColumn("in_delta", F.lit(True))
+    )
+    vis = cur.select("id").distinct().withColumn("visible", F.lit(True))
+    return (
+        ids.join(idx, "id", "left")
+        .join(delta, "id", "left")
+        .join(vis, "id", "left")
+        .select(
+            "id",
+            F.coalesce("in_index", F.lit(False)).alias("in_index"),
+            F.coalesce("in_delta", F.lit(False)).alias("in_delta"),
+            F.coalesce("visible", F.lit(False)).alias("visible"),
+        )
+        .orderBy("id")
+    )
+
+
+_REBUILD_TOPK_ORACLE = """
+WITH visible AS (
+  SELECT vec_id AS id,
+         CASE WHEN vec_id < 10
+              THEN list_transform(embedding::DOUBLE[], x -> x * 2)
+              ELSE embedding::DOUBLE[] END AS v
+  FROM embeddings
+  WHERE NOT (vec_id BETWEEN 10 AND 19)
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 4)),
+scen AS (
+  SELECT q.query_id, visible.id AS vec_id,
+         list_inner_product(q.qv, visible.v) AS score
+  FROM q CROSS JOIN visible WHERE visible.id % 2 = 0
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scen
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "mut_rebuild_under_ingest_topk",
+    oracle=_REBUILD_TOPK_ORACLE,
+    survey_ref="Q5,S8,M3 (two-phase read across the rebuild swap)",
+    tags=["mutation", "vector", "topk", "lifecycle"],
+)
+def mut_rebuild_under_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL two-phase read path over the post-swap collection: the
+    filtered survivor set fits the candidate cap, so the rerank budget
+    covers the corpus and the result is the exact filtered top-k over
+    the expected final state — mid-rebuild upserts score on their NEW
+    (2x) vectors through the delta branch, deleted ids never surface
+    even though the new index still carries their as-of rows, and the
+    stale index versions of upserted ids are superseded at the rerank
+    join. Hash-pinned end to end (the vec_two_phase_filtered budget
+    discipline)."""
+    import math
+
+    coll = _rebuild_under_ingest_collection(spark, sf_dir)
+    n_visible = coll.current().count()
+    k = 5
+    rerank = max(1, math.ceil(n_visible / k))
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(1, 2, 4))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    out = coll.topk_two_phase(
+        queries, k=k, nprobe=16, rerank_factor=rerank, tenant="t0"
+    )
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
     )
