@@ -634,6 +634,11 @@ class VectorCollection:
                 self._snapshot_epoch(),
                 int(changelog_hi) if changelog_hi is not None else -1,
             )
+        if build_hi < 0:
+            raise ValueError(
+                "build_indexes: collection has no visible vectors to index "
+                "(empty, all-tombstoned, or all-null) — ingest before building"
+            )
         # the bounded visible view is a shuffle (snapshot ∪ tail →
         # latest-by-id window); the build makes several passes over it
         # (dim probe, centroid sample, codebook sample, encode) —
@@ -887,6 +892,11 @@ class VectorCollection:
             self._snapshot_epoch(),
             int(changelog_hi) if changelog_hi is not None else -1,
         )
+        if build_hi < 0:
+            raise ValueError(
+                "build_indexes: collection has no visible vectors to index "
+                "(empty, all-tombstoned, or all-null) — ingest before building"
+            )
         cur = (
             self.visible_as_of(build_hi)
             .filter(F.col("vector").isNotNull())
