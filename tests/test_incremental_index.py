@@ -591,3 +591,54 @@ class TestRecertificationSurvivesResize:
         out = coll.auto_resize()
         assert out is not None
         assert out["certified"] is False
+
+
+def test_streaming_maintained_ingest_auto_resizes(spark, coll, tmp_path):
+    """auto_resize_alpha on the streaming maintenance path: once the
+    streamed growth flips the odometer, the foreachBatch maintenance
+    tick rebuilds at the √n-scaled nlist through the generation swap —
+    and the post-resize index equals a full re-encode with the NEW
+    artifacts (nothing streamed was lost across the swap)."""
+    from write_optimized_vector_database_spark.operators.ivfpq import ivfpq_encode
+    from write_optimized_vector_database_spark.streaming.ingest import (
+        start_maintained_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    stream_schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    # 5x growth in one streamed file: 1000 new rows over the 200-row
+    # built index (alpha=4 flips at >800 entries)
+    spark.createDataFrame(
+        _ops(range(1_000, 2_000), epoch0=0), SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    nlist0 = int(coll._meta()["index_nlist"])
+    q = start_maintained_ingest(
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        coll,
+        ckpt,
+        auto_resize_alpha=4.0,
+    )
+    q.awaitTermination(180)
+
+    meta = coll._meta()
+    assert meta["index_nlist"] > nlist0  # resized through the stream
+    assert coll.needs_rebuild() is False  # odometer reset by the swap
+    assert coll.describe_index()["index_rows_built"] == 1_200
+    # post-swap index == full re-encode with the new generation's
+    # artifacts: the streamed rows crossed fold AND swap without loss
+    cents = spark.read.parquet(coll._stable_centroids_path())
+    cbs = spark.read.parquet(coll._codebooks_path())
+    cur = coll.current().filter(F.col("vector").isNotNull())
+    want = {
+        (r.id, int(r.centroid_id), tuple(r.codes))
+        for r in ivfpq_encode(
+            cur, cents, cbs, vec_col="vector", id_col="id"
+        ).collect()
+    }
+    assert _index_rows(spark, coll.path) == want

@@ -112,6 +112,7 @@ def start_maintained_ingest(
     checkpoint_dir: str,
     refresh_every: int = 1,
     trigger_seconds: float | None = None,
+    auto_resize_alpha: float | None = None,
 ):
     """Ingest stream with ONLINE INDEX MAINTENANCE: after every
     `refresh_every`-th micro-batch append, fold the new delta into the
@@ -124,6 +125,17 @@ def start_maintained_ingest(
     appends — exactly the ordering the reference's flush pipeline has.
     A replayed batch re-runs refresh harmlessly: refresh is a no-op when
     nothing is newer than the index epoch.
+
+    `auto_resize_alpha` (round 11): when set, each maintenance tick also
+    acts on the growth odometer — `collection.auto_resize(alpha)`
+    rebuilds at the √n-scaled nlist through the generation-swap path
+    once rows-per-list exceed alpha× the built ratio (reference anchor:
+    the 24 h centroid retrain beside live ingest, config.h:79-81).
+    The rebuild runs inside foreachBatch and therefore blocks that
+    trigger for its wall; latency-sensitive deployments leave this None
+    and run auto_resize on a separate maintenance cadence instead (the
+    bench serving loop's shape). Replay-safe: a re-run is a no-op once
+    the odometer has reset.
 
     Epochs are stamped above the collection's existing high-water mark
     (next EPOCH_STRIDE multiple), captured ONCE at stream start — on a
@@ -143,6 +155,8 @@ def start_maintained_ingest(
         if batch_id % refresh_every == refresh_every - 1:
             try:
                 collection.refresh_indexes()
+                if auto_resize_alpha is not None:
+                    collection.auto_resize(alpha=auto_resize_alpha)
             except ValueError:
                 # no stable index yet — maintenance starts after the
                 # first build_indexes(); appends are never blocked on it
