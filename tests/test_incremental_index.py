@@ -642,3 +642,51 @@ def test_streaming_maintained_ingest_auto_resizes(spark, coll, tmp_path):
         ).collect()
     }
     assert _index_rows(spark, coll.path) == want
+
+
+def test_compact_vacuum_during_rebuild(spark, coll):
+    """A compact()+vacuum() cycle landing mid-rebuild must not corrupt
+    the swap: the build input was bounded and persisted before the
+    race, reads stay correct afterwards (the snapshot keeps per-row
+    epochs, so the delta scan re-covers post-bound rows), and the
+    retention interaction is the documented one — the vacuum watermark
+    passed the new generation's epoch bound, so the NEXT incremental
+    refresh refuses and directs to a full rebuild."""
+    from write_optimized_vector_database_spark import collection as CM
+
+    fired: list = []
+
+    def hook(point):
+        if point != "index_built_preswap" or fired:
+            return
+        fired.append(True)
+        coll.ingest(
+            spark.createDataFrame(
+                [("INSERT", 900, "t0", "ns0", [9.0] * 8, [0], 70_000)],
+                SCHEMA,
+            )
+        )
+        coll.compact()
+        coll.vacuum()  # watermark now covers the mid-rebuild row
+
+    CM.FAULT_INJECT_HOOK = hook
+    try:
+        coll.build_indexes(nlist=8, m=4, nbits=4)
+    finally:
+        CM.FAULT_INJECT_HOOK = None
+    assert fired
+
+    # reads across the swap: the mid-rebuild row serves via the delta
+    # scan out of the NEW snapshot (its epoch survived compaction)
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8)], "query_id long, query_vec array<float>"
+    )
+    got = {r.vec_id for r in coll.topk_two_phase(q, k=3, nprobe=8).collect()}
+    assert 900 in got
+    # the vacuum collapsed history past the swap's epoch bound:
+    # incremental refresh refuses loudly instead of missing deletes
+    with pytest.raises(ValueError, match="vacuumed"):
+        coll.refresh_indexes()
+    # and the directed recovery (a full rebuild) restores maintenance
+    coll.build_indexes(nlist=8, m=4, nbits=4)
+    assert coll.refresh_indexes()["n_touched"] == 0

@@ -1164,6 +1164,11 @@ class VectorCollection:
                 "changelog vacuumed past the index epoch — deletes are no "
                 "longer derivable incrementally; run build_indexes()"
             )
+        if not self._has_changelog_files():
+            # fully vacuumed, nothing ingested since: an empty changelog
+            # dir would fail parquet schema inference below — this is
+            # simply "no delta" (found by the vacuum-during-rebuild gate)
+            return {"n_touched": 0, "n_reencoded": 0, "n_lists_rewritten": 0}
         spark = self.spark
         # Fold-window upper bound, captured BEFORE any fold input
         # materializes (round 9): the fold previously advanced
