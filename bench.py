@@ -860,13 +860,31 @@ def main() -> None:
             # fold flips needs_rebuild, the loop rebuilds at the
             # √n-scaled nlist via the generation-swap path (appends
             # landing mid-rebuild stay in the new generation's delta;
-            # gated by tests/test_incremental_index.py). The witness
-            # measures the ADC phase right before and right after the
-            # swap under the SAME live write load.
+            # gated by tests/test_incremental_index.py) — and the
+            # rebuild runs in a BACKGROUND THREAD while this loop keeps
+            # serving queries against the OLD generation (readers
+            # resolve index paths per call from the manifest; the swap
+            # is one atomic write). Folds are paused while the rebuild
+            # runs: mutators are serialized on one maintenance
+            # scheduler (the manifest is read-modify-write), readers
+            # never are. The witness measures the ADC phase right
+            # before and right after the swap under the SAME live
+            # write load, plus the queries served DURING the rebuild.
+            import threading
+
             resize_alpha = float(
                 os.environ.get("SPARK_GRAFT_BENCH_RESIZE_ALPHA", "4.0")
             )
             resize_event: dict | None = None
+            resize_thread: threading.Thread | None = None
+            resize_ctx: dict = {}
+            resize_err: list[str] = []
+
+            def _do_resize():
+                try:
+                    coll.auto_resize(alpha=resize_alpha)
+                except Exception as e:  # noqa: BLE001
+                    resize_err.append(_errmsg(e))
 
             def _adc_probe_ms() -> float:
                 from write_optimized_vector_database_spark.operators.ivfpq import (
@@ -899,14 +917,71 @@ def main() -> None:
                     n = coll.topk_two_phase(
                         qdf, k=10, nprobe=8, rerank_factor=4
                     ).count()
-                    lat.append(time.time() - t1)
+                    q_wall = time.time() - t1
+                    lat.append(q_wall)
                     assert n > 0
+                    if resize_thread is not None and resize_thread.is_alive():
+                        # served concurrently with the rebuild — against
+                        # the old generation until the swap lands
+                        resize_ctx.setdefault("during_lat", []).append(q_wall)
                     # serving-wrapper discipline (ADVICE r07): the LUT
                     # broadcast is per-query; release it eagerly after
                     # materialization so sustained serving stays
                     # memory-flat between driver GCs
                     release_query_broadcasts()
+                    # rebuild completion: join, probe the NEW generation
+                    # under the same load, record the witness
+                    if (
+                        resize_thread is not None
+                        and not resize_thread.is_alive()
+                        and resize_event is None
+                    ):
+                        resize_thread.join()
+                        adc_post = _adc_probe_ms()
+                        during = resize_ctx.get("during_lat", [])
+                        resize_event = {
+                            "fired": True,
+                            "concurrent": True,
+                            "at_s": round(resize_ctx["t_start"] - t0, 1),
+                            "wall_s": round(
+                                resize_ctx["t_end"][0] - resize_ctx["t_start"], 1
+                            ),
+                            "nlist_before": resize_ctx["nlist_before"],
+                            "recommended_nlist": resize_ctx["d_pre"][
+                                "recommended_nlist"
+                            ],
+                            "rows_at_resize": resize_ctx["d_pre"]["index_rows"],
+                            "rows_built_before": resize_ctx["d_pre"][
+                                "index_rows_built"
+                            ],
+                            "nlist_after": int(
+                                coll._meta().get("index_nlist", 0)
+                            ),
+                            "phase_stable_adc_before_ms": resize_ctx["adc_pre"],
+                            "phase_stable_adc_after_ms": adc_post,
+                            "queries_served_during_rebuild": len(during),
+                            "query_p50_during_rebuild_ms": round(
+                                _pctl(sorted(x * 1000 for x in during), 0.5), 1
+                            ) if during else None,
+                            "error": resize_err[0] if resize_err else None,
+                        }
+                        print(
+                            f"in-loop auto_resize (concurrent): rows "
+                            f"{resize_event['rows_at_resize']} wall "
+                            f"{resize_event['wall_s']} s nlist -> "
+                            f"{resize_event['nlist_after']} ADC "
+                            f"{resize_event['phase_stable_adc_before_ms']} -> "
+                            f"{adc_post} ms; served {len(during)} queries "
+                            "during the rebuild",
+                            file=sys.stderr,
+                        )
+                        spark.sparkContext._jvm.System.gc()
                     if time.time() - last_maint > maint_every_s:
+                        if resize_thread is not None and resize_thread.is_alive():
+                            # mutators are serialized: no folds while the
+                            # rebuild owns the manifest; queries continue
+                            last_maint = time.time()
+                            continue
                         tm = time.time()
                         coll.refresh_indexes()
                         maint_walls.append(time.time() - tm)
@@ -918,53 +993,68 @@ def main() -> None:
                         # allocation stalls (observed: gateway death
                         # mid-serving on the first cadence run)
                         spark.sparkContext._jvm.System.gc()
-                        # act on the odometer ONCE per window: rebuild
-                        # at the recommended geometry while the stream
-                        # keeps writing, bracketed by ADC probes under
-                        # identical load
-                        if resize_event is None and coll.needs_rebuild(
-                            resize_alpha
+                        # act on the odometer ONCE per window: launch the
+                        # rebuild at the recommended geometry BESIDE the
+                        # live stream and the serving loop, bracketed by
+                        # ADC probes under identical load
+                        if (
+                            resize_event is None
+                            and resize_thread is None
+                            and coll.needs_rebuild(resize_alpha)
                         ):
-                            d_pre = coll.describe_index()
-                            nlist_before = int(
+                            resize_ctx["d_pre"] = coll.describe_index()
+                            resize_ctx["nlist_before"] = int(
                                 coll._meta().get("index_nlist", 0)
                             )
-                            adc_pre = _adc_probe_ms()
-                            tr = time.time()
-                            coll.auto_resize(alpha=resize_alpha)
-                            rw = time.time() - tr
-                            adc_post = _adc_probe_ms()
-                            resize_event = {
-                                "fired": True,
-                                "at_s": round(time.time() - t0, 1),
-                                "wall_s": round(rw, 1),
-                                "nlist_before": nlist_before,
-                                "recommended_nlist": d_pre[
-                                    "recommended_nlist"
-                                ],
-                                "rows_at_resize": d_pre["index_rows"],
-                                "rows_built_before": d_pre[
-                                    "index_rows_built"
-                                ],
-                                "nlist_after": int(
-                                    coll._meta().get("index_nlist", 0)
-                                ),
-                                "phase_stable_adc_before_ms": adc_pre,
-                                "phase_stable_adc_after_ms": adc_post,
-                            }
-                            print(
-                                f"in-loop auto_resize: rows "
-                                f"{d_pre['index_rows']} wall {rw:.1f} s "
-                                f"nlist -> {resize_event['nlist_after']} "
-                                f"ADC {adc_pre} -> {adc_post} ms",
-                                file=sys.stderr,
+                            resize_ctx["adc_pre"] = _adc_probe_ms()
+                            resize_ctx["t_start"] = time.time()
+                            resize_ctx["t_end"] = []
+
+                            def _resize_and_stamp():
+                                _do_resize()
+                                resize_ctx["t_end"].append(time.time())
+
+                            resize_thread = threading.Thread(
+                                target=_resize_and_stamp, daemon=True
                             )
-                            spark.sparkContext._jvm.System.gc()
+                            resize_thread.start()
                         last_maint = time.time()
                 # serving wall ends when the latency samples end (ADVICE
                 # r08): the phase probes and RYW polling below happen
                 # under load too but are timed on their own clocks
                 serve_wall = time.time() - t0
+                # rebuild still in flight when the window closed: join
+                # before the phase probes so they measure a settled
+                # generation, and record the witness
+                if resize_thread is not None and resize_event is None:
+                    resize_thread.join(timeout=600)
+                    during = resize_ctx.get("during_lat", [])
+                    resize_event = {
+                        "fired": True,
+                        "concurrent": True,
+                        "at_s": round(resize_ctx["t_start"] - t0, 1),
+                        "wall_s": round(
+                            (resize_ctx["t_end"][0] if resize_ctx["t_end"]
+                             else time.time()) - resize_ctx["t_start"], 1
+                        ),
+                        "nlist_before": resize_ctx["nlist_before"],
+                        "recommended_nlist": resize_ctx["d_pre"][
+                            "recommended_nlist"
+                        ],
+                        "rows_at_resize": resize_ctx["d_pre"]["index_rows"],
+                        "rows_built_before": resize_ctx["d_pre"][
+                            "index_rows_built"
+                        ],
+                        "nlist_after": int(coll._meta().get("index_nlist", 0)),
+                        "phase_stable_adc_before_ms": resize_ctx["adc_pre"],
+                        "phase_stable_adc_after_ms": _adc_probe_ms(),
+                        "queries_served_during_rebuild": len(during),
+                        "query_p50_during_rebuild_ms": round(
+                            _pctl(sorted(x * 1000 for x in during), 0.5), 1
+                        ) if during else None,
+                        "joined_after_window": True,
+                        "error": resize_err[0] if resize_err else None,
+                    }
                 # per-phase walls under live write load: stable ADC
                 # branch and delta scan branch run standalone once each;
                 # rerank+merge is the full path's residual over them
