@@ -121,6 +121,7 @@ class HadoopStorage:
     def __init__(self, spark, base_uri: str):
         jvm = spark.sparkContext._jvm
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark.sparkContext._jsc.hadoopConfiguration()
         self._fs = jvm.org.apache.hadoop.fs.Path(base_uri).getFileSystem(self._conf)
 
@@ -185,8 +186,24 @@ class HadoopStorage:
             stream.hflush()
         finally:
             stream.close()
-        self._fs.delete(self._p(path), False)  # Hadoop rename won't replace
-        self.rename(tmp, path)
+        # Rename WITH overwrite (FileContext.rename(OVERWRITE)): plain
+        # FileSystem.rename won't replace, and the old delete→rename
+        # dance left a window where a concurrent reader saw NO manifest
+        # at all — readers race the generation swap as of round 11, so
+        # the replace must be a single metadata op. Falls back to the
+        # gapped form only on filesystems without a FileContext
+        # implementation (local file:/ and hdfs:// both have one).
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._conf
+            )
+            ren = getattr(self._jvm, "org.apache.hadoop.fs.Options$Rename")
+            opts = self._gateway.new_array(ren, 1)
+            opts[0] = ren.OVERWRITE
+            fc.rename(self._p(tmp), self._p(path), opts)
+        except Exception:  # noqa: BLE001 — no FileContext impl for scheme
+            self._fs.delete(self._p(path), False)
+            self.rename(tmp, path)
 
     def list_dirs(self, root: str) -> list[str]:
         if not self.exists(root):
