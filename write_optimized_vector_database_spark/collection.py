@@ -2484,6 +2484,11 @@ class VectorCollection:
             ),
             "needs_rebuild": self.needs_rebuild(),
             "recommended_nlist": self.recommended_nlist(),
+            # generation observability (round 11): which dirs serve and
+            # which superseded generation is still retained for readers
+            # that resolved just before the swap
+            "index_path": meta.get("index_stable_path", "index_stable"),
+            "index_prev_keep": meta.get("index_prev_keep", []),
         }
 
     def needs_rebuild(self, alpha: float = 4.0) -> bool:
