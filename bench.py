@@ -1112,6 +1112,15 @@ def main() -> None:
             )
             lat_ms = sorted(x * 1000.0 for x in lat)
             base_ms = sorted(x * 1000.0 for x in base_lat)
+            # steady-state split: the window's overall percentiles now
+            # include rebuild-contended samples (serving continues
+            # through the resize by design) — report the non-overlapped
+            # samples separately so steady serving and rebuild-window
+            # serving are each adjudicable
+            during_set = set(resize_ctx.get("during_lat", []))
+            steady_ms = sorted(
+                x * 1000.0 for x in lat if x not in during_set
+            )
             extra_metrics["concurrent_serving"] = {
                 "offered_rows_per_s": rate,
                 "serve_window_s": round(serve_wall, 1),
@@ -1120,6 +1129,12 @@ def main() -> None:
                 "query_p50_ms": round(_pctl(lat_ms, 0.5), 1),
                 "query_p95_ms": round(_pctl(lat_ms, 0.95), 1),
                 "query_max_ms": round(lat_ms[-1], 1),
+                "query_p50_steady_ms": (
+                    round(_pctl(steady_ms, 0.5), 1) if steady_ms else None
+                ),
+                "query_p95_steady_ms": (
+                    round(_pctl(steady_ms, 0.95), 1) if steady_ms else None
+                ),
                 "query_lat_ms_runs": [round(x * 1000.0, 1) for x in lat],
                 "baseline_noload_p50_ms": round(_pctl(base_ms, 0.5), 1),
                 "phase_stable_adc_ms": round(adc_s * 1000.0, 1),
