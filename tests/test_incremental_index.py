@@ -117,9 +117,31 @@ def test_refresh_refuses_after_vacuum_past_index(spark, coll):
         spark.createDataFrame(_ops([1], op="UPSERT", epoch0=60_000), SCHEMA)
     )
     coll.compact()
-    coll.vacuum()  # vacuum_epoch now > index_epoch
+    # snapshot-bounded retention (opt-out of the round-11 index-aware
+    # cut): vacuum_epoch passes the index epoch and incremental refresh
+    # must refuse loudly rather than miss deletes
+    coll.vacuum(retain_for_index=False)
     with pytest.raises(ValueError, match="vacuumed"):
         coll.refresh_indexes()
+
+
+def test_default_vacuum_preserves_incremental_refresh(spark, coll):
+    """Index-aware retention (round 11): the default vacuum cuts at
+    min(snapshot, index) epoch, so a compact+vacuum landing BEFORE the
+    next fold no longer collapses the tail refresh needs — the old
+    'refresh, then vacuum' ordering discipline is no longer load-
+    bearing. The delta still folds incrementally afterwards."""
+    coll.ingest(
+        spark.createDataFrame(_ops([1], op="UPSERT", epoch0=60_000), SCHEMA)
+    )
+    coll.compact()
+    coll.vacuum()  # default: retains the tail past the index epoch
+    stats = coll.refresh_indexes()  # no raise — incremental fold works
+    assert stats["n_touched"] == 1 and stats["n_reencoded"] == 1
+    # after the fold advanced the index epoch, a second vacuum can
+    # reclaim the now-covered tail
+    assert coll.vacuum() >= 0
+    assert coll.refresh_indexes()["n_touched"] == 0
 
 
 def test_two_phase_search_after_refresh(spark, coll):
@@ -683,13 +705,13 @@ def test_compact_vacuum_during_rebuild(spark, coll):
     )
     got = {r.vec_id for r in coll.topk_two_phase(q, k=3, nprobe=8).collect()}
     assert 900 in got
-    # the vacuum collapsed history past the swap's epoch bound:
-    # incremental refresh refuses loudly instead of missing deletes
-    with pytest.raises(ValueError, match="vacuumed"):
-        coll.refresh_indexes()
-    # and the directed recovery (a full rebuild) restores maintenance
-    coll.build_indexes(nlist=8, m=4, nbits=4)
-    assert coll.refresh_indexes()["n_touched"] == 0
+    # index-aware vacuum (round 11) retained the tail past the OLD
+    # generation's epoch, and the swap pinned index_epoch to the build
+    # bound — the mid-rebuild row folds incrementally, no rebuild owed
+    stats = coll.refresh_indexes()
+    assert stats["n_touched"] == 1 and stats["n_reencoded"] == 1
+    got_ids = {t[0] for t in _index_rows(spark, coll.path)}
+    assert 900 in got_ids
 
 
 def test_queries_serve_while_rebuild_thread_runs(spark, tmp_path):

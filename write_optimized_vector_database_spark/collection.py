@@ -430,14 +430,30 @@ class VectorCollection:
         # for in-flight readers of the old version.
         self.fs.cleanup_dirs(self.path, "current_", keep={ver})
 
-    def vacuum(self) -> int:
+    def vacuum(self, retain_for_index: bool = True) -> int:
         """Retention: delete changelog files fully covered by the current
         snapshot (max epoch ≤ snapshot epoch) — the WAL rotate/retention
         analog (reference config.h:49-50). Uses Parquet footer stats, so
-        no data is read. Returns the number of files removed."""
+        no data is read. Returns the number of files removed.
+
+        Index-aware retention (round 11): refresh_indexes derives
+        delete visibility from the changelog tail back to the INDEX
+        epoch — a vacuum run between a compact and the next fold used
+        to collapse that tail and force a full rebuild (the footgun the
+        old 'refresh, then vacuum' schedule papered over). By default
+        the cut now stops at min(snapshot, index) epoch, so incremental
+        maintenance survives any vacuum ordering; pass
+        retain_for_index=False for pure snapshot-bounded retention
+        (reclaims more space, accepts that the next refresh may demand
+        a rebuild)."""
         snap_epoch = self._snapshot_epoch()
         if snap_epoch < 0:
             return 0
+        cut = snap_epoch
+        if retain_for_index:
+            idx_epoch = self._index_epoch()
+            if idx_epoch >= 0 and self.fs.exists(self._stable_index_path()):
+                cut = min(cut, idx_epoch)
         changelog_dir = f"{self.path}/changelog"
         files = [
             f for f in self.fs.walk_files(changelog_dir) if f.endswith(".parquet")
@@ -452,13 +468,13 @@ class VectorCollection:
         removed = 0
         covered = self._file_epoch_stats(files)
         for fpath, file_max in covered:
-            if file_max is not None and file_max <= snap_epoch:
+            if file_max is not None and file_max <= cut:
                 self.fs.remove(fpath)
                 removed += 1
         if removed:
             # retention watermark: epochs ≤ this are no longer replayable,
             # so visible_as_of() must refuse to time-travel below it
-            self._meta_update(vacuum_epoch=int(snap_epoch))
+            self._meta_update(vacuum_epoch=int(cut))
         # prune batch dirs left with no parquet (checkpoint markers only)
         for d in self.fs.list_dirs(changelog_dir):
             if not any(f.endswith(".parquet") for f in self.fs.walk_files(d)):
