@@ -509,7 +509,12 @@ class TestRebuildUnderIngest:
         assert coll.describe_index()["index_build_id"] == d0["index_build_id"] + 1
         assert coll._meta()["index_nlist"] == 16
 
-    def test_generations_are_gcd_current_plus_previous(self, spark, coll):
+    def test_generations_gc_by_retention_window(self, spark, coll):
+        """Time-based multi-generation retention (ADVICE r11 medium):
+        inside the retention window EVERY superseded generation
+        survives — a multi-rung ladder swapping several times in
+        seconds never deletes a dir an in-flight reader resolved —
+        and once superseded past the window, GC reclaims it."""
         import os as _os
 
         for nlist in (8, 8, 8):
@@ -519,8 +524,35 @@ class TestRebuildUnderIngest:
         }
         live = coll._stable_index_subdir()
         assert live in names
-        # exactly current + previous survive
-        assert len(names) == 2
+        # every generation superseded within the retention window
+        # survives (the fixture may have built one more before us)
+        assert len(names) >= 3
+        assert len(coll._meta()["index_gen_history"]) >= 2
+        # age every superseded generation past the window: GC reclaims
+        # them and prunes the manifest history; the live one survives
+        coll._gc_index_generations(retention_s=0.0)
+        names = {
+            d for d in _os.listdir(coll.path) if d.startswith("index_stable")
+        }
+        assert names == {live}
+        assert coll._meta()["index_gen_history"] == []
+
+    def test_prebuilt_reader_plan_survives_swap_and_gc(self, spark, coll):
+        """An in-flight reader that resolved its generation paths just
+        before a swap still collects green after the swap AND a GC run
+        — the retained generation is what makes per-call path
+        resolution safe (the r11 rule GC'd it after one more build)."""
+        q = spark.createDataFrame(
+            [(0, [float(j) for j in range(8)])],
+            "query_id long, query_vec array<double>",
+        )
+        coll.build_indexes(nlist=8, m=4, nbits=4)
+        plan = coll.topk_two_phase(q, k=5, nprobe=8)  # binds gen-1 paths
+        # two more swaps + GCs land while the plan is "in flight"
+        coll.build_indexes(nlist=8, m=4, nbits=4)
+        coll.build_indexes(nlist=8, m=4, nbits=4)
+        rows = plan.collect()  # reads the superseded-but-retained dirs
+        assert len(rows) == 5
 
 
 class TestRecertificationSurvivesResize:

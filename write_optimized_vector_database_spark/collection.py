@@ -21,7 +21,10 @@ precisely the reference's write-optimization story re-told in Spark.
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +60,48 @@ def _fault(point: str) -> None:
 _ESCALATION_RUNG_HEADROOM = 0.15
 
 
+# Superseded-generation retention (ADVICE r11 medium): a swapped-out
+# index generation stays on disk until it has been superseded for this
+# long, so an in-flight reader that resolved its paths any time in the
+# window — including across a multi-rung auto-build ladder, which swaps
+# several times in seconds — never reads an rmtree'd directory. 10 min
+# covers any single query wall this engine has ever measured (seconds
+# at sf0.1, and at 100 TB a reader holds paths for one query, not one
+# rebuild); env-tunable for deployments with longer-running readers.
+INDEX_GEN_RETENTION_S = float(
+    os.environ.get("SPARK_GRAFT_GEN_RETENTION_S", "600")
+)
+
+
+class _MetaLock:
+    """Per-collection-path manifest writer lock (ADVICE r11 medium):
+    an in-process re-entrant lock (serializes the background resize
+    thread against foreachBatch ingest folds in the same driver — the
+    deployment shape the bench and streaming docstrings advertise)
+    wrapping an advisory cross-process file lock taken only at the
+    outermost depth (LocalStorage flock; remote backends document the
+    single-driver-writer assumption instead)."""
+
+    __slots__ = ("rlock", "depth", "token")
+
+    def __init__(self):
+        self.rlock = threading.RLock()
+        self.depth = 0
+        self.token = None
+
+
+_META_LOCKS: dict[str, _MetaLock] = {}
+_META_LOCKS_GUARD = threading.Lock()
+
+
+def _meta_lock_for(path: str) -> _MetaLock:
+    with _META_LOCKS_GUARD:
+        ml = _META_LOCKS.get(path)
+        if ml is None:
+            ml = _META_LOCKS[path] = _MetaLock()
+        return ml
+
+
 def _escalation_next(i: int, n_rungs: int, shortfall: float) -> int:
     """Next ladder index after a miss at rung `i` (shortfall > 0):
     step to i+1 normally; jump to the LAST rung when the miss is wider
@@ -87,6 +132,13 @@ class VectorCollection:
 
         self.fs = storage_for(spark, self.path)
         self._meta_path = f"{self.path}/_collection.json"
+        # manifest writer lock is keyed by PATH, not object — two
+        # VectorCollection handles on one path (a serving handle and a
+        # maintenance handle) share one writer discipline
+        self._meta_lock = _meta_lock_for(self.path)
+        # superseded index generations survive this long after their
+        # swap (ADVICE r11 medium); see INDEX_GEN_RETENTION_S
+        self.gen_retention_s = INDEX_GEN_RETENTION_S
         self.fs.makedirs(self.path)
         # index-artifact cache (the reference's in-memory global-index
         # cache, config.h:96-99 memory_cache_mb): centroids + codebooks
@@ -127,11 +179,45 @@ class VectorCollection:
             if f.endswith(".parquet")
         )
 
+    @contextmanager
+    def _meta_write_lock(self):
+        """Serialize manifest writers (ADVICE r11 medium): every
+        read-modify-write of _collection.json runs under the per-path
+        in-process RLock, and the OUTERMOST acquisition additionally
+        takes the storage backend's cross-process advisory lock. Before
+        this, _meta_update was an unlocked RMW: a background auto_resize
+        swap landing between an ingest tick's read and write reverted
+        the generation pointers, and the next GC could then delete the
+        just-built live generation dirs."""
+        ml = self._meta_lock
+        with ml.rlock:
+            ml.depth += 1
+            try:
+                if ml.depth == 1:
+                    ml.token = self.fs.lock_acquire(f"{self.path}/_meta.lock")
+                yield
+            finally:
+                ml.depth -= 1
+                if ml.depth == 0:
+                    tok, ml.token = ml.token, None
+                    if tok is not None:
+                        self.fs.lock_release(tok)
+
+    def _meta_mutate(self, fn) -> dict:
+        """Atomic manifest read-modify-write: `fn(meta)` mutates the
+        dict in place under the writer lock, so updates DERIVED from
+        the current manifest (byte odometers, generation swaps, fold
+        advances) can never lose a concurrent writer's keys. Stamps a
+        monotonic `meta_version` so lost updates are detectable."""
+        with self._meta_write_lock():
+            meta = self._meta()
+            fn(meta)
+            meta["meta_version"] = int(meta.get("meta_version", 0)) + 1
+            self.fs.write_text_atomic(self._meta_path, json.dumps(meta))
+            return meta
+
     def _meta_update(self, **kv) -> dict:
-        meta = self._meta()
-        meta.update(kv)
-        self.fs.write_text_atomic(self._meta_path, json.dumps(meta))
-        return meta
+        return self._meta_mutate(lambda m: m.update(kv))
 
     def _meta(self) -> dict:
         if self.fs.exists(self._meta_path):
@@ -193,32 +279,35 @@ class VectorCollection:
         before = self._dir_bytes("changelog")
         self._with_bloom(out.write).mode("append").parquet(f"{self.path}/changelog")
         written = self._dir_bytes("changelog") - before
-        meta = self._meta()
-        updates = dict(
-            bytes_logical=meta.get("bytes_logical", 0) + written,
-            bytes_physical=meta.get("bytes_physical", 0) + written,
+        def _bump(meta: dict) -> None:
+            meta["bytes_logical"] = meta.get("bytes_logical", 0) + written
+            meta["bytes_physical"] = meta.get("bytes_physical", 0) + written
             # staleness odometer for the filtered-search planner (VERDICT
             # r07 #5): manifest-only, so plan_filtered_strategy can
             # distrust selectivity estimates without running a job
-            rows_since_analyze=meta.get("rows_since_analyze", 0) + n,
-        )
-        # ADVICE r09 (medium): topk_ivf serves the indexed snapshot with
-        # NO delta branch, so its probe-support prune is only sound while
-        # the changelog has not advanced past the build — an upsert that
-        # moves a row's tenant/namespace/tags leaves the OLD vector
-        # indexed in a list outside the NEW value's support, and the
-        # pruned path would skip it while the unpruned path returns it.
-        # Disarm 'ivf'-labeled histograms on every ingest (manifest-only,
-        # zero query-time cost); analyze_correlation() re-arms them
-        # consistently with current() filter values. 'stable'-labeled
-        # stats are unaffected: topk_two_phase's delta branch rescans
-        # every post-build version exactly, so its prune stays sound.
-        if (
-            meta.get("corr_stats_fresh", False)
-            and (meta.get("corr_stats") or {}).get("index") == "ivf"
-        ):
-            updates["corr_stats_fresh"] = False
-        self._meta_update(**updates)
+            meta["rows_since_analyze"] = meta.get("rows_since_analyze", 0) + n
+            # ADVICE r09 (medium): topk_ivf serves the indexed snapshot
+            # with NO delta branch, so its probe-support prune is only
+            # sound while the changelog has not advanced past the build
+            # — an upsert that moves a row's tenant/namespace/tags
+            # leaves the OLD vector indexed in a list outside the NEW
+            # value's support, and the pruned path would skip it while
+            # the unpruned path returns it. Disarm 'ivf'-labeled
+            # histograms on every ingest (manifest-only, zero query-time
+            # cost); analyze_correlation() re-arms them consistently
+            # with current() filter values. 'stable'-labeled stats are
+            # unaffected: topk_two_phase's delta branch rescans every
+            # post-build version exactly, so its prune stays sound.
+            if (
+                meta.get("corr_stats_fresh", False)
+                and (meta.get("corr_stats") or {}).get("index") == "ivf"
+            ):
+                meta["corr_stats_fresh"] = False
+
+        # atomic RMW under the writer lock (ADVICE r11 medium): an
+        # ingest tick racing a background generation swap can no longer
+        # revert the swap's pointer keys with its own stale read
+        self._meta_mutate(_bump)
         return n
 
     def delete_where(self, predicate) -> int:
@@ -414,13 +503,18 @@ class VectorCollection:
         # after a compact+vacuum cycle. Telemetry only: losing the last
         # WA sample to a crash is acceptable; correctness state lives in
         # the snapshot marker above.
-        meta = self._meta()
-        physical = meta.get("bytes_physical", 0) + self._dir_bytes(ver)
-        logical = meta.get("bytes_logical", 0)
-        history = meta.get("wa_history", [])
-        if logical > 0:
-            history = history + [round(physical / logical, 4)]
-        self._meta_update(bytes_physical=physical, wa_history=history)
+        snap_bytes = self._dir_bytes(ver)
+
+        def _wa(meta: dict) -> None:
+            physical = meta.get("bytes_physical", 0) + snap_bytes
+            logical = meta.get("bytes_logical", 0)
+            meta["bytes_physical"] = physical
+            if logical > 0:
+                meta["wa_history"] = meta.get("wa_history", []) + [
+                    round(physical / logical, 4)
+                ]
+
+        self._meta_mutate(_wa)
         # refresh planner stats off the snapshot just written — the CBO
         # analogue of ANALYZE TABLE after a rewrite (column-pruned
         # re-read: the vector column never loads)
@@ -558,6 +652,7 @@ class VectorCollection:
         _centroids: DataFrame | None = None,
         _collect_corr: bool = True,
         _build_hi: int | None = None,
+        _start_config: dict | None = None,
     ) -> dict | None:
         """Build the *stable generation*: IVF-partitioned index with PQ
         codes over the current snapshot (reference delta/stable split,
@@ -601,6 +696,7 @@ class VectorCollection:
                 nlist=nlist, nbits=nbits, sample_fraction=sample_fraction,
                 seed=seed, target_recall=target_recall, nprobe=target_nprobe,
                 rerank_factor=target_rerank_factor,
+                start_config=_start_config,
             )
         from write_optimized_vector_database_spark.operators.ivf import (
             assign_centroids,
@@ -793,54 +889,70 @@ class VectorCollection:
         # token: index_epoch alone can't distinguish "rebuilt with
         # different knobs, no new ingest" (same max changelog epoch)
         # from "nothing changed", so the artifact cache keys on
-        # build_id, not epoch. Re-read meta HERE (not meta0): folds
-        # landing mid-rebuild advanced index_epoch/index_rows on the
-        # OLD generation — their meta keys are overwritten by the swap
-        # (their rows are re-covered via epoch > build_hi), but any
-        # unrelated keys they wrote survive.
-        meta_now = self._meta()
-        self._meta_update(
-            index_epoch=int(build_hi),
-            index_build_id=gen,
-            index_stable_path=stable_sub,
-            index_centroids_path=cents_sub,
-            index_codebooks_path=books_sub,
-            **({"index_rotation_path": rot_sub} if use_opq else {}),
-            # superseded generation survives exactly one more build for
-            # readers that resolved paths just before this swap
-            index_prev_keep=[
-                meta_now.get("index_stable_path", "index_stable"),
-                meta_now.get("index_centroids_path", "index_centroids"),
-                meta_now.get("index_codebooks_path", "index_codebooks"),
-                meta_now.get("index_rotation_path", "index_rotation"),
-            ],
-            index_residual=bool(residual),
-            index_spill=int(spill),
-            index_opq=bool(use_opq),
-            index_nlist=int(nlist),
-            index_m=int(m),
-            index_nbits=int(nbits),
-            # growth odometer (VERDICT r09 #1): folds maintain freshness
-            # but never re-size — nlist stops tracking n and ADC cost
-            # over the fixed lists grows ∝ n/nlist (round-9 serving run:
-            # 13× growth on nlist=8 → 26.9 s probes). refresh_indexes
-            # advances index_rows; needs_rebuild() compares the ratio.
-            index_rows_built=int(n_entries),
-            index_rows=int(n_entries),
+        # build_id, not epoch. The transform reads the manifest UNDER
+        # THE WRITER LOCK (not meta0, and not an unlocked pre-read):
+        # folds landing mid-rebuild advanced index_epoch/index_rows on
+        # the OLD generation — their meta keys are overwritten by the
+        # swap (their rows are re-covered via epoch > build_hi), but
+        # any unrelated keys they wrote survive, and no writer racing
+        # this swap can interleave between its read and its write
+        # (ADVICE r11 medium).
+        swap_t = time.time()
+
+        def _swap(m: dict) -> None:
+            superseded = [
+                m.get("index_stable_path", "index_stable"),
+                m.get("index_centroids_path", "index_centroids"),
+                m.get("index_codebooks_path", "index_codebooks"),
+                m.get("index_rotation_path", "index_rotation"),
+            ]
+            # time-based multi-generation retention (ADVICE r11 medium):
+            # every superseded generation is timestamped into the
+            # history; _gc_index_generations removes a generation only
+            # once it has been superseded for gen_retention_s — so a
+            # multi-rung ladder swapping several times in seconds never
+            # deletes a directory an in-flight reader resolved.
+            hist = list(m.get("index_gen_history", []))
+            hist.append({"paths": superseded, "superseded_at": swap_t})
+            m.update(
+                index_epoch=int(build_hi),
+                index_build_id=gen,
+                index_stable_path=stable_sub,
+                index_centroids_path=cents_sub,
+                index_codebooks_path=books_sub,
+                **({"index_rotation_path": rot_sub} if use_opq else {}),
+                index_gen_history=hist,
+                # kept for observability/back-compat: the most recently
+                # superseded generation (== hist[-1].paths)
+                index_prev_keep=superseded,
+                index_residual=bool(residual),
+                index_spill=int(spill),
+                index_opq=bool(use_opq),
+                index_nlist=int(nlist),
+                index_m=int(m_),
+                index_nbits=int(nbits),
+                # growth odometer (VERDICT r09 #1): folds maintain
+                # freshness but never re-size — nlist stops tracking n
+                # and ADC cost over the fixed lists grows ∝ n/nlist
+                # (round-9 serving run: 13× growth on nlist=8 → 26.9 s
+                # probes). refresh_indexes advances index_rows;
+                # needs_rebuild() compares the ratio.
+                index_rows_built=int(n_entries),
+                index_rows=int(n_entries),
+                **corr_kv,
+            )
             # a knob-explicit rebuild invalidates a prior auto-build
             # certification: the recall it promised was measured against
             # an index that no longer exists, so serving falls back to
             # the plain nprobe default until re-certified. The escalation
             # loop's own inner builds hit this too, but its final meta
             # write re-certifies (calibrated_stale=False) after the last
-            # rung; auto_resize re-certifies via _recertify_after_resize.
-            **(
-                {"calibrated_stale": True}
-                if meta_now.get("calibrated_family") == "ivfpq"
-                else {}
-            ),
-            **corr_kv,
-        )
+            # rung; auto_resize re-certifies via the recert probe.
+            if m.get("calibrated_family") == "ivfpq":
+                m["calibrated_stale"] = True
+
+        m_ = m  # build knob; the transform shadows `m` with the manifest
+        self._meta_mutate(_swap)
         self._evict_index_artifacts()
         self._gc_index_generations()
 
@@ -855,6 +967,7 @@ class VectorCollection:
         rerank_factor: int,
         k: int = 10,
         n_sample_queries: int = 8,
+        start_config: dict | None = None,
     ) -> dict:
         """Escalating build (VERDICT r05 #2): rebuild up the m/spill/OPQ
         ladder until the SAMPLED recall@k at the reference serving knobs
@@ -942,6 +1055,26 @@ class VectorCollection:
         ):
             if rung not in ladder:  # tiny dims can collapse rungs
                 ladder.append(rung)
+        if start_config is not None:
+            # deployed-geometry floor (ADVICE r11 low): auto_resize's
+            # recert-miss re-ladder starts AT the geometry the index was
+            # deployed with — standard rungs weaker-or-equal on every
+            # knob are dropped, so an OPQ/spill deployment is never
+            # silently re-certified on a weaker index family
+            floor = {
+                "m": _div(int(start_config.get("m", dim // 8))),
+                "spill": int(start_config.get("spill", 1)),
+                "use_opq": bool(start_config.get("use_opq", False)),
+            }
+
+            def _weaker_or_equal(r: dict) -> bool:
+                return (
+                    r["m"] <= floor["m"]
+                    and r["spill"] <= floor["spill"]
+                    and (not r["use_opq"] or floor["use_opq"])
+                )
+
+            ladder = [floor] + [r for r in ladder if not _weaker_or_equal(r)]
 
         # bounded driver pull: the probe query batch is ≤ n_sample_queries
         # rows — materialized so every rung scores the same batch
@@ -1004,37 +1137,45 @@ class VectorCollection:
         cur.unpersist()
         chosen = history[-1]
         target_met = chosen["recall"] >= target_recall
-        self._meta_update(
-            auto_tune={
-                "target_recall": float(target_recall),
-                "nprobe": int(nprobe),
-                "rerank_factor": int(rerank_factor),
-                "k": int(k),
-                "ladder": history,
-                "chosen": chosen,
-                # exhausted-ladder miss is recorded, never masked: the
-                # strongest rung still serves (it's the best index we
-                # have) but nothing downstream may call it "certified at
-                # target_recall" (ADVICE r06 medium)
-                "target_met": bool(target_met),
-            },
-            # serve at the knob the recall was certified at:
-            # topk_two_phase(nprobe=None) picks this up via
-            # _default_nprobe, so the out-of-box SEARCH matches the
-            # out-of-box BUILD instead of silently probing fewer lists
-            calibrated_nprobe=int(nprobe),
-            calibrated_recall=float(chosen["recall"]),
-            calibrated_at=time.time(),
-            # bind the certification to THIS build: a later knob-explicit
-            # rebuild marks it stale rather than serving a recall promise
-            # measured against an overwritten index
-            calibrated_family="ivfpq",
-            calibrated_build_id=int(self._meta().get("index_build_id", 0)),
-            # a missed target leaves the certification stale: serving and
-            # observability treat the measured recall as informational,
-            # not as a met promise
-            calibrated_stale=not target_met,
-        )
+        certify_at = time.time()
+
+        def _certify(m: dict) -> None:
+            m.update(
+                auto_tune={
+                    "target_recall": float(target_recall),
+                    "nprobe": int(nprobe),
+                    "rerank_factor": int(rerank_factor),
+                    "k": int(k),
+                    "ladder": history,
+                    "chosen": chosen,
+                    # exhausted-ladder miss is recorded, never masked:
+                    # the strongest rung still serves (it's the best
+                    # index we have) but nothing downstream may call it
+                    # "certified at target_recall" (ADVICE r06 medium)
+                    "target_met": bool(target_met),
+                },
+                # serve at the knob the recall was certified at:
+                # topk_two_phase(nprobe=None) picks this up via
+                # _default_nprobe, so the out-of-box SEARCH matches the
+                # out-of-box BUILD instead of silently probing fewer
+                # lists
+                calibrated_nprobe=int(nprobe),
+                calibrated_recall=float(chosen["recall"]),
+                calibrated_at=certify_at,
+                # bind the certification to THIS build: a later
+                # knob-explicit rebuild marks it stale rather than
+                # serving a recall promise measured against an
+                # overwritten index. build_id is read under the writer
+                # lock from the manifest this write lands in.
+                calibrated_family="ivfpq",
+                calibrated_build_id=int(m.get("index_build_id", 0)),
+                # a missed target leaves the certification stale:
+                # serving and observability treat the measured recall
+                # as informational, not as a met promise
+                calibrated_stale=not target_met,
+            )
+
+        self._meta_mutate(_certify)
         return {**chosen, "target_met": bool(target_met)}
 
     def _save_rotation(self, r_mat, subdir: str = "index_rotation") -> None:
@@ -1043,64 +1184,93 @@ class VectorCollection:
             1
         ).write.mode("overwrite").parquet(f"{self.path}/{subdir}")
 
-    def _load_rotation(self):
+    def _load_rotation(self, meta: dict | None = None):
         import numpy as np
 
         rows = (
-            self.spark.read.parquet(self._rotation_path())
+            self.spark.read.parquet(self._rotation_path(meta))
             .orderBy("i")
             .collect()
         )
         return np.asarray([r.row for r in rows], dtype=np.float64)
 
-    def _index_epoch(self) -> int:
-        return self._meta().get("index_epoch", -1)
+    def _index_epoch(self, meta: dict | None = None) -> int:
+        return (self._meta() if meta is None else meta).get("index_epoch", -1)
 
-    def _stable_centroids_path(self) -> str:
+    def _stable_centroids_path(self, meta: dict | None = None) -> str:
         """IVF-PQ (stable-generation) centroids. New builds write the
         dedicated index_centroids_stable; the manifest key keeps indexes
         written before the split readable."""
-        return f"{self.path}/" + self._meta().get(
+        return f"{self.path}/" + (self._meta() if meta is None else meta).get(
             "index_centroids_path", "index_centroids"
         )
 
-    def _stable_index_subdir(self) -> str:
+    def _stable_index_subdir(self, meta: dict | None = None) -> str:
         """Live stable-index generation dir name, resolved through the
         manifest pointer (round 11): builds write `index_stable_g<B>`
         and ONE atomic manifest write swaps readers over — queries
         resolve the path per call, so they serve the old generation
         until the swap and the new one after, never a half-written mix.
         Legacy collections (pre-generation layout) fall back to the
-        unversioned dir."""
-        return self._meta().get("index_stable_path", "index_stable")
+        unversioned dir. Pass `meta` (ADVICE r11 high) so every path a
+        query resolves comes from ONE manifest snapshot — independent
+        re-reads racing a generation swap yield a mixed view (old
+        posting lists decoded with new codebooks)."""
+        return (self._meta() if meta is None else meta).get(
+            "index_stable_path", "index_stable"
+        )
 
-    def _stable_index_path(self) -> str:
-        return f"{self.path}/{self._stable_index_subdir()}"
+    def _stable_index_path(self, meta: dict | None = None) -> str:
+        return f"{self.path}/{self._stable_index_subdir(meta)}"
 
-    def _codebooks_path(self) -> str:
-        return f"{self.path}/" + self._meta().get(
+    def _codebooks_path(self, meta: dict | None = None) -> str:
+        return f"{self.path}/" + (self._meta() if meta is None else meta).get(
             "index_codebooks_path", "index_codebooks"
         )
 
-    def _rotation_path(self) -> str:
-        return f"{self.path}/" + self._meta().get(
+    def _rotation_path(self, meta: dict | None = None) -> str:
+        return f"{self.path}/" + (self._meta() if meta is None else meta).get(
             "index_rotation_path", "index_rotation"
         )
 
-    def _gc_index_generations(self) -> None:
-        """Remove stable-index generations older than current-1. The
-        immediately superseded generation is retained one build long
-        (manifest `index_prev_keep`) for readers that resolved their
-        paths just before the swap — the same retention-lag discipline
-        compact() notes for snapshot versions. Single-writer
-        maintenance assumption, as with compact()."""
-        meta = self._meta()
+    def _gc_index_generations(self, retention_s: float | None = None) -> None:
+        """Remove superseded stable-index generations once they have
+        been superseded for `retention_s` (ADVICE r11 medium — default
+        `self.gen_retention_s`). The old keep-exactly-one-previous rule
+        broke under the auto-build ladder: it swaps+GCs once per rung
+        within seconds, so a query that resolved its paths two rungs
+        ago read an rmtree'd directory mid-serving. Time-based
+        retention makes GC safe to run on EVERY swap: a generation is
+        deletable only when no reader could still hold its paths (the
+        window any in-flight query spans is one query wall, orders of
+        magnitude under the retention). Expired entries are pruned from
+        the manifest history atomically before their dirs go."""
+        if retention_s is None:
+            retention_s = self.gen_retention_s
+        now = time.time()
+
+        def _trim(m: dict) -> None:
+            if "index_gen_history" not in m:
+                return  # legacy manifest: keep the prev_keep fallback live
+            m["index_gen_history"] = [
+                h
+                for h in m["index_gen_history"]
+                if now - float(h.get("superseded_at", now)) < retention_s
+            ]
+
+        meta = self._meta_mutate(_trim)
         keep = {
             meta.get("index_stable_path", "index_stable"),
             meta.get("index_centroids_path", "index_centroids"),
             meta.get("index_codebooks_path", "index_codebooks"),
             meta.get("index_rotation_path", "index_rotation"),
-        } | set(meta.get("index_prev_keep", []))
+        }
+        for h in meta.get("index_gen_history", []):
+            keep |= set(h.get("paths", []))
+        if "index_gen_history" not in meta:
+            # legacy manifest (pre-history layout): honor its one-build
+            # retention list rather than deleting its previous generation
+            keep |= set(meta.get("index_prev_keep", []))
         # prefixes cover the versioned layout and its legacy unversioned
         # twin; index_centroids (plain-IVF) and index_ivf are separate
         # indexes and are never touched here
@@ -1128,21 +1298,29 @@ class VectorCollection:
                 except Exception:  # noqa: BLE001
                     pass
 
-    def _index_artifacts(self) -> tuple[DataFrame, DataFrame]:
-        """(centroids, codebooks) for the CURRENT build, persisted once
-        per build so repeated searches hit executor memory instead of
+    def _index_artifacts(
+        self, meta: dict | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """(centroids, codebooks) for the build described by `meta` (one
+        manifest snapshot — ADVICE r11 high: the cache key AND the
+        artifact paths come from the SAME snapshot, so a generation swap
+        landing between a caller's index-path read and this call can't
+        pair old posting lists with new codebooks), persisted once per
+        build so repeated searches hit executor memory instead of
         re-scanning the artifact parquet. Keyed on index_build_id — a
         token build_indexes bumps on EVERY build — not index_epoch,
         which stays constant when the index is rebuilt with different
         knobs and no new ingest (stale-cache hazard). Eviction unpersists
         the stale build's frames."""
-        build_id = self._meta().get("index_build_id", self._index_epoch())
+        if meta is None:
+            meta = self._meta()
+        build_id = meta.get("index_build_id", meta.get("index_epoch", -1))
         hit = self._artifact_cache.get("idx")
         if hit is not None and hit[0] == build_id:
             return hit[1], hit[2]
         self._evict_index_artifacts()
-        cents = self.spark.read.parquet(self._stable_centroids_path()).persist()
-        codebooks = self.spark.read.parquet(self._codebooks_path()).persist()
+        cents = self.spark.read.parquet(self._stable_centroids_path(meta)).persist()
+        codebooks = self.spark.read.parquet(self._codebooks_path(meta)).persist()
         self._artifact_cache["idx"] = (build_id, cents, codebooks)
         return cents, codebooks
 
@@ -1172,10 +1350,16 @@ class VectorCollection:
         )
         from write_optimized_vector_database_spark.operators.pq import pq_encode
 
-        idx_epoch = self._index_epoch()
+        # ONE manifest snapshot for the whole fold (ADVICE r11 high):
+        # epoch bound, artifact paths, and encode knobs must describe
+        # the SAME generation — independent re-reads racing a swap
+        # would fold old posting lists with new codebooks
+        fold_meta = self._meta()
+        fold_build_id = fold_meta.get("index_build_id")
+        idx_epoch = self._index_epoch(fold_meta)
         if idx_epoch < 0:
             raise ValueError("no stable index; run build_indexes() first")
-        if self._meta().get("vacuum_epoch", -1) > idx_epoch:
+        if fold_meta.get("vacuum_epoch", -1) > idx_epoch:
             raise ValueError(
                 "changelog vacuumed past the index epoch — deletes are no "
                 "longer derivable incrementally; run build_indexes()"
@@ -1208,21 +1392,23 @@ class VectorCollection:
             touched.unpersist()
             return {"n_touched": 0, "n_reencoded": 0, "n_lists_rewritten": 0}
 
-        cents = spark.read.parquet(self._stable_centroids_path())
-        codebooks = spark.read.parquet(self._codebooks_path())
+        cents = spark.read.parquet(self._stable_centroids_path(fold_meta))
+        codebooks = spark.read.parquet(self._codebooks_path(fold_meta))
         # visible versions of touched ids (deleted ids simply absent);
         # versions newer than fold_hi stay in the delta generation
         delta_vis = self.current().filter(in_window & F.col("vector").isNotNull())
-        if self._meta().get("index_residual", False):
-            if self._meta().get("index_opq", False):
+        if fold_meta.get("index_residual", False):
+            if fold_meta.get("index_opq", False):
                 from write_optimized_vector_database_spark.operators.pq import (
                     rotate_vectors,
                 )
 
-                delta_vis = rotate_vectors(delta_vis, self._load_rotation(), "vector")
+                delta_vis = rotate_vectors(
+                    delta_vis, self._load_rotation(fold_meta), "vector"
+                )
             new_rows = ivfpq_encode(
                 delta_vis, cents, codebooks, vec_col="vector", id_col="id",
-                spill=self._meta().get("index_spill", 1),
+                spill=fold_meta.get("index_spill", 1),
             )
         else:
             assigned = assign_centroids(delta_vis, cents, vec_col="vector")
@@ -1231,7 +1417,7 @@ class VectorCollection:
             )
         new_rows = new_rows.persist()
 
-        stable_path = self._stable_index_path()
+        stable_path = self._stable_index_path(fold_meta)
         index = spark.read.parquet(stable_path)
         # affected lists: where touched ids sit now, plus where they used
         # to sit. touched is delta-sized → broadcast semi-join; the index
@@ -1333,19 +1519,34 @@ class VectorCollection:
         # advances by the fold's net entry delta (VERDICT r09 #1): folds
         # maintain freshness but never re-size, so the odometer is what
         # lets needs_rebuild() notice nlist no longer tracking n.
-        rows_now = int(
-            meta_now.get("index_rows", meta_now.get("index_rows_built", 0))
-        )
-        self._meta_update(
-            index_epoch=fold_hi,
-            index_rows=max(0, rows_now + int(n_reencoded) - int(n_removed)),
-            **corr_updates,
-        )
+        superseded = [False]
+
+        def _advance(m: dict) -> None:
+            # generation guard (ADVICE r11 medium): a background
+            # rebuild's atomic swap landing mid-fold means this fold
+            # rewrote the now-SUPERSEDED generation — its window is
+            # re-covered by the new generation's delta (epoch >
+            # build_hi), so advancing index_epoch/index_rows here would
+            # corrupt the NEW generation's bookkeeping. Skip the
+            # advance; the fold's disk work went into a retained old
+            # generation and is harmless.
+            if m.get("index_build_id") != fold_build_id:
+                superseded[0] = True
+                return
+            rows_now = int(m.get("index_rows", m.get("index_rows_built", 0)))
+            m["index_epoch"] = fold_hi
+            m["index_rows"] = max(
+                0, rows_now + int(n_reencoded) - int(n_removed)
+            )
+            m.update(corr_updates)
+
+        self._meta_mutate(_advance)
         return {
             "n_touched": n_touched,
             "n_reencoded": int(n_reencoded),
             "n_lists_rewritten": len(affected),
             "needs_rebuild": self.needs_rebuild(),
+            **({"superseded_mid_fold": True} if superseded[0] else {}),
         }
 
     def calibrate_nprobe(
@@ -1384,7 +1585,11 @@ class VectorCollection:
         return nprobe, recall
 
     def _effective_pre_nprobe(
-        self, nprobe: int, sel: float | None, stale_fraction: float = 0.2
+        self,
+        nprobe: int,
+        sel: float | None,
+        stale_fraction: float = 0.2,
+        meta: dict | None = None,
     ) -> int:
         """Escalated nprobe for PRE-filtered two-phase search: scale the
         probe count inversely with the filter's selectivity (clamped to
@@ -1407,7 +1612,8 @@ class VectorCollection:
         fallback buys recall certainty for almost nothing."""
         import math
 
-        meta = self._meta()
+        if meta is None:
+            meta = self._meta()
         nlist = int(meta.get("index_nlist", 0))
         if not nlist:
             return nprobe
@@ -1420,14 +1626,20 @@ class VectorCollection:
             return nprobe
         return min(nlist, max(nprobe, math.ceil(nprobe / sel)))
 
-    def _default_nprobe(self, fallback: int = 8, family: str | None = None) -> int:
+    def _default_nprobe(
+        self,
+        fallback: int = 8,
+        family: str | None = None,
+        meta: dict | None = None,
+    ) -> int:
         """Serving nprobe: the certified knob, guarded by the index FAMILY
         it was certified for (ADVICE r07): a collection can hold both a
         plain-IVF index (build_ivf_index) and a stable PQ index
         (build_indexes); an nprobe calibrated on one says nothing about
         the recall of the other, so a family mismatch serves `fallback`
         instead of a knob certified for a different read path."""
-        meta = self._meta()
+        if meta is None:
+            meta = self._meta()
         if meta.get("calibrated_stale"):
             return fallback
         if family is not None and meta.get("calibrated_family") != family:
@@ -1511,6 +1723,16 @@ class VectorCollection:
             topk_per_group,
         )
 
+        # ONE manifest snapshot for the whole query (ADVICE r11 high):
+        # the stable path, centroids/codebooks, rotation, epoch bound,
+        # knobs, and planner stats below all derive from THIS read. The
+        # old per-helper re-reads raced the background generation swap
+        # the engine advertises as safe: a swap landing between reads
+        # paired old posting lists with new codebooks (silently garbage
+        # ADC shortlist) or the old index with the new higher
+        # index_epoch (rows in (old_epoch, build_hi] invisible to both
+        # branches).
+        meta = self._meta()
         # escalation policy (ADVICE r08): an EXPLICIT nprobe is a pinned
         # knob (latency-budgeted or benchmarked) and stays authoritative
         # by default — escalation only applies when the knob was
@@ -1518,11 +1740,12 @@ class VectorCollection:
         if escalate_nprobe is None:
             escalate_nprobe = nprobe is None
         if nprobe is None:
-            nprobe = self._default_nprobe(family="ivfpq")  # certified two-phase knob
+            # certified two-phase knob
+            nprobe = self._default_nprobe(family="ivfpq", meta=meta)
         spark = self.spark
-        index = spark.read.parquet(self._stable_index_path())
-        cents, codebooks = self._index_artifacts()
-        idx_epoch = self._index_epoch()
+        index = spark.read.parquet(self._stable_index_path(meta))
+        cents, codebooks = self._index_artifacts(meta)
+        idx_epoch = self._index_epoch(meta)
 
         # per-branch candidate budget: k×rerank_factor clamped so the
         # stable∪delta union stays within max_candidates (config.h:129)
@@ -1540,7 +1763,7 @@ class VectorCollection:
                 # explicit pre: selectivity is only wanted for nprobe
                 # escalation — read it from manifest stats if present,
                 # never measure (two count jobs) just to escalate
-                stats = self._meta().get("stats")
+                stats = meta.get("stats")
                 sel = (
                     self._estimate_selectivity(
                         stats, tenant, namespace, tags_any, sample_p
@@ -1550,7 +1773,7 @@ class VectorCollection:
                 )
             else:
                 planned, sel = self.plan_filtered_strategy(
-                    tenant, namespace, tags_any, sample_p
+                    tenant, namespace, tags_any, sample_p, meta=meta
                 )
                 if filter_strategy == "auto":
                     filter_strategy = planned
@@ -1578,12 +1801,12 @@ class VectorCollection:
                 # analyze odometer) escalate pessimistically to nlist —
                 # see _effective_pre_nprobe.
                 if escalate_nprobe:
-                    nprobe = self._effective_pre_nprobe(nprobe, sel)
+                    nprobe = self._effective_pre_nprobe(nprobe, sel, meta=meta)
                 elif sel is not None:
                     # ADVICE r09: an explicitly pinned nprobe silently
                     # opts out of the r08 selectivity escalation — warn
                     # once (per call site) when the pin is costing it
-                    would_be = self._effective_pre_nprobe(nprobe, sel)
+                    would_be = self._effective_pre_nprobe(nprobe, sel, meta=meta)
                     if would_be > nprobe:
                         import warnings
 
@@ -1617,7 +1840,7 @@ class VectorCollection:
                         QueryLimits,
                     )
 
-                    stats_n = int((self._meta().get("stats") or {}).get("n", 0))
+                    stats_n = int((meta.get("stats") or {}).get("n", 0))
                     survivors = sel * stats_n
                     cap = QueryLimits().max_candidates // 2
                     if stats_n and survivors <= cap:
@@ -1628,7 +1851,9 @@ class VectorCollection:
                 # under a geometry-correlated filter every probe spent
                 # on a provably-empty list is a probe the escalation
                 # paid for nothing (see _corr_probe_support)
-                support = self._corr_probe_support(tenant, namespace, tags_any)
+                support = self._corr_probe_support(
+                    tenant, namespace, tags_any, meta=meta
+                )
                 if support is not None:
                     cents = cents.filter(
                         F.col("centroid_id").isin([int(c) for c in support])
@@ -1651,7 +1876,6 @@ class VectorCollection:
         # build_indexes default) score codes of x − centroid with the
         # per-list offset; raw-code indexes use the plain PQ LUT.
         adc_metric = "ip" if self.metric == "cosine" else self.metric
-        meta = self._meta()
         if meta.get("index_residual", False):
             from write_optimized_vector_database_spark.operators.ivfpq import (
                 ivfpq_adc_topk,
@@ -1668,7 +1892,7 @@ class VectorCollection:
                 )
 
                 adc_queries = rotate_vectors(
-                    queries, self._load_rotation(), "query_vec"
+                    queries, self._load_rotation(meta), "query_vec"
                 )
             stable_cand = ivfpq_adc_topk(
                 index, adc_queries, cents, codebooks, k=budget, nprobe=nprobe,
@@ -2145,6 +2369,7 @@ class VectorCollection:
         namespace: str | None = None,
         tags_any: list[int | str] | None = None,
         index_label: str = "stable",
+        meta: dict | None = None,
     ) -> list[int] | None:
         """Centroid ids that can contain rows satisfying the filters —
         the PRE probe-support prune (round 9). The build-time histograms
@@ -2162,7 +2387,8 @@ class VectorCollection:
         constrained value is outside the heavy-hitter cap. Rows ingested
         after the build are unaffected: the delta branch scans them
         exactly regardless of probe choice."""
-        meta = self._meta()
+        if meta is None:
+            meta = self._meta()
         corr = meta.get("corr_stats")
         if not corr or not meta.get("corr_stats_fresh", False):
             return None
@@ -2200,6 +2426,7 @@ class VectorCollection:
         tenant: str | None = None,
         namespace: str | None = None,
         tags_any: list[int | str] | None = None,
+        meta: dict | None = None,
     ) -> tuple[float, float] | None:
         """(L1 divergence, sampling-noise floor) for the most divergent
         constrained filter value's centroid distribution vs the global
@@ -2234,7 +2461,7 @@ class VectorCollection:
         closed for every heavy-hitter value."""
         import math
 
-        corr = self._meta().get("corr_stats")
+        corr = (self._meta() if meta is None else meta).get("corr_stats")
         if not corr:
             return None
         g = corr.get("global") or {}
@@ -2275,6 +2502,7 @@ class VectorCollection:
         use_stats: bool = True,
         stale_fraction: float = 0.2,
         corr_threshold: float = 0.25,
+        meta: dict | None = None,
     ) -> tuple[str, float]:
         """Pick pre- vs post-filtering for a filtered ANN query from the
         filter's selectivity — the planner decision every filtered-search
@@ -2326,7 +2554,8 @@ class VectorCollection:
         with no recall cliff. Independent filters (hash-assigned
         tenants) sit at the noise floor and keep the cheap POST plan."""
         if use_stats:
-            meta = self._meta()
+            if meta is None:
+                meta = self._meta()
             stats = meta.get("stats")
             if stats:
                 sel = self._estimate_selectivity(
@@ -2337,7 +2566,7 @@ class VectorCollection:
                     if appended > stale_fraction * max(int(stats.get("n", 0)), 1):
                         return "pre", sel
                     if sel >= pre_filter_threshold and self._corr_forces_pre(
-                        tenant, namespace, tags_any, corr_threshold
+                        tenant, namespace, tags_any, corr_threshold, meta=meta
                     ):
                         return "pre", sel
                     return ("pre" if sel < pre_filter_threshold else "post"), sel
@@ -2348,7 +2577,7 @@ class VectorCollection:
         ).count()
         sel = kept / total if total else 1.0
         if sel >= pre_filter_threshold and self._corr_forces_pre(
-            tenant, namespace, tags_any, corr_threshold
+            tenant, namespace, tags_any, corr_threshold, meta=meta
         ):
             return "pre", sel
         return ("pre" if sel < pre_filter_threshold else "post"), sel
@@ -2359,8 +2588,9 @@ class VectorCollection:
         namespace: str | None,
         tags_any: list[int | str] | None,
         corr_threshold: float,
+        meta: dict | None = None,
     ) -> bool:
-        div = self._correlation_divergence(tenant, namespace, tags_any)
+        div = self._correlation_divergence(tenant, namespace, tags_any, meta=meta)
         return div is not None and div[0] > max(corr_threshold, div[1])
 
     def topk_filtered(
@@ -2455,8 +2685,9 @@ class VectorCollection:
         analog): which build generation is live, the quantization knobs
         it was built with, and whether the serving knob still carries a
         VALID recall certification (a knob-explicit rebuild marks it
-        stale). Pure manifest read — zero Spark jobs, safe to call per
-        request."""
+        stale). ONE manifest read — zero Spark jobs, safe to call per
+        request; every derived field below comes from the same snapshot
+        (ADVICE r11 high)."""
         meta = self._meta()
         return {
             "index_epoch": meta.get("index_epoch"),
@@ -2466,7 +2697,7 @@ class VectorCollection:
             "opq": meta.get("index_opq"),
             "centroids_path": meta.get("index_centroids_path", "index_centroids"),
             "auto_tune": meta.get("auto_tune"),
-            "serving_nprobe": self._default_nprobe(),
+            "serving_nprobe": self._default_nprobe(meta=meta),
             "certified": bool(
                 meta.get("calibrated_nprobe") is not None
                 and not meta.get("calibrated_stale")
@@ -2498,16 +2729,18 @@ class VectorCollection:
                 if meta.get("index_nlist") and meta.get("index_rows_built")
                 else None
             ),
-            "needs_rebuild": self.needs_rebuild(),
-            "recommended_nlist": self.recommended_nlist(),
+            "needs_rebuild": self.needs_rebuild(meta=meta),
+            "recommended_nlist": self.recommended_nlist(meta=meta),
             # generation observability (round 11): which dirs serve and
-            # which superseded generation is still retained for readers
-            # that resolved just before the swap
+            # which superseded generations are still retained for
+            # readers that resolved before a swap (time-based retention
+            # as of round 12 — see _gc_index_generations)
             "index_path": meta.get("index_stable_path", "index_stable"),
             "index_prev_keep": meta.get("index_prev_keep", []),
+            "index_gen_history": meta.get("index_gen_history", []),
         }
 
-    def needs_rebuild(self, alpha: float = 4.0) -> bool:
+    def needs_rebuild(self, alpha: float = 4.0, meta: dict | None = None) -> bool:
         """True when the stable index has outgrown its build geometry
         (VERDICT r09 #1): refresh folds keep the index FRESH but never
         re-SIZE it — nlist stays fixed while n grows, and ADC cost over
@@ -2517,21 +2750,23 @@ class VectorCollection:
         (config.h:79-81); a batch engine should instead WATCH the ratio:
         rebuild when rows-per-list exceeds `alpha`× what the index was
         built at. Pure manifest read — zero Spark jobs, safe per fold."""
-        meta = self._meta()
+        if meta is None:
+            meta = self._meta()
         built = int(meta.get("index_rows_built", 0))
         if not built:
             return False  # pre-odometer index (or never built)
         rows = int(meta.get("index_rows", built))
         return rows > alpha * built
 
-    def recommended_nlist(self) -> int | None:
+    def recommended_nlist(self, meta: dict | None = None) -> int | None:
         """Re-size target for the next build: scale nlist with √n from
         the built point (the classic IVF balance — per-list scan cost
         and probe count grow together), rounded up. None when the
         odometer has no baseline."""
         import math
 
-        meta = self._meta()
+        if meta is None:
+            meta = self._meta()
         built = int(meta.get("index_rows_built", 0))
         nlist = int(meta.get("index_nlist", 0))
         if not built or not nlist:
@@ -2561,9 +2796,11 @@ class VectorCollection:
         so the deployment either serves certified again or records the
         miss honestly (target_met=False stays stale). Opt out with
         recertify=False."""
-        if not self.needs_rebuild(alpha):
-            return None
+        # one manifest snapshot drives the whole decision (ADVICE r11
+        # high): odometer check, deployed knobs, and certificate state
         meta = self._meta()
+        if not self.needs_rebuild(alpha, meta=meta):
+            return None
         at = meta.get("auto_tune") or {}
         had_cert = (
             meta.get("calibrated_family") == "ivfpq"
@@ -2572,7 +2809,8 @@ class VectorCollection:
             and at.get("target_recall") is not None
         )
         kwargs = dict(
-            nlist=self.recommended_nlist() or int(meta.get("index_nlist", 64)),
+            nlist=self.recommended_nlist(meta=meta)
+            or int(meta.get("index_nlist", 64)),
             m=int(meta.get("index_m", 8)),
             nbits=int(meta.get("index_nbits", 8)),
             residual=bool(meta.get("index_residual", True)),
@@ -2590,35 +2828,53 @@ class VectorCollection:
                 k=k, nprobe=nprobe, rerank_factor=rf
             )
             if r is not None and r >= tgt:
-                self._meta_update(
-                    calibrated_stale=False,
-                    calibrated_recall=float(r),
-                    calibrated_at=time.time(),
-                    calibrated_build_id=int(
-                        self._meta().get("index_build_id", 0)
-                    ),
-                    auto_tune={
-                        **at,
-                        "target_met": True,
-                        "recert": {
-                            "recall": round(float(r), 4),
-                            "build_id": int(
-                                self._meta().get("index_build_id", 0)
-                            ),
-                            "after": "auto_resize",
+                recert_at = time.time()
+
+                def _recert(m: dict) -> None:
+                    # build_id read under the writer lock, from the same
+                    # manifest this write lands in
+                    bid = int(m.get("index_build_id", 0))
+                    m.update(
+                        calibrated_stale=False,
+                        calibrated_recall=float(r),
+                        calibrated_at=recert_at,
+                        calibrated_build_id=bid,
+                        auto_tune={
+                            **at,
+                            "target_met": True,
+                            "recert": {
+                                "recall": round(float(r), 4),
+                                "build_id": bid,
+                                "after": "auto_resize",
+                            },
                         },
-                    },
-                )
+                    )
+
+                self._meta_mutate(_recert)
             else:
                 # the certified knobs don't hold at the new geometry:
                 # walk the ladder at the resized nlist — certifies at
-                # the first passing rung or records the miss honestly
+                # the first passing rung or records the miss honestly.
+                # The DEPLOYED geometry is the ladder's floor (ADVICE
+                # r11 low): an OPQ/spill deployment that misses the
+                # probe must not be silently re-certified on a weaker
+                # index family than it was deployed with.
                 self.build_indexes(
                     nlist=int(kwargs["nlist"]),
                     nbits=int(kwargs["nbits"]),
                     target_recall=tgt,
                     target_nprobe=nprobe,
                     target_rerank_factor=rf,
+                    _start_config={
+                        "m": int(kwargs["m"]),
+                        "spill": int(kwargs["spill"]),
+                        "use_opq": bool(kwargs["use_opq"]),
+                    },
+                    **{
+                        key: build_kwargs[key]
+                        for key in ("sample_fraction", "seed")
+                        if key in build_kwargs
+                    },
                 )
         return self.describe_index()
 

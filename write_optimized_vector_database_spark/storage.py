@@ -109,6 +109,26 @@ class LocalStorage:
                 removed += 1
         return removed
 
+    def lock_acquire(self, path: str):
+        """Advisory exclusive lock for manifest writers (ADVICE r11
+        medium): flock on a sidecar lock file serializes read-modify-
+        write of the manifest across PROCESSES on the same host (e.g.
+        a bench process beside a pytest run on one dev box). The
+        in-process thread lock in VectorCollection wraps this, so only
+        the outermost acquisition pays the syscall. Returns an opaque
+        token for lock_release."""
+        import fcntl
+
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        return fd
+
+    def lock_release(self, token) -> None:
+        import fcntl
+
+        fcntl.flock(token, fcntl.LOCK_UN)
+        os.close(token)
+
 
 class HadoopStorage:
     """Hadoop FileSystem API via the Spark session's JVM — the 100 TB
@@ -228,6 +248,19 @@ class HadoopStorage:
                 self._fs.delete(status.getPath(), True)
                 removed += 1
         return removed
+
+    def lock_acquire(self, path: str):
+        """No cross-process lease on remote stores: HDFS/S3 offer no
+        portable flock analog, and manifest WRITERS are driver-side by
+        contract (a collection has one maintenance owner — the same
+        single-writer discipline table formats without a lock service
+        assume). VectorCollection's in-process thread lock still
+        serializes every writer within that driver; this hook exists so
+        the local backend can additionally serialize across processes."""
+        return None
+
+    def lock_release(self, token) -> None:
+        pass
 
 
 def storage_for(spark, path: str):
