@@ -855,44 +855,56 @@ def main() -> None:
                     "30" if is_full_sf else "6",
                 )
             )
-            # in-loop auto_resize (VERDICT r10 #1): the serving loop no
-            # longer just RECOMMENDS on the growth odometer — when a
-            # fold flips needs_rebuild, the loop rebuilds at the
-            # √n-scaled nlist via the generation-swap path (appends
-            # landing mid-rebuild stay in the new generation's delta;
-            # gated by tests/test_incremental_index.py) — and the
-            # rebuild runs in a BACKGROUND THREAD while this loop keeps
-            # serving queries against the OLD generation (readers
-            # resolve index paths per call from the manifest; the swap
-            # is one atomic write). Folds are paused while the rebuild
-            # runs: mutators are serialized on one maintenance
-            # scheduler (the manifest is read-modify-write), readers
-            # never are. The witness measures the ADC phase right
-            # before and right after the swap under the SAME live
-            # write load, plus the queries served DURING the rebuild.
-            import threading
+            # in-loop auto_resize (VERDICT r10 #1 → r11 #1): when a fold
+            # flips needs_rebuild, the loop rebuilds at the √n-scaled
+            # nlist via the generation-swap path while it KEEPS SERVING
+            # — and as of round 12 the thread discipline lives in the
+            # ENGINE (maintenance.IndexMaintainer), not in this harness:
+            # the maintainer runs the rebuild on a background worker in
+            # the `maintenance` FAIR pool (weight 1 vs serving's 8 —
+            # bounding the ~2x rebuild-window p50 contention the r11 run
+            # measured with no isolation), serializes mutators (folds
+            # pause for the rebuild), and never blocks readers (index
+            # paths resolve per call from one manifest snapshot; the
+            # swap is one atomic write). The witness measures the ADC
+            # phase right before and right after the swap under the
+            # SAME live write load, plus the queries served DURING the
+            # rebuild.
+            from write_optimized_vector_database_spark.maintenance import (
+                IndexMaintainer,
+            )
 
             resize_alpha = float(
                 os.environ.get("SPARK_GRAFT_BENCH_RESIZE_ALPHA", "4.0")
             )
             resize_event: dict | None = None
-            resize_thread: threading.Thread | None = None
             resize_ctx: dict = {}
-            resize_err: list[str] = []
 
-            def _do_resize():
-                try:
-                    coll.auto_resize(alpha=resize_alpha)
-                except Exception as e:  # noqa: BLE001
-                    resize_err.append(_errmsg(e))
+            def _pre_resize_bracket():
+                # maintainer hook: runs AFTER the fold that tripped the
+                # odometer, BEFORE the rebuild launches — the pre-swap
+                # probes measure the still-serving old generation with
+                # no rebuild contention
+                resize_ctx["d_pre"] = coll.describe_index()
+                resize_ctx["nlist_before"] = int(
+                    coll._meta().get("index_nlist", 0)
+                )
+                resize_ctx["adc_pre"] = _adc_probe_ms()
+
+            maint = IndexMaintainer(
+                coll, alpha=resize_alpha, on_before_resize=_pre_resize_bracket
+            )
 
             def _adc_probe_ms() -> float:
                 from write_optimized_vector_database_spark.operators.ivfpq import (
                     ivfpq_adc_topk,
                 )
 
-                idx = spark.read.parquet(coll._stable_index_path())
-                cents_p, books_p = coll._index_artifacts()
+                # one manifest snapshot for index + artifacts (ADVICE
+                # r11 high — this probe races the background swap too)
+                m_ = coll._meta()
+                idx = spark.read.parquet(coll._stable_index_path(m_))
+                cents_p, books_p = coll._index_artifacts(m_)
                 tp0 = time.time()
                 ivfpq_adc_topk(
                     idx, qdf, cents_p, books_p, k=40, nprobe=8,
@@ -920,32 +932,34 @@ def main() -> None:
                     q_wall = time.time() - t1
                     lat.append(q_wall)
                     assert n > 0
-                    if resize_thread is not None and resize_thread.is_alive():
-                        # served concurrently with the rebuild — against
-                        # the old generation until the swap lands
-                        resize_ctx.setdefault("during_lat", []).append(q_wall)
                     # serving-wrapper discipline (ADVICE r07): the LUT
                     # broadcast is per-query; release it eagerly after
                     # materialization so sustained serving stays
                     # memory-flat between driver GCs
                     release_query_broadcasts()
-                    # rebuild completion: join, probe the NEW generation
-                    # under the same load, record the witness
+                    # rebuild completion: probe the NEW generation under
+                    # the same load, record the witness. The rebuild-
+                    # window samples are tracked BY INDEX (lat_lo..
+                    # lat_hi), not by float value membership (ADVICE r11
+                    # low: a steady sample equal to a rebuild-window
+                    # sample was silently dropped from the steady
+                    # percentiles).
                     if (
-                        resize_thread is not None
-                        and not resize_thread.is_alive()
+                        "lat_lo" in resize_ctx
+                        and not maint.is_rebuilding()
                         and resize_event is None
                     ):
-                        resize_thread.join()
+                        ev = maint.join()
+                        resize_ctx["lat_hi"] = len(lat)
                         adc_post = _adc_probe_ms()
-                        during = resize_ctx.get("during_lat", [])
+                        during = lat[resize_ctx["lat_lo"]:resize_ctx["lat_hi"]]
                         resize_event = {
                             "fired": True,
                             "concurrent": True,
-                            "at_s": round(resize_ctx["t_start"] - t0, 1),
-                            "wall_s": round(
-                                resize_ctx["t_end"][0] - resize_ctx["t_start"], 1
-                            ),
+                            "engine_api": "maintenance.IndexMaintainer",
+                            "scheduler_pool": ev["pool"],
+                            "at_s": round(ev["t_start"] - t0, 1),
+                            "wall_s": round(ev["t_end"] - ev["t_start"], 1),
                             "nlist_before": resize_ctx["nlist_before"],
                             "recommended_nlist": resize_ctx["d_pre"][
                                 "recommended_nlist"
@@ -963,10 +977,11 @@ def main() -> None:
                             "query_p50_during_rebuild_ms": round(
                                 _pctl(sorted(x * 1000 for x in during), 0.5), 1
                             ) if during else None,
-                            "error": resize_err[0] if resize_err else None,
+                            "error": ev["error"],
                         }
                         print(
-                            f"in-loop auto_resize (concurrent): rows "
+                            f"in-loop auto_resize (concurrent, pool="
+                            f"{ev['pool']}): rows "
                             f"{resize_event['rows_at_resize']} wall "
                             f"{resize_event['wall_s']} s nlist -> "
                             f"{resize_event['nlist_after']} ADC "
@@ -977,14 +992,25 @@ def main() -> None:
                         )
                         spark.sparkContext._jvm.System.gc()
                     if time.time() - last_maint > maint_every_s:
-                        if resize_thread is not None and resize_thread.is_alive():
-                            # mutators are serialized: no folds while the
-                            # rebuild owns the manifest; queries continue
+                        if maint.is_rebuilding():
+                            # mutators are serialized (engine-side now):
+                            # no folds beside the rebuild; queries go on
                             last_maint = time.time()
                             continue
+                        # the maintainer's on_before_resize hook fills
+                        # the pre-swap bracket (d_pre/nlist_before/
+                        # adc_pre) AFTER the fold that trips the
+                        # odometer and BEFORE the rebuild launches, so
+                        # the witness's before/after ADC walls bound
+                        # the actual swap with no rebuild contention
                         tm = time.time()
-                        coll.refresh_indexes()
-                        maint_walls.append(time.time() - tm)
+                        st = maint.tick()
+                        if st.get("folded"):
+                            maint_walls.append(time.time() - tm)
+                        if st.get("resize_launched") and (
+                            "lat_lo" not in resize_ctx
+                        ):
+                            resize_ctx["lat_lo"] = len(lat)
                         # same debris discipline as the storage section:
                         # each fold leaves localCheckpoint blocks and
                         # finished-stage state that only a DRIVER GC lets
@@ -993,31 +1019,6 @@ def main() -> None:
                         # allocation stalls (observed: gateway death
                         # mid-serving on the first cadence run)
                         spark.sparkContext._jvm.System.gc()
-                        # act on the odometer ONCE per window: launch the
-                        # rebuild at the recommended geometry BESIDE the
-                        # live stream and the serving loop, bracketed by
-                        # ADC probes under identical load
-                        if (
-                            resize_event is None
-                            and resize_thread is None
-                            and coll.needs_rebuild(resize_alpha)
-                        ):
-                            resize_ctx["d_pre"] = coll.describe_index()
-                            resize_ctx["nlist_before"] = int(
-                                coll._meta().get("index_nlist", 0)
-                            )
-                            resize_ctx["adc_pre"] = _adc_probe_ms()
-                            resize_ctx["t_start"] = time.time()
-                            resize_ctx["t_end"] = []
-
-                            def _resize_and_stamp():
-                                _do_resize()
-                                resize_ctx["t_end"].append(time.time())
-
-                            resize_thread = threading.Thread(
-                                target=_resize_and_stamp, daemon=True
-                            )
-                            resize_thread.start()
                         last_maint = time.time()
                 # serving wall ends when the latency samples end (ADVICE
                 # r08): the phase probes and RYW polling below happen
@@ -1026,16 +1027,19 @@ def main() -> None:
                 # rebuild still in flight when the window closed: join
                 # before the phase probes so they measure a settled
                 # generation, and record the witness
-                if resize_thread is not None and resize_event is None:
-                    resize_thread.join(timeout=600)
-                    during = resize_ctx.get("during_lat", [])
+                if "lat_lo" in resize_ctx and resize_event is None:
+                    ev = maint.join(timeout=600)
+                    resize_ctx["lat_hi"] = len(lat)
+                    during = lat[resize_ctx["lat_lo"]:resize_ctx["lat_hi"]]
                     resize_event = {
                         "fired": True,
                         "concurrent": True,
-                        "at_s": round(resize_ctx["t_start"] - t0, 1),
+                        "engine_api": "maintenance.IndexMaintainer",
+                        "scheduler_pool": ev["pool"],
+                        "at_s": round(ev["t_start"] - t0, 1),
                         "wall_s": round(
-                            (resize_ctx["t_end"][0] if resize_ctx["t_end"]
-                             else time.time()) - resize_ctx["t_start"], 1
+                            (ev["t_end"] if ev["t_end"] is not None
+                             else time.time()) - ev["t_start"], 1
                         ),
                         "nlist_before": resize_ctx["nlist_before"],
                         "recommended_nlist": resize_ctx["d_pre"][
@@ -1053,7 +1057,7 @@ def main() -> None:
                             _pctl(sorted(x * 1000 for x in during), 0.5), 1
                         ) if during else None,
                         "joined_after_window": True,
-                        "error": resize_err[0] if resize_err else None,
+                        "error": ev["error"],
                     }
                 # per-phase walls under live write load: stable ADC
                 # branch and delta scan branch run standalone once each;
@@ -1116,10 +1120,14 @@ def main() -> None:
             # include rebuild-contended samples (serving continues
             # through the resize by design) — report the non-overlapped
             # samples separately so steady serving and rebuild-window
-            # serving are each adjudicable
-            during_set = set(resize_ctx.get("during_lat", []))
+            # serving are each adjudicable. Split BY INDEX (ADVICE r11
+            # low): the old float-value membership filter silently
+            # dropped any steady sample whose wall-clock happened to
+            # equal a rebuild-window sample.
+            lo = resize_ctx.get("lat_lo", len(lat))
+            hi = resize_ctx.get("lat_hi", lo)
             steady_ms = sorted(
-                x * 1000.0 for x in lat if x not in during_set
+                x * 1000.0 for x in (lat[:lo] + lat[hi:])
             )
             extra_metrics["concurrent_serving"] = {
                 "offered_rows_per_s": rate,

@@ -1,0 +1,341 @@
+"""Round-12 concurrency gates: single-snapshot manifest reads in the
+query path (ADVICE r11 high), locked manifest writers (ADVICE r11
+medium), and the engine-level IndexMaintainer that promotes the r11
+bench harness's serving-during-rebuild thread discipline into the
+engine (VERDICT r11 #1)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from write_optimized_vector_database_spark.collection import VectorCollection
+from write_optimized_vector_database_spark.maintenance import (
+    IndexMaintainer,
+    fair_scheduler_conf,
+)
+
+SCHEMA = (
+    "op string, id long, tenant string, namespace string, "
+    "vector array<float>, tags array<int>, epoch long"
+)
+
+
+def _vops(ids, epoch0=0, dim=8):
+    import hashlib
+
+    out = []
+    for i in ids:
+        h = hashlib.sha256(str(i).encode()).digest()
+        vec = [(h[j] / 255.0) * 2 - 1 for j in range(dim)]
+        out.append(("INSERT", i, f"t{i % 2}", "ns0", vec, [i % 4], epoch0 + i))
+    return out
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    c = VectorCollection(spark, str(tmp_path / "mcoll"), metric="ip")
+    c.ingest(spark.createDataFrame(_vops(range(200)), SCHEMA))
+    c.compact()
+    c.build_indexes(nlist=8, m=4, nbits=4)
+    return c
+
+
+def _queries(spark, coll, n=4, k=10):
+    rows = (
+        coll.current()
+        .filter(F.col("vector").isNotNull())
+        .orderBy("id")
+        .limit(n)
+        .select(F.col("id").alias("query_id"), F.col("vector").alias("query_vec"))
+        .collect()
+    )
+    return spark.createDataFrame(rows, "query_id long, query_vec array<double>")
+
+
+def _grow(spark, coll, rounds=4, fold=False):
+    for gen in range(rounds):
+        base = 1_000 * (gen + 1)
+        coll.ingest(
+            spark.createDataFrame(
+                _vops(range(base, base + 200), epoch0=100_000 * (gen + 1)),
+                SCHEMA,
+            )
+        )
+        if fold:
+            coll.refresh_indexes()  # advance the growth odometer
+
+
+class TestSingleSnapshotQueryPath:
+    """ADVICE r11 high: topk_two_phase must derive EVERY generation
+    artifact — stable path, centroids, codebooks, rotation, epoch,
+    knobs, planner stats — from ONE manifest read. A generation swap
+    landing between independent re-reads yielded a mixed view (old
+    posting lists decoded with new codebooks → silently garbage ADC
+    shortlist, or old index + new epoch → rows invisible to both
+    branches)."""
+
+    def test_query_consistent_under_manifest_tampering(self, spark, coll):
+        q = _queries(spark, coll)
+        want = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in coll.topk_two_phase(q, k=5, nprobe=8).collect()
+        )
+        # poison every manifest read AFTER the first: if the query path
+        # re-reads the manifest anywhere past its initial snapshot, it
+        # resolves generation paths that do not exist and dies — the
+        # exact shape of a swap racing the query, made deterministic
+        real_meta = coll._meta
+        state = {"calls": 0}
+
+        def tampering_meta():
+            state["calls"] += 1
+            m = real_meta()
+            if state["calls"] > 1:
+                m = dict(m)
+                m["index_stable_path"] = "index_stable_gBOGUS"
+                m["index_centroids_path"] = "index_centroids_stable_gBOGUS"
+                m["index_codebooks_path"] = "index_codebooks_gBOGUS"
+                m["index_rotation_path"] = "index_rotation_gBOGUS"
+                m["index_epoch"] = 10**15
+                m["index_build_id"] = 999_999
+            return m
+
+        coll._meta = tampering_meta
+        try:
+            got = sorted(
+                (r.query_id, r.vec_id, r.rank)
+                for r in coll.topk_two_phase(q, k=5, nprobe=8).collect()
+            )
+        finally:
+            coll._meta = real_meta
+            coll._evict_index_artifacts()
+        assert got == want
+        # and the path really did take exactly one manifest snapshot
+        assert state["calls"] == 1
+
+    def test_filtered_query_consistent_under_manifest_tampering(
+        self, spark, coll
+    ):
+        # the filtered path reads MORE manifest state (planner stats,
+        # correlation histograms, escalation knobs) — same contract
+        coll.analyze()
+        q = _queries(spark, coll)
+        want = sorted(
+            (r.query_id, r.vec_id)
+            for r in coll.topk_two_phase(
+                q, k=5, nprobe=8, tenant="t0"
+            ).collect()
+        )
+        real_meta = coll._meta
+        state = {"calls": 0}
+
+        def tampering_meta():
+            state["calls"] += 1
+            m = real_meta()
+            if state["calls"] > 1:
+                m = dict(m)
+                m["index_stable_path"] = "index_stable_gBOGUS"
+                m["index_codebooks_path"] = "index_codebooks_gBOGUS"
+            return m
+
+        coll._meta = tampering_meta
+        try:
+            got = sorted(
+                (r.query_id, r.vec_id)
+                for r in coll.topk_two_phase(
+                    q, k=5, nprobe=8, tenant="t0"
+                ).collect()
+            )
+        finally:
+            coll._meta = real_meta
+            coll._evict_index_artifacts()
+        assert got == want
+        assert state["calls"] == 1
+
+
+class TestManifestWriterLock:
+    """ADVICE r11 medium: _meta_update was an unlocked read-modify-
+    write — concurrent writers (ingest odometer ticks beside a
+    background swap) lost updates. _meta_mutate runs the whole RMW
+    under the per-path writer lock."""
+
+    def test_concurrent_mutations_lose_nothing(self, spark, tmp_path):
+        c = VectorCollection(spark, str(tmp_path / "lk"), metric="ip")
+        n_threads, n_each = 8, 40
+
+        def bump():
+            for _ in range(n_each):
+                c._meta_mutate(
+                    lambda m: m.__setitem__("ctr", m.get("ctr", 0) + 1)
+                )
+
+        ts = [threading.Thread(target=bump) for _ in range(n_threads)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        meta = c._meta()
+        assert meta["ctr"] == n_threads * n_each
+        assert meta["meta_version"] >= n_threads * n_each
+
+    def test_fold_superseded_mid_swap_skips_advance(self, spark, coll):
+        """Generation guard: a fold whose build generation was swapped
+        out mid-fold must NOT advance index_epoch/index_rows onto the
+        new generation's bookkeeping — its window is re-covered by the
+        new generation's delta."""
+        coll.ingest(
+            spark.createDataFrame(_vops(range(300, 320), epoch0=50_000), SCHEMA)
+        )
+        # simulate the race deterministically: a rebuild swap lands
+        # right after the fold captured its manifest snapshot
+        real_fold_corr = coll._fold_correlation_stats
+        swapped = {"done": False}
+
+        def swap_then_fold(*a, **kw):
+            if not swapped["done"]:
+                swapped["done"] = True
+                coll.build_indexes(nlist=8, m=4, nbits=4)
+            return real_fold_corr(*a, **kw)
+
+        coll._fold_correlation_stats = swap_then_fold
+        try:
+            out = coll.refresh_indexes()
+        finally:
+            coll._fold_correlation_stats = real_fold_corr
+        assert out.get("superseded_mid_fold") is True
+        meta = coll._meta()
+        # the new build's swap owns the epoch: it covered everything
+        # (build bound read max epoch AFTER the ingest above), and the
+        # superseded fold didn't drag it back or skew index_rows
+        assert meta["index_epoch"] >= 50_000
+        assert meta["index_rows"] == meta["index_rows_built"]
+
+
+class TestIndexMaintainer:
+    """VERDICT r11 #1: the serving-during-rebuild orchestration is an
+    engine API now — background resize, mutator serialization, pool
+    isolation — not a bench-harness pattern each deployment rederives."""
+
+    def test_background_resize_while_serving(self, spark, coll):
+        q = _queries(spark, coll)
+        maint = IndexMaintainer(coll, alpha=4.0)
+        _grow(spark, coll)
+        launched = False
+        for _ in range(6):
+            st = maint.tick()
+            if st.get("resize_launched"):
+                launched = True
+                break
+        assert launched, "odometer never tripped a background resize"
+        # serve queries WHILE the rebuild runs (old generation until the
+        # swap, new after — every answer must be well-formed)
+        served = 0
+        while maint.is_rebuilding() and served < 20:
+            n = coll.topk_two_phase(q, k=5, nprobe=8).count()
+            assert n == q.count() * 5
+            served += 1
+        ev = maint.join(timeout=600)
+        assert ev is not None and ev["error"] is None
+        assert ev["t_end"] is not None
+        # rebuild jobs ran in the maintenance scheduler pool
+        assert ev["pool"] == "maintenance"
+        # pool assignment never leaked into this (caller) thread
+        assert (
+            spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+        )
+        d = coll.describe_index()
+        assert d["needs_rebuild"] is False  # odometer reset by the swap
+        assert int(coll._meta()["index_nlist"]) > 8  # √n-scaled
+        # post-swap serving: RYW over everything grown mid-lifecycle
+        assert coll.topk_two_phase(q, k=5, nprobe=8).count() == q.count() * 5
+
+    def test_tick_skips_fold_while_rebuilding(self, spark, coll):
+        maint = IndexMaintainer(coll, alpha=4.0)
+        _grow(spark, coll, rounds=4)
+        st = maint.tick()
+        if not st.get("resize_launched"):
+            pytest.skip("growth did not trip the odometer in one tick")
+        if maint.is_rebuilding():
+            st2 = maint.tick()
+            # mutators serialize: no fold beside the in-flight rebuild
+            assert st2 == {"folded": False, "rebuilding": True}
+        maint.join(timeout=600)
+        assert maint.last_resize["error"] is None
+
+    def test_no_double_launch(self, spark, coll):
+        maint = IndexMaintainer(coll, alpha=4.0)
+        _grow(spark, coll, rounds=4)
+        maint.tick()
+        if maint.is_rebuilding():
+            assert maint.resize_async() is False
+        maint.join(timeout=600)
+
+    def test_fold_only_when_alpha_none(self, spark, coll):
+        maint = IndexMaintainer(coll, alpha=None)
+        _grow(spark, coll, rounds=4)
+        st = maint.tick()
+        assert st["folded"] is True
+        assert "resize_launched" not in st
+        assert not maint.is_rebuilding()
+
+    def test_tick_safe_before_first_build(self, spark, tmp_path):
+        c = VectorCollection(spark, str(tmp_path / "nb"), metric="ip")
+        c.ingest(spark.createDataFrame(_vops(range(50)), SCHEMA))
+        st = IndexMaintainer(c).tick()
+        assert st["folded"] is False and st["rebuilding"] is False
+
+    def test_fair_scheduler_conf_points_at_shipped_pools(self):
+        import os
+
+        conf = fair_scheduler_conf()
+        assert conf["spark.scheduler.mode"] == "FAIR"
+        assert os.path.exists(conf["spark.scheduler.allocation.file"])
+        text = open(conf["spark.scheduler.allocation.file"]).read()
+        assert "maintenance" in text and "default" in text
+
+
+class TestRecertMissKeepsGeometry:
+    """ADVICE r11 low: auto_resize's recert-miss re-ladder must start
+    AT the deployed geometry (m/spill/opq), never silently re-certify
+    on a weaker index family than the deployment shipped with."""
+
+    def test_re_ladder_floors_at_deployed_knobs(self, spark, tmp_path):
+        coll = VectorCollection(spark, str(tmp_path / "rc"), metric="ip")
+        coll.ingest(spark.createDataFrame(_vops(range(200)), SCHEMA))
+        coll.compact()
+        # deployed: the strongest geometry (m=2 for dim=8, spill=3, OPQ)
+        coll.build_indexes(nlist=8, m=2, nbits=4, spill=3, use_opq=True)
+        # fabricate a valid certificate at those knobs (the test-local
+        # shortcut test_autotune.py uses)
+        coll._meta_update(
+            calibrated_family="ivfpq",
+            calibrated_nprobe=8,
+            calibrated_recall=0.95,
+            calibrated_stale=False,
+            calibrated_build_id=int(coll._meta()["index_build_id"]),
+            auto_tune={
+                "target_recall": 0.9,
+                "nprobe": 8,
+                "rerank_factor": 4,
+                "k": 10,
+                "target_met": True,
+            },
+        )
+        _grow(spark, coll, fold=True)
+        # force the cheap recert probe to MISS so the ladder re-walks
+        coll._measure_serving_recall = lambda **kw: 0.0
+        out = coll.auto_resize(alpha=4.0)
+        assert out is not None
+        meta = coll._meta()
+        # the re-certified index is at-or-above the deployed geometry —
+        # before the fix the ladder restarted at (m=1, spill=1, no-OPQ)
+        assert int(meta["index_m"]) >= 2
+        assert int(meta["index_spill"]) >= 3
+        assert bool(meta["index_opq"]) is True
+        ladder = meta["auto_tune"]["ladder"]
+        assert ladder[0]["m"] == 2
+        assert ladder[0]["spill"] == 3
+        assert ladder[0]["use_opq"] is True

@@ -113,6 +113,7 @@ def start_maintained_ingest(
     refresh_every: int = 1,
     trigger_seconds: float | None = None,
     auto_resize_alpha: float | None = None,
+    resize_async: bool = False,
 ):
     """Ingest stream with ONLINE INDEX MAINTENANCE: after every
     `refresh_every`-th micro-batch append, fold the new delta into the
@@ -131,11 +132,19 @@ def start_maintained_ingest(
     rebuilds at the √n-scaled nlist through the generation-swap path
     once rows-per-list exceed alpha× the built ratio (reference anchor:
     the 24 h centroid retrain beside live ingest, config.h:79-81).
-    The rebuild runs inside foreachBatch and therefore blocks that
-    trigger for its wall; latency-sensitive deployments leave this None
-    and run auto_resize on a separate maintenance cadence instead (the
-    bench serving loop's shape). Replay-safe: a re-run is a no-op once
-    the odometer has reset.
+    By default the rebuild runs inside foreachBatch and therefore
+    blocks that trigger for its wall (strictly ordered, replay-trivial).
+
+    `resize_async=True` (round 12, VERDICT r11 #1) routes maintenance
+    through an engine-level `IndexMaintainer` instead: the resize runs
+    on a background worker in the `maintenance` scheduler pool while
+    triggers keep firing — folds are skipped (not queued) for the
+    rebuild's duration, mid-rebuild appends land in the new
+    generation's delta by the build's epoch bound, and readers swing
+    over at the atomic swap. The maintainer is exposed on the returned
+    query as `query.index_maintainer` (join it before teardown).
+    Replay-safe either way: a re-run is a no-op once the odometer has
+    reset.
 
     Epochs are stamped above the collection's existing high-water mark
     (next EPOCH_STRIDE multiple), captured ONCE at stream start — on a
@@ -150,9 +159,22 @@ def start_maintained_ingest(
     epoch_base = ((max(hi, 0) // EPOCH_STRIDE) + 1) * EPOCH_STRIDE
     base = changelog_batch_writer(collection.path, epoch_base=epoch_base)
 
+    maintainer = None
+    if resize_async:
+        from write_optimized_vector_database_spark.maintenance import (
+            IndexMaintainer,
+        )
+
+        maintainer = IndexMaintainer(collection, alpha=auto_resize_alpha)
+
     def write(batch: DataFrame, batch_id: int) -> None:
         base(batch, batch_id)
         if batch_id % refresh_every == refresh_every - 1:
+            if maintainer is not None:
+                # fold + odometer-triggered background resize; never
+                # blocks the trigger, never raises on no-index-yet
+                maintainer.tick()
+                return
             try:
                 collection.refresh_indexes()
                 if auto_resize_alpha is not None:
@@ -171,7 +193,10 @@ def start_maintained_ingest(
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     else:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    if maintainer is not None:
+        query.index_maintainer = maintainer
+    return query
 
 
 def read_stream_changelog(spark: SparkSession, collection_path: str) -> DataFrame:
