@@ -214,6 +214,67 @@ class TestManifestWriterLock:
         assert meta["index_rows"] == meta["index_rows_built"]
 
 
+class TestSnapshotVersionRetention:
+    """Round 12, symmetric with index-generation retention: a reader
+    that resolved the _CURRENT pointer just before a compact swap must
+    still be able to scan the superseded snapshot version."""
+
+    def test_prebound_snapshot_plan_survives_compact_gc(self, spark, tmp_path):
+        c = VectorCollection(spark, str(tmp_path / "sv"), metric="ip")
+        c.ingest(spark.createDataFrame(_vops(range(100)), SCHEMA))
+        c.compact()
+        plan = c.current()  # binds the v1 snapshot dir
+        # two more compact cycles, each swapping + GC'ing versions
+        for rep in (1, 2):
+            c.ingest(
+                spark.createDataFrame(
+                    _vops(range(100 * rep, 100 * rep + 50),
+                          epoch0=10_000 * rep),
+                    SCHEMA,
+                )
+            )
+            c.compact()
+        assert plan.count() == 100  # the superseded version still reads
+        # aging the window reclaims everything but the live version
+        c._gc_snapshot_versions(retention_s=0.0)
+        import os as _os
+
+        vers = [d for d in _os.listdir(c.path) if d.startswith("current_v")]
+        assert len(vers) == 1
+        assert c.current().count() == 200
+
+    def test_crashed_version_dirs_reclaimed_immediately(self, spark, tmp_path):
+        from write_optimized_vector_database_spark import collection as CM
+
+        c = VectorCollection(spark, str(tmp_path / "cv"), metric="ip")
+        c.ingest(spark.createDataFrame(_vops(range(50)), SCHEMA))
+        c.compact()
+
+        class _Boom(Exception):
+            pass
+
+        def hook(point):
+            if point == "snapshot_written":
+                raise _Boom(point)
+
+        c.ingest(spark.createDataFrame(_vops(range(50, 80), epoch0=5000), SCHEMA))
+        CM.FAULT_INJECT_HOOK = hook
+        try:
+            with pytest.raises(_Boom):
+                c.compact()
+        finally:
+            CM.FAULT_INJECT_HOOK = None
+        # the crashed dir was written but never pointed to: no history
+        # entry, so the next compact's GC reclaims it despite retention
+        c.compact()
+        import os as _os
+
+        vers = {d for d in _os.listdir(c.path) if d.startswith("current_v")}
+        live = c._current_dir().rsplit("/", 1)[-1]
+        retained = {h["dir"] for h in c._meta().get("snapshot_gen_history", [])}
+        assert vers == {live} | retained
+
+
 class TestIndexMaintainer:
     """VERDICT r11 #1: the serving-during-rebuild orchestration is an
     engine API now — background resize, mutator serialization, pool

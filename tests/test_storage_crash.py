@@ -69,7 +69,16 @@ def test_kill_mid_compaction_recovers(spark, tmp_path, kill_point):
     assert c.current().count() == 40
     c.vacuum()
     assert c.current().count() == 40
-    # exactly one live snapshot version remains (stale ones GC'd)
+    # superseded versions survive the retention window for in-flight
+    # readers (round 12); crashed half-written dirs (never pointed to)
+    # are reclaimed immediately. Aging the window out leaves exactly
+    # the live version.
+    live = c._current_dir().rsplit("/", 1)[-1]
+    vers = {d.rsplit("/", 1)[-1] for d in c.fs.list_dirs(c.path) if "current_v" in d}
+    assert live in vers
+    retained = {h["dir"] for h in c._meta().get("snapshot_gen_history", [])}
+    assert vers == {live} | retained  # nothing unaccounted (no crash debris)
+    c._gc_snapshot_versions(retention_s=0.0)
     vers = [d for d in c.fs.list_dirs(c.path) if "current_v" in d]
     assert len(vers) == 1
 

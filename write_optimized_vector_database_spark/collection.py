@@ -469,6 +469,16 @@ class VectorCollection:
             return  # nothing new since the snapshot (e.g. post-vacuum)
         log = self.changelog()
         max_epoch = log.agg(F.max("epoch")).collect()[0][0]
+        # superseded-version bookkeeping (round 12): resolve the OLD
+        # pointer before the swap so the version it names can be
+        # retained for in-flight readers, exactly like index
+        # generations (ADVICE r11 medium applied symmetrically)
+        prev_ptr = f"{self.path}/_CURRENT"
+        prev_ver = (
+            self.fs.read_text(prev_ptr).strip()
+            if self.fs.exists(prev_ptr)
+            else None
+        )
         base = self.current()  # snapshot anti-join tail merge (no snapshot re-window)
         ver = f"current_v{int(time.time() * 1000)}"
         new_dir = f"{self.path}/{ver}"
@@ -504,6 +514,7 @@ class VectorCollection:
         # WA sample to a crash is acceptable; correctness state lives in
         # the snapshot marker above.
         snap_bytes = self._dir_bytes(ver)
+        swap_t = time.time()
 
         def _wa(meta: dict) -> None:
             physical = meta.get("bytes_physical", 0) + snap_bytes
@@ -513,16 +524,51 @@ class VectorCollection:
                 meta["wa_history"] = meta.get("wa_history", []) + [
                     round(physical / logical, 4)
                 ]
+            # time-based retention for the superseded snapshot version
+            # (round 12): a reader that resolved the _CURRENT pointer
+            # just before this swap still scans the old dir — the old
+            # GC-everything-but-current rule rmtree'd it out from under
+            # such a plan, the exact in-flight-reader hazard ADVICE r11
+            # flagged for index generations
+            if prev_ver:
+                meta["snapshot_gen_history"] = list(
+                    meta.get("snapshot_gen_history", [])
+                ) + [{"dir": prev_ver, "superseded_at": swap_t}]
 
         self._meta_mutate(_wa)
         # refresh planner stats off the snapshot just written — the CBO
         # analogue of ANALYZE TABLE after a rewrite (column-pruned
         # re-read: the vector column never loads)
         self.analyze(self.spark.read.parquet(new_dir))
-        # GC superseded snapshot versions (and crashed half-written ones).
-        # Single-writer assumption; a real deployment adds retention lag
-        # for in-flight readers of the old version.
-        self.fs.cleanup_dirs(self.path, "current_", keep={ver})
+        # GC superseded snapshot versions past retention, plus crashed
+        # half-written ones (never pointed to, so never in the history)
+        self._gc_snapshot_versions()
+
+    def _gc_snapshot_versions(self, retention_s: float | None = None) -> int:
+        """Remove `current_v*` snapshot versions that are neither live
+        nor within the retention window since their supersession
+        (`gen_retention_s`, shared with index generations). Crashed
+        half-written versions — dirs the pointer never named — carry no
+        history entry and are reclaimed immediately. Returns the number
+        of dirs removed."""
+        if retention_s is None:
+            retention_s = self.gen_retention_s
+        now = time.time()
+
+        def _trim(m: dict) -> None:
+            if "snapshot_gen_history" not in m:
+                return
+            m["snapshot_gen_history"] = [
+                h
+                for h in m["snapshot_gen_history"]
+                if now - float(h.get("superseded_at", now)) < retention_s
+            ]
+
+        meta = self._meta_mutate(_trim)
+        cur = self._current_dir()
+        keep = {cur.rsplit("/", 1)[-1]} if cur else set()
+        keep |= {h["dir"] for h in meta.get("snapshot_gen_history", [])}
+        return self.fs.cleanup_dirs(self.path, "current_", keep=keep)
 
     def vacuum(self, retain_for_index: bool = True) -> int:
         """Retention: delete changelog files fully covered by the current

@@ -4423,3 +4423,72 @@ def mut_maintainer_async_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
         [tuple(bool(state[c]) for c in cols)],
         ", ".join(f"{c} boolean" for c in cols),
     )
+
+
+_SNAP_RETAIN_DIRS: dict[str, str] = {}
+
+
+@register(
+    "mut_snapshot_retention_reader",
+    oracle="""
+SELECT vec_id AS id,
+       't' || (vec_id % 2)::VARCHAR AS tenant
+FROM embeddings WHERE vec_id < 200 ORDER BY id
+""",
+    survey_ref="S8,S9 (snapshot version retention: in-flight readers survive compact swaps+GC)",
+    tags=["mutation", "storage", "lifecycle"],
+)
+def mut_snapshot_retention_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compact()-side twin of mut_gen_retention_reader (round 12):
+    a reader binds the _CURRENT snapshot version, then TWO compact
+    cycles swap the pointer and GC superseded versions — under the old
+    keep-only-current rule the bound version was rmtree'd and this plan
+    died with FileNotFound; time-based retention
+    (_gc_snapshot_versions, shared gen_retention_s window) keeps it
+    readable, and the collected rows hash-match the exact pre-compact
+    visible set (compaction preserves visibility, so the superseded
+    version serves CORRECT data, not just readable files). The plan is
+    bound on a vacuumed collection (pure snapshot scan), so its row set
+    is exactly the first snapshot's."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from write_optimized_vector_database_spark.collection import VectorCollection
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+
+    def ops(lo: int, hi: int, epoch0: int):
+        return emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(
+            F.lit("INSERT").alias("op"),
+            F.col("vec_id").alias("id"),
+            F.concat(F.lit("t"), (F.col("vec_id") % 2).cast("string")).alias(
+                "tenant"
+            ),
+            F.lit("ns0").alias("namespace"),
+            F.col("embedding").alias("vector"),
+            F.array((F.col("vec_id") % 4).cast("int")).alias("tags"),
+            (F.col("vec_id") + F.lit(epoch0)).alias("epoch"),
+        )
+
+    hit = _SNAP_RETAIN_DIRS.get(sf_dir)
+    if hit is not None:
+        coll = VectorCollection(spark, hit, metric="ip")
+    else:
+        tmp = tempfile.mkdtemp(prefix="snap_retain_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        coll = VectorCollection(spark, tmp, metric="ip")
+        coll.ingest(ops(0, 200, 0))
+        coll.compact()
+        coll.vacuum()
+        _SNAP_RETAIN_DIRS[sf_dir] = coll.path
+    # the reader: binds THIS snapshot version's files now
+    plan = coll.current().select("id", "tenant").orderBy("id")
+    # two compact swaps + GCs land while the plan is in flight
+    coll.ingest(ops(0, 50, 1_000_000))  # upsert-shaped churn
+    coll.compact()
+    coll.ingest(ops(50, 100, 2_000_000))
+    coll.compact()
+    return plan
