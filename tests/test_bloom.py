@@ -100,7 +100,7 @@ def test_index_files_carry_id_bloom(spark, coll):
     coll.build_ivf_index(nlist=4)
     files = [
         f
-        for f in coll.fs.walk_files(f"{coll.path}/index_ivf")
+        for f in coll.fs.walk_files(coll._ivf_index_path())
         if f.endswith(".parquet")
     ]
     assert files

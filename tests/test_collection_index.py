@@ -22,9 +22,11 @@ def loaded(spark, tmp_path, sf_dir):
 
 def test_build_index_and_ann_topk(spark, loaded, sf_dir):
     loaded.build_ivf_index(nlist=8)
-    assert os.path.isdir(f"{loaded.path}/index_ivf")
+    # generation-versioned as of round 12: resolve via the manifest pointer
+    idx_dir = loaded._ivf_index_path()
+    assert os.path.isdir(idx_dir)
     # partition layout: one dir per centroid
-    parts = [d for d in os.listdir(f"{loaded.path}/index_ivf") if d.startswith("centroid_id=")]
+    parts = [d for d in os.listdir(idx_dir) if d.startswith("centroid_id=")]
     assert len(parts) > 1
 
     queries = (

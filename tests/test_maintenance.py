@@ -275,6 +275,91 @@ class TestSnapshotVersionRetention:
         assert vers == {live} | retained
 
 
+class TestIvfGenerationRetention:
+    """Round 12: build_ivf_index is generation-versioned too — the old
+    in-place overwrite deleted the live dirs under racing readers."""
+
+    def test_prebound_ivf_plan_survives_rebuild_gc(self, spark, tmp_path):
+        c = VectorCollection(spark, str(tmp_path / "ivfg"), metric="ip")
+        c.ingest(spark.createDataFrame(_vops(range(150)), SCHEMA))
+        c.compact()
+        c.build_ivf_index(nlist=8)
+        q = _queries(spark, c)
+        plan = c.topk_ivf(q, k=5, nprobe=8)  # binds gen-1 dirs
+        c.build_ivf_index(nlist=8)
+        c.build_ivf_index(nlist=8)
+        assert plan.count() == q.count() * 5  # superseded gen still reads
+        # fresh queries resolve the live generation
+        assert c.topk_ivf(q, k=5, nprobe=8).count() == q.count() * 5
+        # aging out the window leaves only the live generation's dirs
+        c._gc_ivf_generations(retention_s=0.0)
+        import os as _os
+
+        ivf_dirs = [
+            d
+            for d in _os.listdir(c.path)
+            if d.startswith("index_ivf") or d.startswith("index_centroids_ivf")
+        ]
+        assert len(ivf_dirs) == 2  # one index dir + one centroids dir
+        # correlation histograms were swapped WITH the generation: they
+        # describe the live geometry and stay armed
+        meta = c._meta()
+        assert (meta.get("corr_stats") or {}).get("index") == "ivf"
+        assert meta.get("corr_stats_fresh") is True
+
+
+class TestTagDictGenerationRetention:
+    """Round 12: the tag dictionary replace was rmtree+rename — a
+    no-dict window plus a dead dir under any reader that bound the
+    dict just before a string-tag ingest extended it."""
+
+    def _sops(self, ids, tags_of, epoch0=0):
+        return [
+            ("INSERT", i, "t0", "ns0", [float(i)] * 4, tags_of(i), epoch0 + i)
+            for i in ids
+        ]
+
+    SSCHEMA = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<string>, epoch long"
+    )
+
+    def test_prebound_dict_survives_extension_gc(self, spark, tmp_path):
+        c = VectorCollection(spark, str(tmp_path / "td"), metric="ip")
+        c.ingest(
+            spark.createDataFrame(
+                self._sops(range(20), lambda i: [f"tag{i % 3}"]), self.SSCHEMA
+            )
+        )
+        td = c.tag_dict()  # binds generation 1
+        assert td is not None
+        before = {r.tag: r.tag_id for r in td.collect()}
+        # two more string-tag ingests extend the dict (two swaps + GCs)
+        for rep in (1, 2):
+            c.ingest(
+                spark.createDataFrame(
+                    self._sops(
+                        range(100 * rep, 100 * rep + 10),
+                        lambda i: [f"new{i % 2}_{i % 5}"],
+                        epoch0=10_000 * rep,
+                    ),
+                    self.SSCHEMA,
+                )
+            )
+        # the prebound plan still reads (superseded gen retained)...
+        assert {r.tag: r.tag_id for r in td.collect()} == before
+        # ...ids stayed append-only across extensions...
+        after = {r.tag: r.tag_id for r in c.tag_dict().collect()}
+        assert all(after[t] == i for t, i in before.items())
+        assert len(after) > len(before)
+        # ...and aging the window out leaves exactly the live dir
+        c._gc_tag_dict_generations(retention_s=0.0)
+        import os as _os
+
+        dirs = [d for d in _os.listdir(c.path) if d.startswith("tag_dict")]
+        assert dirs == [c._meta()["tag_dict_path"]]
+
+
 class TestIndexMaintainer:
     """VERDICT r11 #1: the serving-during-rebuild orchestration is an
     engine API now — background resize, mutator serialization, pool

@@ -224,10 +224,15 @@ class VectorCollection:
             return json.loads(self.fs.read_text(self._meta_path))
         return {}
 
-    def tag_dict(self) -> DataFrame | None:
+    def tag_dict(self, meta: dict | None = None) -> DataFrame | None:
         """The collection's string→id tag dictionary (config.h:122-123),
-        or None if only int tags were ever ingested."""
-        p = f"{self.path}/tag_dict"
+        or None if only int tags were ever ingested. Resolved through
+        the manifest pointer (round 12 generation versioning); legacy
+        collections fall back to the unversioned dir."""
+        if meta is None:
+            meta = self._meta()
+        sub = meta.get("tag_dict_path")
+        p = f"{self.path}/{sub}" if sub else f"{self.path}/tag_dict"
         if not self.fs.isdir(p):
             return None
         return self.spark.read.parquet(p)
@@ -235,18 +240,68 @@ class VectorCollection:
     def _encode_string_tags(self, batch: DataFrame) -> DataFrame:
         """String-tag ingest edge: extend the persisted dictionary with
         the batch's novel tags (ids are append-only — never renumbered)
-        and rewrite `tags` as dict ids (types.h:32-33)."""
+        and rewrite `tags` as dict ids (types.h:32-33).
+
+        Generation-versioned (round 12): the old rmtree+rename replace
+        left a no-dictionary window, and a reader that bound the dict
+        just before the replace scanned a deleted dir. The new dict
+        lands in a fresh `tag_dict_g<B>` dir, one atomic manifest write
+        swaps readers, superseded generations retire after
+        gen_retention_s."""
         from write_optimized_vector_database_spark.operators import tags as TG
 
         new_dict = TG.extend_tag_dictionary(self.tag_dict(), batch, tags_col="tags")
-        # two-phase write: parquet can't overwrite its own input dir
-        tmp = f"{self.path}/_tag_dict.tmp"
-        new_dict.write.mode("overwrite").parquet(tmp)
-        final = f"{self.path}/tag_dict"
-        if self.fs.isdir(final):
-            self.fs.rmtree(final)
-        self.fs.rename(tmp, final)
+        gen = int(self._meta().get("tag_dict_build_id", 0)) + 1
+        sub = f"tag_dict_g{gen}"
+        new_dict.write.mode("overwrite").parquet(f"{self.path}/{sub}")
+        swap_t = time.time()
+
+        def _swap(m: dict) -> None:
+            prev = m.get("tag_dict_path")
+            if prev is None and self.fs.isdir(f"{self.path}/tag_dict"):
+                prev = "tag_dict"  # legacy unversioned dir
+            hist = list(m.get("tag_dict_gen_history", []))
+            if prev:
+                hist.append({"paths": [prev], "superseded_at": swap_t})
+            m.update(
+                tag_dict_build_id=gen,
+                tag_dict_path=sub,
+                tag_dict_gen_history=hist,
+            )
+
+        self._meta_mutate(_swap)
+        self._gc_tag_dict_generations()
         return TG.encode_tags(batch, self.tag_dict(), id_col="id", tags_col="tags")
+
+    def _gc_tag_dict_generations(self, retention_s: float | None = None) -> None:
+        """Time-based retention over the `tag_dict*` namespace — the
+        shared contract of every versioned artifact in this collection
+        (snapshots, stable index, plain-IVF index)."""
+        if retention_s is None:
+            retention_s = self.gen_retention_s
+        now = time.time()
+
+        def _trim(m: dict) -> None:
+            if "tag_dict_gen_history" not in m:
+                return
+            m["tag_dict_gen_history"] = [
+                h
+                for h in m["tag_dict_gen_history"]
+                if now - float(h.get("superseded_at", now)) < retention_s
+            ]
+
+        meta = self._meta_mutate(_trim)
+        keep = set()
+        if meta.get("tag_dict_path"):
+            keep.add(meta["tag_dict_path"])
+        for h in meta.get("tag_dict_gen_history", []):
+            keep |= set(h.get("paths", []))
+        for d in self.fs.list_dirs(self.path):
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            if name in keep:
+                continue
+            if name == "tag_dict" or name.startswith("tag_dict_g"):
+                self.fs.rmtree(d)
 
     def ingest(self, batch: DataFrame, dedup: bool = True) -> int:
         """Append a batch of ops to the changelog.
@@ -657,7 +712,16 @@ class VectorCollection:
     ) -> None:
         """Train centroids on the visible view and materialize the IVF
         index partitioned by centroid_id (reference M3 centroid rebuild,
-        config.h:79-81; partition layout = posting lists)."""
+        config.h:79-81; partition layout = posting lists).
+
+        Generation-versioned like the stable index (round 12): the old
+        in-place `mode=overwrite` deleted the live dirs before the
+        rewrite finished, so a reader racing a rebuild scanned a
+        half-deleted index. Artifacts land in fresh `_g<B>` dirs, one
+        atomic manifest write swaps readers (pointers + the 'ivf'
+        correlation histograms, which describe the NEW geometry, ride
+        the same write), and superseded generations are retained
+        gen_retention_s before GC."""
         from write_optimized_vector_database_spark.operators.ivf import (
             assign_centroids,
             train_centroids_kmeans,
@@ -670,16 +734,91 @@ class VectorCollection:
             sample_fraction=sample_fraction, seed=seed,
         )
         assigned = assign_centroids(cur, cents, vec_col="vector")
-        write_ivf_index(assigned, f"{self.path}/index_ivf")
-        cents.write.mode("overwrite").parquet(f"{self.path}/index_centroids")
+        gen = int(self._meta().get("ivf_build_id", 0)) + 1
+        idx_sub = f"index_ivf_g{gen}"
+        cents_sub = f"index_centroids_ivf_g{gen}"
+        write_ivf_index(assigned, f"{self.path}/{idx_sub}")
+        cents.write.mode("overwrite").parquet(f"{self.path}/{cents_sub}")
         # correlation stats for plan_filtered_strategy's guard (round 9):
         # a plain-IVF-only collection deserves the same geometry-
         # correlation defense topk_filtered's POST branch needs. Labeled
         # 'ivf' — the two-phase probe-support prune only trusts 'stable'
-        # histograms (centroid ids are per-index spaces)
-        self._collect_correlation_stats(
-            cur, index_subdir="index_ivf", label="ivf"
+        # histograms (centroid ids are per-index spaces). Collected
+        # against the NEW generation but NOT written yet: they ride the
+        # atomic swap below, so a query racing this rebuild never prunes
+        # old-generation probes with new-generation histograms.
+        corr = self._collect_correlation_stats(
+            cur, index_subdir=idx_sub, label="ivf", write_meta=False
         )
+        swap_t = time.time()
+
+        def _swap(m: dict) -> None:
+            superseded = [
+                m.get("ivf_index_path", "index_ivf"),
+                m.get("ivf_centroids_path", "index_centroids"),
+            ]
+            hist = list(m.get("ivf_gen_history", []))
+            hist.append({"paths": superseded, "superseded_at": swap_t})
+            m.update(
+                ivf_build_id=gen,
+                ivf_index_path=idx_sub,
+                ivf_centroids_path=cents_sub,
+                ivf_gen_history=hist,
+            )
+            if corr is not None:
+                m["corr_stats"] = corr
+                m["corr_stats_fresh"] = True
+
+        self._meta_mutate(_swap)
+        self._gc_ivf_generations()
+
+    def _ivf_index_path(self, meta: dict | None = None) -> str:
+        """Live plain-IVF index dir via the manifest pointer (round 12);
+        legacy collections fall back to the unversioned dir."""
+        return f"{self.path}/" + (self._meta() if meta is None else meta).get(
+            "ivf_index_path", "index_ivf"
+        )
+
+    def _ivf_centroids_path(self, meta: dict | None = None) -> str:
+        return f"{self.path}/" + (self._meta() if meta is None else meta).get(
+            "ivf_centroids_path", "index_centroids"
+        )
+
+    def _gc_ivf_generations(self, retention_s: float | None = None) -> None:
+        """Time-based retention for superseded plain-IVF generations —
+        the same contract as _gc_index_generations / _gc_snapshot_
+        versions, over the `index_ivf*` / `index_centroids_ivf*`
+        namespaces (the stable index's dirs are never touched here)."""
+        if retention_s is None:
+            retention_s = self.gen_retention_s
+        now = time.time()
+
+        def _trim(m: dict) -> None:
+            if "ivf_gen_history" not in m:
+                return
+            m["ivf_gen_history"] = [
+                h
+                for h in m["ivf_gen_history"]
+                if now - float(h.get("superseded_at", now)) < retention_s
+            ]
+
+        meta = self._meta_mutate(_trim)
+        keep = {
+            meta.get("ivf_index_path", "index_ivf"),
+            meta.get("ivf_centroids_path", "index_centroids"),
+        }
+        for h in meta.get("ivf_gen_history", []):
+            keep |= set(h.get("paths", []))
+        for d in self.fs.list_dirs(self.path):
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            if name in keep:
+                continue
+            if (
+                name == "index_ivf"
+                or name.startswith("index_ivf_g")
+                or name.startswith("index_centroids_ivf_g")
+            ):
+                self.fs.rmtree(d)
 
     def build_indexes(
         self,
@@ -1612,8 +1751,9 @@ class VectorCollection:
             calibrate_nprobe as _calibrate,
         )
 
-        index = self.spark.read.parquet(f"{self.path}/index_ivf")
-        cents = self.spark.read.parquet(f"{self.path}/index_centroids")
+        meta = self._meta()
+        index = self.spark.read.parquet(self._ivf_index_path(meta))
+        cents = self.spark.read.parquet(self._ivf_centroids_path(meta))
         exact = self.topk(sample_queries, k=k)
         nprobe, recall = _calibrate(
             index, cents, sample_queries, exact, k=k,
@@ -2019,10 +2159,14 @@ class VectorCollection:
         limits = QueryLimits()
         if k > limits.max_candidates:
             raise ValueError(f"k={k} exceeds max_candidates={limits.max_candidates}")
+        # one manifest snapshot for the whole query (ADVICE r11 high,
+        # applied to the plain-IVF path with its round-12 generations)
+        meta = self._meta()
         if nprobe is None:
-            nprobe = self._default_nprobe(family="ivf")  # certified plain-IVF knob
-        index = self.spark.read.parquet(f"{self.path}/index_ivf")
-        cents = self.spark.read.parquet(f"{self.path}/index_centroids")
+            # certified plain-IVF knob
+            nprobe = self._default_nprobe(family="ivf", meta=meta)
+        index = self.spark.read.parquet(self._ivf_index_path(meta))
+        cents = self.spark.read.parquet(self._ivf_centroids_path(meta))
         allowed = None
         if any(x is not None for x in (tenant, namespace, tags_any, sample_p)):
             allowed = apply_query_filters(
@@ -2034,7 +2178,7 @@ class VectorCollection:
             # index, so rank probes only over lists that can hold
             # qualifying rows — skipped lists provably contribute nothing
             support = self._corr_probe_support(
-                tenant, namespace, tags_any, index_label="ivf"
+                tenant, namespace, tags_any, index_label="ivf", meta=meta
             )
             if support is not None:
                 cents = cents.filter(
@@ -2681,10 +2825,11 @@ class VectorCollection:
         import math
 
         fetch = min(limits.max_candidates, max(k, 2 * math.ceil(k / max(sel, 1e-6))))
+        meta = self._meta()
         if nprobe is None:
-            nprobe = self._default_nprobe(family="ivf")
-        index = self.spark.read.parquet(f"{self.path}/index_ivf")
-        cents = self.spark.read.parquet(f"{self.path}/index_centroids")
+            nprobe = self._default_nprobe(family="ivf", meta=meta)
+        index = self.spark.read.parquet(self._ivf_index_path(meta))
+        cents = self.spark.read.parquet(self._ivf_centroids_path(meta))
         over = ivf_topk(
             index, queries, cents, k=fetch, nprobe=nprobe, metric=self.metric,
             vec_id_col="id", vec_col="vector",
@@ -2977,21 +3122,24 @@ class VectorCollection:
         against the visible view + two bounded groupBys. Recomputes
         against whichever index the current histograms describe (stable
         by default)."""
-        corr = self._meta().get("corr_stats") or {}
+        meta = self._meta()
+        corr = meta.get("corr_stats") or {}
         label = corr.get("index")
         if label is None:
             # no histograms yet (never collected, or a legacy manifest):
             # resolve from whichever index actually exists on disk
             # instead of assuming 'stable' — an IVF-only collection has
             # no index_stable and the blind read would raise (ADVICE r09)
-            if self.fs.exists(self._stable_index_path()):
+            if self.fs.exists(self._stable_index_path(meta)):
                 label = "stable"
-            elif self.fs.exists(f"{self.path}/index_ivf"):
+            elif self.fs.exists(self._ivf_index_path(meta)):
                 label = "ivf"
             else:
                 return None  # nothing built — nothing to analyze
         subdir = (
-            self._stable_index_subdir() if label == "stable" else "index_ivf"
+            self._stable_index_subdir(meta)
+            if label == "stable"
+            else self._ivf_index_path(meta).rsplit("/", 1)[-1]
         )
         if not self.fs.exists(f"{self.path}/{subdir}"):
             return None
