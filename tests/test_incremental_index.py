@@ -698,6 +698,60 @@ def test_streaming_maintained_ingest_auto_resizes(spark, coll, tmp_path):
     assert _index_rows(spark, coll.path) == want
 
 
+def test_streaming_maintained_ingest_resize_async(spark, coll, tmp_path):
+    """resize_async=True (round 12): the same streamed growth resizes
+    through the engine-level IndexMaintainer on a BACKGROUND worker —
+    the trigger never blocks for the rebuild wall, the maintainer rides
+    the returned query, and the post-join state matches the blocking
+    path's (odometer reset, √n-scaled nlist, nothing streamed lost)."""
+    from write_optimized_vector_database_spark.operators.ivfpq import ivfpq_encode
+    from write_optimized_vector_database_spark.streaming.ingest import (
+        start_maintained_ingest,
+    )
+
+    src = str(tmp_path / "src_a")
+    ckpt = str(tmp_path / "ckpt_a")
+    stream_schema = (
+        "op string, id long, tenant string, namespace string, "
+        "vector array<float>, tags array<int>, epoch long"
+    )
+    spark.createDataFrame(
+        _ops(range(1_000, 2_000), epoch0=0), SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    nlist0 = int(coll._meta()["index_nlist"])
+    q = start_maintained_ingest(
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        coll,
+        ckpt,
+        auto_resize_alpha=4.0,
+        resize_async=True,
+    )
+    maint = q.index_maintainer  # the engine maintainer rides the query
+    q.awaitTermination(180)
+    # the stream (availableNow) ends as soon as the batch is appended
+    # and the tick returns — the rebuild keeps running in background
+    ev = maint.join(timeout=600)
+    assert ev is not None and ev["error"] is None
+    assert ev["pool"] == "maintenance"
+
+    meta = coll._meta()
+    assert meta["index_nlist"] > nlist0
+    assert coll.needs_rebuild() is False
+    assert coll.describe_index()["index_rows_built"] == 1_200
+    cents = spark.read.parquet(coll._stable_centroids_path())
+    cbs = spark.read.parquet(coll._codebooks_path())
+    cur = coll.current().filter(F.col("vector").isNotNull())
+    want = {
+        (r.id, int(r.centroid_id), tuple(r.codes))
+        for r in ivfpq_encode(
+            cur, cents, cbs, vec_col="vector", id_col="id"
+        ).collect()
+    }
+    assert _index_rows(spark, coll.path) == want
+
+
 def test_compact_vacuum_during_rebuild(spark, coll):
     """A compact()+vacuum() cycle landing mid-rebuild must not corrupt
     the swap: the build input was bounded and persisted before the

@@ -146,8 +146,12 @@ class VectorCollection:
         # ·d_sub doubles) but every search call was re-reading their
         # parquet and re-collecting. Keyed by index epoch — a rebuild
         # or refresh invalidates; persisted DataFrames are unpersisted
-        # on eviction.
+        # on eviction. The small lock keeps populate/evict structurally
+        # consistent when query threads race the maintenance worker
+        # (unpersist on an in-use frame is safe — Spark recomputes —
+        # so only the cache dict itself needs guarding).
         self._artifact_cache: dict = {}
+        self._artifact_cache_lock = threading.Lock()
 
     # -- write path ---------------------------------------------------------
 
@@ -1475,7 +1479,8 @@ class VectorCollection:
                 self.fs.rmtree(d)
 
     def _evict_index_artifacts(self) -> None:
-        hit = self._artifact_cache.pop("idx", None)
+        with self._artifact_cache_lock:
+            hit = self._artifact_cache.pop("idx", None)
         if hit is not None:
             for df in hit[1:]:
                 try:
@@ -1500,13 +1505,15 @@ class VectorCollection:
         if meta is None:
             meta = self._meta()
         build_id = meta.get("index_build_id", meta.get("index_epoch", -1))
-        hit = self._artifact_cache.get("idx")
-        if hit is not None and hit[0] == build_id:
-            return hit[1], hit[2]
+        with self._artifact_cache_lock:
+            hit = self._artifact_cache.get("idx")
+            if hit is not None and hit[0] == build_id:
+                return hit[1], hit[2]
         self._evict_index_artifacts()
         cents = self.spark.read.parquet(self._stable_centroids_path(meta)).persist()
         codebooks = self.spark.read.parquet(self._codebooks_path(meta)).persist()
-        self._artifact_cache["idx"] = (build_id, cents, codebooks)
+        with self._artifact_cache_lock:
+            self._artifact_cache["idx"] = (build_id, cents, codebooks)
         return cents, codebooks
 
     def refresh_indexes(self) -> dict:
