@@ -28,4 +28,14 @@ __version__ = "0.1.0"
 
 from write_optimized_vector_database_spark.session import get_spark
 
-__all__ = ["get_spark", "__version__"]
+from write_optimized_vector_database_spark.maintenance import (  # noqa: E402
+    IndexMaintainer,
+    fair_scheduler_conf,
+)
+
+__all__ = [
+    "get_spark",
+    "IndexMaintainer",
+    "fair_scheduler_conf",
+    "__version__",
+]
