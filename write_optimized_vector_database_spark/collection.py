@@ -223,6 +223,29 @@ class VectorCollection:
     def _meta_update(self, **kv) -> dict:
         return self._meta_mutate(lambda m: m.update(kv))
 
+    def _reserve_gen(self, counter_key: str, floor_key: str | None = None) -> int:
+        """Allocate a generation id under the manifest writer lock
+        (ADVICE r12 medium): the old `meta[pointer] + 1` pattern read the
+        pointer UNLOCKED, so two mutators the per-instance maintainer
+        guard doesn't cover (a user maintainer beside
+        start_maintained_ingest's internal one, or two processes) could
+        both derive the same id and write the same `_g<N>` dirs
+        concurrently — corrupting whichever swap landed second. The
+        counter is a dedicated manifest key bumped inside the writer
+        lock BEFORE any generation dir is written; `floor_key` (the live
+        pointer, e.g. index_build_id) seeds it on legacy manifests so
+        reserved ids never collide with pre-counter generations."""
+        out: dict = {}
+
+        def _bump(m: dict) -> None:
+            floor = int(m.get(floor_key, 0)) if floor_key else 0
+            nxt = max(int(m.get(counter_key, 0)), floor) + 1
+            m[counter_key] = nxt
+            out["gen"] = nxt
+
+        self._meta_mutate(_bump)
+        return out["gen"]
+
     def _meta(self) -> dict:
         if self.fs.exists(self._meta_path):
             return json.loads(self.fs.read_text(self._meta_path))
@@ -255,7 +278,9 @@ class VectorCollection:
         from write_optimized_vector_database_spark.operators import tags as TG
 
         new_dict = TG.extend_tag_dictionary(self.tag_dict(), batch, tags_col="tags")
-        gen = int(self._meta().get("tag_dict_build_id", 0)) + 1
+        # id reserved under the writer lock (ADVICE r12 medium) so two
+        # concurrent string-tag ingests never write the same dir
+        gen = self._reserve_gen("tag_dict_build_seq", "tag_dict_build_id")
         sub = f"tag_dict_g{gen}"
         new_dict.write.mode("overwrite").parquet(f"{self.path}/{sub}")
         swap_t = time.time()
@@ -738,7 +763,8 @@ class VectorCollection:
             sample_fraction=sample_fraction, seed=seed,
         )
         assigned = assign_centroids(cur, cents, vec_col="vector")
-        gen = int(self._meta().get("ivf_build_id", 0)) + 1
+        # id reserved under the writer lock (ADVICE r12 medium)
+        gen = self._reserve_gen("ivf_build_seq", "ivf_build_id")
         idx_sub = f"index_ivf_g{gen}"
         cents_sub = f"index_centroids_ivf_g{gen}"
         write_ivf_index(assigned, f"{self.path}/{idx_sub}")
@@ -967,9 +993,10 @@ class VectorCollection:
         # of this build lands in fresh `_g<B>` dirs; nothing the old
         # generation serves from is touched until the single atomic
         # manifest swap at the end. A crash mid-build leaves the old
-        # generation fully live and only orphan dirs to GC.
-        meta0 = self._meta()
-        gen = int(meta0.get("index_build_id", 0)) + 1
+        # generation fully live and only orphan dirs to GC. The id is
+        # reserved under the writer lock (ADVICE r12 medium) so two
+        # concurrent builders can never claim the same dirs.
+        gen = self._reserve_gen("index_build_seq", "index_build_id")
         stable_sub = f"index_stable_g{gen}"
         cents_sub = f"index_centroids_stable_g{gen}"
         books_sub = f"index_codebooks_g{gen}"
@@ -1478,15 +1505,20 @@ class VectorCollection:
             ):
                 self.fs.rmtree(d)
 
+    @staticmethod
+    def _unpersist_entry(entry) -> None:
+        if entry is None:
+            return
+        for df in entry[1:]:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+
     def _evict_index_artifacts(self) -> None:
         with self._artifact_cache_lock:
             hit = self._artifact_cache.pop("idx", None)
-        if hit is not None:
-            for df in hit[1:]:
-                try:
-                    df.unpersist()
-                except Exception:  # noqa: BLE001
-                    pass
+        self._unpersist_entry(hit)
 
     def _index_artifacts(
         self, meta: dict | None = None
@@ -1500,8 +1532,17 @@ class VectorCollection:
         re-scanning the artifact parquet. Keyed on index_build_id — a
         token build_indexes bumps on EVERY build — not index_epoch,
         which stays constant when the index is rebuilt with different
-        knobs and no new ingest (stale-cache hazard). Eviction unpersists
-        the stale build's frames."""
+        knobs and no new ingest (stale-cache hazard).
+
+        Populate is swap-and-unpersist ATOMIC (ADVICE r12 low): the old
+        evict-then-insert raced a concurrent populate across the lock —
+        thread A (stale meta) could overwrite thread B's just-inserted
+        entry without unpersisting B's frames, leaking persisted
+        centroids/codebooks under the serving-beside-rebuild pattern.
+        Now the displaced entry is captured INSIDE the lock and
+        unpersisted after release; if another thread already cached the
+        same build, its entry wins and this thread's fresh frames are
+        the ones released."""
         if meta is None:
             meta = self._meta()
         build_id = meta.get("index_build_id", meta.get("index_epoch", -1))
@@ -1509,11 +1550,18 @@ class VectorCollection:
             hit = self._artifact_cache.get("idx")
             if hit is not None and hit[0] == build_id:
                 return hit[1], hit[2]
-        self._evict_index_artifacts()
         cents = self.spark.read.parquet(self._stable_centroids_path(meta)).persist()
         codebooks = self.spark.read.parquet(self._codebooks_path(meta)).persist()
+        mine = (build_id, cents, codebooks)
         with self._artifact_cache_lock:
-            self._artifact_cache["idx"] = (build_id, cents, codebooks)
+            cur = self._artifact_cache.get("idx")
+            if cur is not None and cur[0] == build_id:
+                loser = mine  # lost the populate race; keep the winner
+                cents, codebooks = cur[1], cur[2]
+            else:
+                loser = self._artifact_cache.pop("idx", None)
+                self._artifact_cache["idx"] = mine
+        self._unpersist_entry(loser)
         return cents, codebooks
 
     def refresh_indexes(self) -> dict:
@@ -1949,6 +1997,13 @@ class VectorCollection:
         filtered = any(
             x is not None for x in (tenant, namespace, tags_any, sample_p)
         )
+        # one visible-view resolution and one tag-dict resolution for the
+        # whole query (ADVICE r12 low): the pre-filter semi-join, the
+        # delta branch, and the exact rerank all read THIS view, so the
+        # _CURRENT pointer and the tag dictionary are bound exactly once
+        # per query — the same discipline as the manifest snapshot above
+        cur_view = self.current()
+        q_tag_dict = self._tag_dict_for(tags_any, meta)
         if filtered:
             if filter_strategy not in ("auto", "post", "pre"):
                 raise ValueError(f"unknown filter_strategy {filter_strategy!r}")
@@ -1975,8 +2030,8 @@ class VectorCollection:
                 # centroid_id partition pruning inside the ADC operator,
                 # so its cost scales with the probed lists, not the index
                 allowed = apply_query_filters(
-                    self.current(), tenant, namespace, tags_any, sample_p,
-                    tag_dict=self._tag_dict_for(tags_any),
+                    cur_view, tenant, namespace, tags_any, sample_p,
+                    tag_dict=q_tag_dict,
                 ).select("id")
                 index = index.join(allowed, "id", "semi")
                 # nprobe escalation under selective filters (round 8):
@@ -2110,11 +2165,11 @@ class VectorCollection:
         # and push into the same scan; the rerank below joins the SAME
         # filtered view, so post-strategy candidates that fail the
         # filters drop before ranking.
-        full_current = self.current()
+        full_current = cur_view
         if filtered:
             full_current = apply_query_filters(
                 full_current, tenant, namespace, tags_any, sample_p,
-                tag_dict=self._tag_dict_for(tags_any),
+                tag_dict=q_tag_dict,
             )
         delta_vis = full_current.filter(
             (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
@@ -2178,7 +2233,7 @@ class VectorCollection:
         if any(x is not None for x in (tenant, namespace, tags_any, sample_p)):
             allowed = apply_query_filters(
                 self.current(), tenant, namespace, tags_any, sample_p,
-                tag_dict=self._tag_dict_for(tags_any),
+                tag_dict=self._tag_dict_for(tags_any, meta),
             ).select("id")
             # probe-support prune (round 9, symmetric with topk_two_phase):
             # the 'ivf'-labeled build-time histograms are exact over this
@@ -2770,7 +2825,7 @@ class VectorCollection:
         total = self.current().count()
         kept = apply_query_filters(
             self.current(), tenant, namespace, tags_any, sample_p,
-            tag_dict=self._tag_dict_for(tags_any),
+            tag_dict=self._tag_dict_for(tags_any, meta),
         ).count()
         sel = kept / total if total else 1.0
         if sel >= pre_filter_threshold and self._corr_forces_pre(
@@ -2843,7 +2898,7 @@ class VectorCollection:
         )
         allowed = apply_query_filters(
             self.current(), tenant, namespace, tags_any, sample_p,
-            tag_dict=self._tag_dict_for(tags_any),
+            tag_dict=self._tag_dict_for(tags_any, meta),
         ).select("id")
         kept = over.select(
             "query_id", F.col("vec_id").alias("id"), "score"
@@ -3183,10 +3238,18 @@ class VectorCollection:
             vec_col="vector",
         )
 
-    def _tag_dict_for(self, tags_any) -> DataFrame | None:
-        """Load the tag dictionary only when a string tag needs it."""
+    def _tag_dict_for(self, tags_any, meta: dict | None = None) -> DataFrame | None:
+        """Load the tag dictionary only when a string tag needs it.
+
+        Pass the query's manifest snapshot as `meta` (ADVICE r12 low):
+        the dictionary pointer then resolves from the SAME snapshot as
+        the index paths, keeping the one-manifest-read-per-query
+        invariant intact for string-tag-filtered queries too (a
+        concurrent tag-dict extension otherwise slips a newer dict into
+        a query mid-plan — harmless today because tag ids are
+        append-only, but it contradicted the advertised contract)."""
         if tags_any and any(isinstance(t, str) for t in tags_any):
-            td = self.tag_dict()
+            td = self.tag_dict(meta)
             if td is None:
                 raise ValueError(
                     "string tags_any but this collection has no tag dictionary "
