@@ -139,6 +139,7 @@ def main() -> None:
         "_rebuild_under_ingest_collection",
         "_recert_after_resize_state",
         "_maintainer_lifecycle_state",
+        "_fold_during_rebuild_state",
     ):
         try:
             import write_optimized_vector_database_spark.queries_ext as _qx
@@ -912,9 +913,10 @@ def main() -> None:
                 )
 
                 # one manifest snapshot for index + artifacts (ADVICE
-                # r11 high — this probe races the background swap too)
+                # r11 high — this probe races the background swap too);
+                # merged view: folds land in overlay dirs as of round 13
                 m_ = coll._meta()
-                idx = spark.read.parquet(coll._stable_index_path(m_))
+                idx = coll.stable_index_df(m_)
                 cents_p, books_p = coll._index_artifacts(m_)
                 tp0 = time.time()
                 ivfpq_adc_topk(
@@ -1080,7 +1082,7 @@ def main() -> None:
                     exact_topk,
                 )
 
-                idx_df = spark.read.parquet(coll._stable_index_path())
+                idx_df = coll.stable_index_df()
                 cents, codebooks = coll._index_artifacts()
                 tp = time.time()
                 ivfpq_adc_topk(

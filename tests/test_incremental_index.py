@@ -45,9 +45,10 @@ def coll(spark, tmp_path):
 
 
 def _index_rows(spark, path):
-    # resolve the live generation via the manifest pointer (round 11)
+    # the merged stable view (round 13): base generation + fold
+    # overlays, resolved through the manifest pointers
     c = VectorCollection(spark, path, metric="ip")
-    df = spark.read.parquet(c._stable_index_path())
+    df = c.stable_index_df()
     return {
         (r.id, int(r.centroid_id), tuple(r.codes)) for r in df.collect()
     }
@@ -96,12 +97,128 @@ def test_refresh_rewrites_only_affected_lists(spark, coll):
     assert stats["n_touched"] == 1
     nlist_total = len(glob.glob(f"{coll._stable_index_path()}/centroid_id=*"))
     assert stats["n_lists_rewritten"] < nlist_total
-    untouched_same = 0
+    # reader safety (round 13): the fold writes an OVERLAY dir and the
+    # base generation stays byte-identical — every pre-fold file intact
     for f, mt in files_before.items():
-        if os.path.exists(f) and os.path.getmtime(f) == mt:
-            untouched_same += 1
-    # at least one partition survived byte-identical (not a full rewrite)
-    assert untouched_same > 0
+        assert os.path.exists(f) and os.path.getmtime(f) == mt
+    # the overlay exists on disk, is referenced by the override map,
+    # and holds exactly the affected lists
+    meta = coll._meta()
+    ov = meta["index_fold_overrides"]
+    assert len(ov) == stats["n_lists_rewritten"]
+    assert set(ov.values()) == {stats["fold_dir"]}
+    assert os.path.isdir(f"{coll.path}/{stats['fold_dir']}")
+
+
+def test_fold_overlays_consolidate_and_reader_plans_survive(spark, coll):
+    """Round 13 reader-safe folds: (a) a query plan bound BEFORE a
+    string of folds still collects green afterwards — retired overlay
+    dirs and the untouched base stay readable for the retention
+    window; (b) the live overlay fan-in never exceeds FOLD_DIRS_MAX —
+    a consolidation fold rewrites all overridden lists into one dir;
+    (c) after many folds the merged view still equals a full
+    re-encode with the same artifacts."""
+    from write_optimized_vector_database_spark import collection as CM
+    from write_optimized_vector_database_spark.operators.ivfpq import ivfpq_encode
+
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8)], "query_id long, query_vec array<float>"
+    )
+    plan = coll.topk_two_phase(q, k=5, nprobe=8)  # binds pre-fold paths
+    consolidations = 0
+    cap_orig = CM.FOLD_DIRS_MAX
+    CM.FOLD_DIRS_MAX = 2  # deterministic: force consolidation pressure
+    try:
+        for rep in range(8):
+            coll.ingest(
+                spark.createDataFrame(
+                    _ops([rep * 3, rep * 3 + 1], op="UPSERT",
+                         epoch0=10_000 * (rep + 1)),
+                    SCHEMA,
+                )
+            )
+            stats = coll.refresh_indexes()
+            assert stats["n_touched"] == 2
+            consolidations += int(stats["consolidated"])
+            live_dirs = {
+                v
+                for v in coll._meta()["index_fold_overrides"].values()
+                if v
+            }
+            assert len(live_dirs) <= 2
+    finally:
+        CM.FOLD_DIRS_MAX = cap_orig
+    assert consolidations >= 1, "fan-in cap never forced a consolidation"
+    # (a) the prebound plan still reads (overlays retained, base intact)
+    assert len(plan.collect()) == 5
+    # (c) merged view == full re-encode with the same artifacts
+    cents = spark.read.parquet(coll._stable_centroids_path())
+    cbs = spark.read.parquet(coll._codebooks_path())
+    cur = coll.current().filter(F.col("vector").isNotNull())
+    want = {
+        (r.id, int(r.centroid_id), tuple(r.codes))
+        for r in ivfpq_encode(
+            cur, cents, cbs, vec_col="vector", id_col="id"
+        ).collect()
+    }
+    assert _index_rows(spark, coll.path) == want
+    # retired overlays age out with the generation retention window;
+    # live overlays and the base generation survive the sweep
+    coll._gc_index_generations(retention_s=0.0)
+    live_dirs = {
+        v for v in coll._meta()["index_fold_overrides"].values() if v
+    }
+    on_disk = {
+        d for d in os.listdir(coll.path) if d.startswith("index_fold")
+    }
+    assert on_disk == live_dirs
+    assert _index_rows(spark, coll.path) == want
+    # a full rebuild resets the overlay map and retires its dirs
+    coll.build_indexes(nlist=8, m=4, nbits=4)
+    assert coll._meta()["index_fold_overrides"] == {}
+    coll._gc_index_generations(retention_s=0.0)
+    assert not any(
+        d.startswith("index_fold") for d in os.listdir(coll.path)
+    )
+
+
+def test_concurrent_fold_stale_guard(spark, coll):
+    """Two folds racing from the SAME manifest snapshot: the second to
+    reach the manifest advance must detect the epoch moved and discard
+    itself (superseded_mid_fold) — its rows stay in the delta for the
+    next refresh instead of double-installing overlays."""
+    coll.ingest(
+        spark.createDataFrame(_ops([0, 1], op="UPSERT", epoch0=10_000), SCHEMA)
+    )
+    # deterministic interleave: fold B runs to completion inside fold
+    # A's window (between A's snapshot and A's advance)
+    real_fold_corr = coll._fold_correlation_stats
+    inner = {"done": False, "stats": None}
+
+    def fold_inside(*a, **kw):
+        if not inner["done"]:
+            inner["done"] = True
+            coll._fold_correlation_stats = real_fold_corr
+            inner["stats"] = coll.refresh_indexes()  # fold B: clean
+        return real_fold_corr(*a, **kw)
+
+    coll._fold_correlation_stats = fold_inside
+    try:
+        stats_a = coll.refresh_indexes()  # fold A: superseded by B
+    finally:
+        coll._fold_correlation_stats = real_fold_corr
+    assert inner["stats"] is not None
+    assert inner["stats"].get("superseded_mid_fold") is None
+    assert stats_a.get("superseded_mid_fold") is True
+    # fold A's overlay was retired, fold B's serves; the view is exact
+    meta = coll._meta()
+    live = {v for v in meta["index_fold_overrides"].values() if v}
+    assert stats_a["fold_dir"] not in live
+    assert inner["stats"]["fold_dir"] in live
+    got_ids = {t[0] for t in _index_rows(spark, coll.path)}
+    assert {0, 1} <= got_ids
+    # nothing left unfolded: the winning fold covered the window
+    assert coll.refresh_indexes()["n_touched"] == 0
 
 
 def test_refresh_noop_when_no_delta(coll):
@@ -502,11 +619,13 @@ class TestRebuildUnderIngest:
             for r in coll.topk_two_phase(q, k=5, nprobe=8).collect()
         }
         assert after == before
-        # re-running the interrupted build succeeds, reusing (and
-        # overwriting) the orphan generation dirs — a crashed build
-        # never consumes a generation number
+        # re-running the interrupted build succeeds. The crashed build
+        # DID consume a generation number (ids are reserved under the
+        # writer lock before any dir is written — ADVICE r12 medium),
+        # so the re-run gets a strictly fresh id and never overwrites
+        # the orphan dirs; GC reclaims them by prefix sweep.
         coll.build_indexes(nlist=16, m=4, nbits=4)
-        assert coll.describe_index()["index_build_id"] == d0["index_build_id"] + 1
+        assert coll.describe_index()["index_build_id"] > d0["index_build_id"]
         assert coll._meta()["index_nlist"] == 16
 
     def test_generations_gc_by_retention_window(self, spark, coll):

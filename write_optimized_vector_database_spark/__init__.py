@@ -32,10 +32,14 @@ from write_optimized_vector_database_spark.maintenance import (  # noqa: E402
     IndexMaintainer,
     fair_scheduler_conf,
 )
+from write_optimized_vector_database_spark.collection import (  # noqa: E402
+    IndexVacuumedError,
+)
 
 __all__ = [
     "get_spark",
     "IndexMaintainer",
+    "IndexVacuumedError",
     "fair_scheduler_conf",
     "__version__",
 ]

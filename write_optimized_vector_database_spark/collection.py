@@ -72,6 +72,26 @@ INDEX_GEN_RETENTION_S = float(
     os.environ.get("SPARK_GRAFT_GEN_RETENTION_S", "600")
 )
 
+# Fold-overlay fan-in cap (round 13): each refresh fold writes its
+# affected posting lists into a FRESH overlay dir (reader-safe — the
+# live base generation is never rewritten in place; ADVICE r12 medium),
+# and the stable-index view unions base + live overlays. When the count
+# of live overlay dirs reaches this cap, the next fold consolidates:
+# it rewrites ALL overridden lists into one overlay so the union fan-in
+# stays bounded (≤ cap + 1 sources) no matter how many folds run
+# between rebuilds. Consolidation cost is O(overridden lists) — paid
+# once per cap-many folds, never O(index).
+FOLD_DIRS_MAX = int(os.environ.get("SPARK_GRAFT_FOLD_DIRS_MAX", "6"))
+
+
+class IndexVacuumedError(ValueError):
+    """refresh_indexes() cannot fold incrementally: vacuum() collapsed
+    the changelog past the stable index's epoch, so delete visibility
+    for the gap is no longer derivable. Only a full build_indexes() /
+    auto_resize(force=True) repairs this. A distinct type (ADVICE r12
+    medium) so maintenance loops can tell this actionable state apart
+    from the benign no-index-yet ValueError instead of going silent."""
+
 
 class _MetaLock:
     """Per-collection-path manifest writer lock (ADVICE r11 medium):
@@ -245,6 +265,47 @@ class VectorCollection:
 
         self._meta_mutate(_bump)
         return out["gen"]
+
+    def _reserve_fold_dir(self) -> str:
+        """Reserve a fresh fold-overlay dir name under the writer lock
+        and PRE-REGISTER it in the manifest's `index_fold_pending` map
+        (dir → reservation time) BEFORE anything is written to it.
+        Registration-before-write is what makes concurrent GC safe: a
+        rebuild's post-swap `_gc_index_generations` sweep keeps every
+        pending dir, so it can never delete an overlay a concurrent
+        fold is mid-writing (folds run BESIDE rebuilds as of round 13).
+        The fold's final manifest advance moves the entry from pending
+        to `index_fold_overrides`; a superseded/stale fold retires it
+        into the retention history instead. Crash-orphaned pending
+        entries self-heal here: anything pending longer than
+        max(retention, 1 h) is retired so its dir GCs."""
+        out: dict = {}
+        now = time.time()
+
+        def _mut(m: dict) -> None:
+            nxt = int(m.get("index_fold_seq", 0)) + 1
+            m["index_fold_seq"] = nxt
+            sub = f"index_fold_g{nxt}"
+            pend = dict(m.get("index_fold_pending", {}))
+            hist = list(m.get("index_gen_history", []))
+            if "index_gen_history" not in m and m.get("index_prev_keep"):
+                # legacy manifest: installing a history would drop the
+                # prev_keep fallback from the GC keep-set — carry it in
+                hist.append(
+                    {"paths": list(m["index_prev_keep"]), "superseded_at": now}
+                )
+            stale_cut = max(self.gen_retention_s, 3600.0)
+            for d, t0 in list(pend.items()):
+                if now - float(t0) > stale_cut:
+                    pend.pop(d)
+                    hist.append({"paths": [d], "superseded_at": now})
+            pend[sub] = now
+            m["index_fold_pending"] = pend
+            m["index_gen_history"] = hist
+            out["sub"] = sub
+
+        self._meta_mutate(_mut)
+        return out["sub"]
 
     def _meta(self) -> dict:
         if self.fs.exists(self._meta_path):
@@ -1122,6 +1183,21 @@ class VectorCollection:
                 m.get("index_codebooks_path", "index_codebooks"),
                 m.get("index_rotation_path", "index_rotation"),
             ]
+            # the old generation's fold overlays (round 13) are part of
+            # its read view — retire them WITH it so in-flight readers
+            # keep resolving them for the retention window; pending
+            # overlays (a fold racing this swap) retire too — that
+            # fold's advance will see the build_id change and no-op
+            superseded += sorted(
+                {
+                    v
+                    for v in (m.get("index_fold_overrides") or {}).values()
+                    if v
+                }
+                | set((m.get("index_fold_pending") or {}).keys())
+            )
+            m["index_fold_overrides"] = {}
+            m["index_fold_pending"] = {}
             # time-based multi-generation retention (ADVICE r11 medium):
             # every superseded generation is timestamped into the
             # history; _gc_index_generations removes a generation only
@@ -1439,6 +1515,52 @@ class VectorCollection:
     def _stable_index_path(self, meta: dict | None = None) -> str:
         return f"{self.path}/{self._stable_index_subdir(meta)}"
 
+    def stable_index_df(self, meta: dict | None = None) -> DataFrame:
+        """The stable index as ONE DataFrame: base generation dir plus
+        the live fold overlays (round 13). Folds no longer rewrite the
+        base generation's partitions in place (ADVICE r12 medium — a
+        reader scanning a list mid-overwrite transiently lost its
+        unchanged rows); each fold writes its affected lists to a fresh
+        overlay dir and atomically repoints `index_fold_overrides`
+        (centroid_id → overlay dir, None = list is now empty). This
+        view masks overridden lists out of the base scan and unions
+        each overlay filtered to the lists it currently owns — so a
+        query bound to one manifest snapshot reads one consistent
+        index, no matter how many folds land mid-query.
+
+        Plan shape: with no overrides this is exactly the old single
+        parquet scan. With overrides it is ≤ FOLD_DIRS_MAX + 1 parquet
+        sources under a union; a query's `centroid_id isin(probes)`
+        filter pushes into every branch, composing with the per-branch
+        in/not-in list masks, so partition pruning and bloom pushdown
+        survive unchanged (Catalyst turns long literal lists into
+        hash-set InSet predicates)."""
+        if meta is None:
+            meta = self._meta()
+        base = self.spark.read.parquet(self._stable_index_path(meta))
+        ov: dict = meta.get("index_fold_overrides") or {}
+        if not ov:
+            return base
+        cols = ["id", "centroid_id", "codes"]
+        ov_cids = [int(c) for c in ov]
+        parts = [
+            base.filter(~F.col("centroid_id").isin(ov_cids)).select(*cols)
+        ]
+        by_dir: dict[str, list[int]] = {}
+        for cid, sub in ov.items():
+            if sub is not None:
+                by_dir.setdefault(sub, []).append(int(cid))
+        for sub in sorted(by_dir):
+            parts.append(
+                self.spark.read.parquet(f"{self.path}/{sub}")
+                .filter(F.col("centroid_id").isin(by_dir[sub]))
+                .select(*cols)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _codebooks_path(self, meta: dict | None = None) -> str:
         return f"{self.path}/" + (self._meta() if meta is None else meta).get(
             "index_codebooks_path", "index_codebooks"
@@ -1481,6 +1603,17 @@ class VectorCollection:
             meta.get("index_codebooks_path", "index_codebooks"),
             meta.get("index_rotation_path", "index_rotation"),
         }
+        # live fold overlays (round 13): dirs the override map serves
+        # from, plus pending dirs a concurrent fold is mid-writing —
+        # pre-registered under the writer lock precisely so this sweep
+        # (which a rebuild runs WHILE folds continue) can never reap an
+        # overlay between its write and its manifest advance
+        keep |= {
+            v
+            for v in (meta.get("index_fold_overrides") or {}).values()
+            if v
+        }
+        keep |= set((meta.get("index_fold_pending") or {}).keys())
         for h in meta.get("index_gen_history", []):
             keep |= set(h.get("paths", []))
         if "index_gen_history" not in meta:
@@ -1495,6 +1628,7 @@ class VectorCollection:
             "index_centroids_stable",
             "index_codebooks",
             "index_rotation",
+            "index_fold",
         )
         for d in self.fs.list_dirs(self.path):
             name = d.rstrip("/").rsplit("/", 1)[-1]
@@ -1571,16 +1705,27 @@ class VectorCollection:
         centroids on a 24 h schedule, config.h:79-81 — between rebuilds
         the index is maintained, not rebuilt): only ids touched since
         the last build are re-encoded, and only the posting lists that
-        contain touched ids are rewritten (dynamic partition overwrite).
-        Cost is O(delta + affected lists), never O(index) — the
-        merge-on-write analog of the reference's delta→stable compaction
-        for the index itself.
+        contain touched ids are rewritten. Cost is O(delta + affected
+        lists), never O(index) — the merge-on-write analog of the
+        reference's delta→stable compaction for the index itself.
+
+        READER-SAFE and REBUILD-CONCURRENT (round 13, ADVICE r12
+        medium): the rewrite lands in a fresh overlay dir and one
+        locked manifest write repoints the affected lists
+        (`index_fold_overrides`) — the base generation and prior
+        overlays are never modified, so queries concurrent with the
+        fold read a fully consistent index, and a fold may run BESIDE
+        a background rebuild (the swap/epoch guards in the final
+        manifest advance discard a fold the rebuild superseded).
+        `stable_index_df()` is the merged read view; overlay fan-in is
+        bounded by FOLD_DIRS_MAX via consolidation folds.
 
         Requires the changelog tail back to the index epoch (the normal
         schedule: refresh, then vacuum). If vacuum() already collapsed
         past it, delete visibility can't be derived incrementally —
-        raises, directing callers to a full build_indexes().
-        Returns {n_touched, n_reencoded, n_lists_rewritten}.
+        raises IndexVacuumedError, directing callers to a full
+        build_indexes(). Returns {n_touched, n_reencoded,
+        n_lists_rewritten, fold_dir, consolidated, needs_rebuild}.
         """
         from write_optimized_vector_database_spark.operators.ivf import (
             assign_centroids,
@@ -1600,7 +1745,7 @@ class VectorCollection:
         if idx_epoch < 0:
             raise ValueError("no stable index; run build_indexes() first")
         if fold_meta.get("vacuum_epoch", -1) > idx_epoch:
-            raise ValueError(
+            raise IndexVacuumedError(
                 "changelog vacuumed past the index epoch — deletes are no "
                 "longer derivable incrementally; run build_indexes()"
             )
@@ -1657,8 +1802,17 @@ class VectorCollection:
             )
         new_rows = new_rows.persist()
 
-        stable_path = self._stable_index_path(fold_meta)
-        index = spark.read.parquet(stable_path)
+        # the fold reads the MERGED view (base + live overlays): earlier
+        # folds' output lives in overlay dirs, not the base generation
+        index = self.stable_index_df(fold_meta)
+        overrides: dict = dict(fold_meta.get("index_fold_overrides") or {})
+        # overlay consolidation decision (round 13): when the live
+        # overlay count has reached the fan-in cap, this fold rewrites
+        # every overridden list into its own overlay so all older
+        # overlay dirs retire — the reader's union stays bounded
+        consolidate = (
+            len({v for v in overrides.values() if v}) >= FOLD_DIRS_MAX
+        )
         # affected lists: where touched ids sit now, plus where they used
         # to sit. touched is delta-sized → broadcast semi-join; the index
         # side is an int-only columnar scan. The hit set is also the
@@ -1685,45 +1839,50 @@ class VectorCollection:
         # cache the old_lists distinct just populated
         n_removed = old_hits.count()
 
-        keep = index.filter(F.col("centroid_id").isin(affected)).join(
+        # lists this fold's overlay will own: the touched lists, plus —
+        # on a consolidation fold — every currently-overridden list
+        affected_all = (
+            sorted(set(affected) | {int(c) for c in overrides})
+            if consolidate
+            else affected
+        )
+        keep = index.filter(F.col("centroid_id").isin(affected_all)).join(
             F.broadcast(touched), "id", "left_anti"
         )
-        # materialize BEFORE the write: the plan reads index_stable and
-        # the write replaces it — localCheckpoint severs the read
-        # dependency (the checkpointed set is affected-lists-sized, the
-        # same data the write is about to produce anyway)
         out = (
             keep.select("id", "centroid_id", "codes")
             .unionByName(new_rows.select("id", "centroid_id", "codes"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
         n_reencoded = new_rows.count()
-        # dynamic overwrite replaces ONLY the partitions present in `out`
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                self._with_bloom(out.repartition("centroid_id").write)
-                .mode("overwrite")
-                .partitionBy("centroid_id")
-                .parquet(stable_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        # a list whose every row died produces no output rows, so dynamic
-        # overwrite leaves its stale dir behind — drop it explicitly
+        # reader-safe write (ADVICE r12 medium): the fold lands in a
+        # FRESH overlay dir — the base generation and every prior
+        # overlay stay byte-identical on disk, so a reader that bound
+        # its manifest snapshot any time before the advance below keeps
+        # a fully consistent index. The dir name was reserved and
+        # pre-registered in index_fold_pending under the writer lock
+        # (see _reserve_fold_dir), so a rebuild's concurrent GC sweep
+        # cannot reap it between this write and the manifest advance.
+        fold_sub = self._reserve_fold_dir()
+        (
+            self._with_bloom(out.repartition("centroid_id").write)
+            .mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/{fold_sub}")
+        )
+        # a list whose every row died produces no output rows in the
+        # overlay — its override maps to None below, masking the stale
+        # base partition out of the merged view (nothing is deleted)
         live = {
-            r.centroid_id for r in out.select("centroid_id").distinct().collect()
+            int(r.centroid_id)
+            for r in out.select("centroid_id").distinct().collect()
         }
-        for cid in set(affected) - live:
-            self.fs.rmtree(f"{stable_path}/centroid_id={cid}")
-        # the session caches file listings per path; the overwrite just
-        # replaced files under it — stale entries 404 later reads
-        spark.catalog.refreshByPath(stable_path)
-        # torn state: posting lists rewritten, epoch not yet advanced —
-        # reads stay correct because the delta scan re-covers the folded
-        # rows and the two-phase merge dedups by (query, id); a re-run
-        # re-folds idempotently (crash-tested at this point)
+        out.unpersist()
+        # torn state: overlay written, manifest not yet advanced — the
+        # overlay is INVISIBLE (pending, unreferenced), the old state is
+        # fully live, and a re-run re-folds idempotently into a fresh
+        # overlay; the orphan dir self-heals via the pending-retirement
+        # sweep in _reserve_fold_dir (crash-tested at this point)
         _fault("index_rewritten")
         # correlation-histogram maintenance (VERDICT r09 #5): the fold
         # may add filter values to lists the build-time histograms never
@@ -1761,18 +1920,53 @@ class VectorCollection:
         # lets needs_rebuild() notice nlist no longer tracking n.
         superseded = [False]
 
+        def _retire(m: dict, dirs: list[str], now: float) -> None:
+            hist = list(m.get("index_gen_history", []))
+            for d in dirs:
+                hist.append({"paths": [d], "superseded_at": now})
+            m["index_gen_history"] = hist
+
         def _advance(m: dict) -> None:
             # generation guard (ADVICE r11 medium): a background
             # rebuild's atomic swap landing mid-fold means this fold
             # rewrote the now-SUPERSEDED generation — its window is
             # re-covered by the new generation's delta (epoch >
             # build_hi), so advancing index_epoch/index_rows here would
-            # corrupt the NEW generation's bookkeeping. Skip the
-            # advance; the fold's disk work went into a retained old
-            # generation and is harmless.
-            if m.get("index_build_id") != fold_build_id:
+            # corrupt the NEW generation's bookkeeping. The epoch guard
+            # (round 13) additionally catches a CONCURRENT FOLD that
+            # advanced first — this fold's window is then stale and its
+            # rows stay in the delta for the next refresh. Either way:
+            # skip the advance and retire our overlay into the
+            # retention history so GC reclaims it.
+            now = time.time()
+            if (
+                m.get("index_build_id") != fold_build_id
+                or int(m.get("index_epoch", -1)) != int(idx_epoch)
+            ):
                 superseded[0] = True
+                pend = dict(m.get("index_fold_pending", {}))
+                if fold_sub in pend:
+                    pend.pop(fold_sub)
+                    m["index_fold_pending"] = pend
+                    _retire(m, [fold_sub], now)
                 return
+            # install the overlay: affected lists repoint to this
+            # fold's dir (None = the list is now empty); on a
+            # consolidation fold the map is rebuilt from scratch
+            old_ov = dict(m.get("index_fold_overrides", {}))
+            new_ov: dict = {} if consolidate else dict(old_ov)
+            for cid in affected_all:
+                new_ov[str(cid)] = fold_sub if cid in live else None
+            old_dirs = {v for v in old_ov.values() if v}
+            new_dirs = {v for v in new_ov.values() if v}
+            pend = dict(m.get("index_fold_pending", {}))
+            pend.pop(fold_sub, None)
+            m["index_fold_pending"] = pend
+            m["index_fold_overrides"] = new_ov
+            # overlay dirs no longer referenced by any list retire into
+            # the time-based retention history (in-flight readers keep
+            # resolving them for gen_retention_s, same as generations)
+            _retire(m, sorted(old_dirs - new_dirs), now)
             rows_now = int(m.get("index_rows", m.get("index_rows_built", 0)))
             m["index_epoch"] = fold_hi
             m["index_rows"] = max(
@@ -1785,6 +1979,8 @@ class VectorCollection:
             "n_touched": n_touched,
             "n_reencoded": int(n_reencoded),
             "n_lists_rewritten": len(affected),
+            "fold_dir": fold_sub,
+            "consolidated": bool(consolidate),
             "needs_rebuild": self.needs_rebuild(),
             **({"superseded_mid_fold": True} if superseded[0] else {}),
         }
@@ -1984,7 +2180,9 @@ class VectorCollection:
             # certified two-phase knob
             nprobe = self._default_nprobe(family="ivfpq", meta=meta)
         spark = self.spark
-        index = spark.read.parquet(self._stable_index_path(meta))
+        # merged view (round 13): base generation + live fold overlays,
+        # all resolved from THIS query's one manifest snapshot
+        index = self.stable_index_df(meta)
         cents, codebooks = self._index_artifacts(meta)
         idx_epoch = self._index_epoch(meta)
 
@@ -2405,6 +2603,7 @@ class VectorCollection:
         index_subdir: str | None = None,
         label: str = "stable",
         write_meta: bool = True,
+        index_df: DataFrame | None = None,
     ) -> dict | None:
         """Per-filter-value CENTROID histograms for the filtered-search
         planner (VERDICT r08 #1). Marginal selectivity alone cannot see
@@ -2442,9 +2641,15 @@ class VectorCollection:
         if not dims and not has_tags:
             return None
         spark = self.spark
-        idx = spark.read.parquet(f"{self.path}/{index_subdir}").select(
-            "id", "centroid_id"
-        )
+        # `index_df` (round 13): the stable index is base + overlays, so
+        # callers describing the LIVE index pass the merged view; the
+        # raw-subdir path remains for build-time stats over a
+        # just-written (override-free) generation dir
+        idx = (
+            index_df
+            if index_df is not None
+            else spark.read.parquet(f"{self.path}/{index_subdir}")
+        ).select("id", "centroid_id")
         keep = ["id"] + dims + (["tags"] if has_tags else [])
         joined = idx.join(cur.select(*keep), "id")
         parts = [
@@ -2991,6 +3196,27 @@ class VectorCollection:
             "index_path": meta.get("index_stable_path", "index_stable"),
             "index_prev_keep": meta.get("index_prev_keep", []),
             "index_gen_history": meta.get("index_gen_history", []),
+            # the retention contract, surfaced (VERDICT r12 #3): a
+            # superseded generation/overlay outlives its swap by this
+            # many seconds — operators with readers longer than this
+            # must raise SPARK_GRAFT_GEN_RETENTION_S
+            "gen_retention_s": self.gen_retention_s,
+            # fold-overlay state (round 13): how many lists currently
+            # serve from overlays instead of the base generation, and
+            # the live overlay dirs (union fan-in = dirs + 1)
+            "fold_overridden_lists": len(
+                meta.get("index_fold_overrides") or {}
+            ),
+            "fold_dirs_live": sorted(
+                {
+                    v
+                    for v in (meta.get("index_fold_overrides") or {}).values()
+                    if v
+                }
+            ),
+            "fold_dirs_pending": sorted(
+                (meta.get("index_fold_pending") or {}).keys()
+            ),
         }
 
     def needs_rebuild(self, alpha: float = 4.0, meta: dict | None = None) -> bool:
@@ -3028,7 +3254,11 @@ class VectorCollection:
         return max(nlist, math.ceil(nlist * math.sqrt(rows / built)))
 
     def auto_resize(
-        self, alpha: float = 4.0, recertify: bool = True, **build_kwargs
+        self,
+        alpha: float = 4.0,
+        recertify: bool = True,
+        force: bool = False,
+        **build_kwargs,
     ) -> dict | None:
         """Rebuild the stable index at `recommended_nlist()` when
         `needs_rebuild(alpha)` — the maintenance-loop hook (call it on
@@ -3050,9 +3280,13 @@ class VectorCollection:
         miss honestly (target_met=False stays stale). Opt out with
         recertify=False."""
         # one manifest snapshot drives the whole decision (ADVICE r11
-        # high): odometer check, deployed knobs, and certificate state
+        # high): odometer check, deployed knobs, and certificate state.
+        # `force=True` (round 13) skips the odometer gate — the repair
+        # path for a collection vacuumed past its index epoch, where
+        # incremental folds are impossible and only a full rebuild
+        # restores maintainability regardless of the growth ratio.
         meta = self._meta()
-        if not self.needs_rebuild(alpha, meta=meta):
+        if not force and not self.needs_rebuild(alpha, meta=meta):
             return None
         at = meta.get("auto_tune") or {}
         had_cert = (
@@ -3207,7 +3441,11 @@ class VectorCollection:
             return None
         cur = self.current().filter(F.col("vector").isNotNull())
         return self._collect_correlation_stats(
-            cur, index_subdir=subdir, label=label
+            cur,
+            index_subdir=subdir,
+            label=label,
+            # live stable index = base + fold overlays (round 13)
+            index_df=self.stable_index_df(meta) if label == "stable" else None,
         )
 
     # -- read path ----------------------------------------------------------

@@ -11,14 +11,20 @@ first-class concurrent activity, not a stop-the-world one).
 
 The contract `IndexMaintainer` enforces:
 
-- **Mutators serialize; readers never do.** refresh folds and resize
-  rebuilds both read-modify-write the manifest and the stable index
-  dirs; running them concurrently is what the single-writer convention
-  forbade. `tick()` skips the fold while a rebuild is in flight and
-  never launches a second rebuild. Readers (`topk_two_phase` et al.)
-  need nothing from this class — they resolve generation paths per call
-  from one manifest snapshot, serve the old generation until the atomic
-  swap and the new one after (collection.py round 11/12).
+- **Mutators serialize on the manifest; readers never do.** As of
+  round 13 refresh folds KEEP RUNNING while a resize rebuilds in the
+  background: every index mutation lands in a fresh dir (generation or
+  fold overlay) and publishes through one locked manifest write, so
+  the only serialization point is the manifest RMW itself — a fold the
+  rebuild's swap supersedes discards its own advance (collection.py
+  round-13 epoch/build-id guards). This keeps the unfolded delta
+  bounded across an hours-long rebuild wall instead of letting the
+  delta-scan term grow for its whole duration (the reference's delta
+  target is ≤5%, types.h:143). `tick()` still never launches a second
+  rebuild. Readers (`topk_two_phase` et al.) need nothing from this
+  class — they resolve generation paths per call from one manifest
+  snapshot, serve the old generation until the atomic swap and the new
+  one after (collection.py round 11/12/13).
 - **The rebuild is non-blocking.** `resize_async()` runs
   `collection.auto_resize()` on a daemon worker thread; the caller's
   serving loop (or streaming trigger) continues immediately. The
@@ -128,32 +134,60 @@ class IndexMaintainer:
         """One maintenance heartbeat — call on the fold cadence (the
         same schedule as compact()). Never blocks on a rebuild:
 
-        - rebuild in flight → skip the fold (mutators serialize;
-          queries stay correct regardless because the delta scan covers
-          everything the paused folds would have covered);
-        - otherwise fold the delta (`refresh_indexes`), then act on the
-          growth odometer: launch `auto_resize` on the background
-          worker when rows-per-list exceed alpha× the built ratio.
+        - the fold (`refresh_indexes`) runs EVERY tick, including while
+          a rebuild is in flight (round 13 / VERDICT r12 #1): at scale
+          the rebuild wall is hours, and pausing folds for it grows the
+          unfolded delta without bound — exactly the delta-scan term
+          that dominates serving latency (the reference targets delta
+          fraction ≤5%, types.h:143, and retrains BESIDE ingest,
+          config.h:79-81). Safe because folds write fresh overlay dirs
+          and serialize with the rebuild on the manifest writer lock;
+          a fold the swap supersedes mid-flight discards itself
+          (collection.refresh_indexes round-13 guards);
+        - a collection vacuumed past its index epoch can no longer fold
+          (ADVICE r12 medium — previously swallowed silently): the
+          status dict carries `fold_error`, and when `alpha` is set a
+          FULL rebuild launches (`auto_resize(force=True)`) to restore
+          maintainability;
+        - after a clean fold, act on the growth odometer: launch
+          `auto_resize` on the background worker when rows-per-list
+          exceed alpha× the built ratio (never while one is in flight).
 
-        Returns a status dict ({folded, rebuilding, fold?,
-        resize_launched?}); raises nothing on the no-index-yet path so
-        ingest loops can call it unconditionally."""
+        Returns a status dict ({folded, rebuilding, fold?, fold_error?,
+        resize_launched?, resize_reason?}); raises nothing on the
+        no-index-yet path so ingest loops can call it unconditionally."""
+        from write_optimized_vector_database_spark.collection import (
+            IndexVacuumedError,
+        )
+
         if not self._guard.acquire(blocking=False):
             # another thread is mid-tick/mid-launch — mutators serialize
             return {"folded": False, "rebuilding": self.is_rebuilding(),
                     "skipped": "mutator_busy"}
         try:
-            if self.is_rebuilding():
-                return {"folded": False, "rebuilding": True}
-            out: dict = {"folded": False, "rebuilding": False}
+            rebuilding = self.is_rebuilding()
+            out: dict = {"folded": False, "rebuilding": rebuilding}
             try:
                 out["fold"] = self.coll.refresh_indexes()
                 out["folded"] = True
-            except ValueError:
-                # no stable index yet (or vacuumed past it) —
-                # maintenance starts after the first build_indexes()
+            except IndexVacuumedError as e:
+                # actionable, never silent: the changelog no longer
+                # reaches back to the index epoch — surface it, and
+                # self-heal with a full rebuild when we own sizing
+                out["fold_error"] = str(e)
+                if self.alpha is not None and not rebuilding:
+                    out["resize_launched"] = self._launch_locked(force=True)
+                    out["resize_reason"] = "vacuumed_past_full_rebuild"
                 return out
-            if self.alpha is not None and self.coll.needs_rebuild(self.alpha):
+            except ValueError:
+                # no stable index yet — maintenance starts after the
+                # first build_indexes()
+                return out
+            if (
+                not rebuilding
+                and self.alpha is not None
+                and self.coll.needs_rebuild(self.alpha)
+            ):
                 if self.on_before_resize is not None:
                     try:
                         self.on_before_resize()
@@ -173,11 +207,11 @@ class IndexMaintainer:
         with self._guard:
             return self._launch_locked()
 
-    def _launch_locked(self) -> bool:
+    def _launch_locked(self, force: bool = False) -> bool:
         if self.is_rebuilding():
             return False
         ev: dict = {"t_start": time.time(), "t_end": None, "error": None,
-                    "result": None, "pool": None}
+                    "result": None, "pool": None, "forced": force}
         self.last_resize = ev
 
         def _run():
@@ -190,6 +224,7 @@ class IndexMaintainer:
                 ev["result"] = self.coll.auto_resize(
                     alpha=self.alpha if self.alpha is not None else 4.0,
                     recertify=self.recertify,
+                    force=force,
                 )
             except Exception as e:  # noqa: BLE001 — surfaced via last_resize
                 ev["error"] = f"{type(e).__name__}: {e}"

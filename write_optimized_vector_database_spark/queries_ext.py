@@ -3885,7 +3885,7 @@ def mut_rebuild_swap_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     coll = _rebuild_under_ingest_collection(spark, sf_dir)
     ids = spark.range(30).select(F.col("id"))
     idx = (
-        spark.read.parquet(coll._stable_index_path())
+        coll.stable_index_df()
         .select("id").distinct()
         .withColumn("in_index", F.lit(True))
     )
@@ -4418,6 +4418,174 @@ def mut_maintainer_async_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
         "folded_before_launch", "launched_in_background",
         "queries_ok_during_rebuild", "pool_was_maintenance",
         "no_error", "odometer_reset", "nlist_grew", "ryw_after_swap",
+    ]
+    return spark.createDataFrame(
+        [tuple(bool(state[c]) for c in cols)],
+        ", ".join(f"{c} boolean" for c in cols),
+    )
+
+
+_FOLD_REBUILD_STATES: dict[str, dict] = {}
+
+
+def _fold_during_rebuild_state(spark: SparkSession, sf_dir: str) -> dict:
+    """Scratch run of the round-13 folds-DURING-rebuild contract
+    (VERDICT r12 #1): at 100 TB a rebuild wall is hours, and a
+    maintainer that pauses folds for it grows the unfolded delta
+    without bound — the delta-scan term SCALE.md shows dominating
+    serving p50, vs the reference's delta-fraction ≤5% target
+    (/root/reference/include/woved/types.h:143) and its 24 h retrain
+    running beside ingest (src/cpp/core/config.h:79-81).
+
+    Deterministic shape: the background resize is HELD at its pre-swap
+    fault point (a long rebuild wall in miniature) while sustained
+    ingest lands; each IndexMaintainer.tick() must FOLD that delta
+    into the still-serving generation (reader-safe overlay dirs) and
+    drain it to zero — then the released swap must land clean, with
+    the mid-wall rows re-covered by the new generation's delta and
+    nothing lost or duplicated."""
+    import atexit
+    import shutil
+    import tempfile
+    import threading
+
+    from write_optimized_vector_database_spark import collection as CM
+    from write_optimized_vector_database_spark.collection import VectorCollection
+    from write_optimized_vector_database_spark.maintenance import IndexMaintainer
+
+    hit = _FOLD_REBUILD_STATES.get(sf_dir)
+    if hit is not None:
+        return hit
+    tmp = tempfile.mkdtemp(prefix="fold_rebuild_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    coll = VectorCollection(spark, tmp, metric="ip")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    dim = len(emb.select("embedding").first()[0])
+
+    def batch(rep: int, tenant: str, lo: int = 0, hi: int = 2000):
+        sub = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        return sub.select(
+            F.lit("INSERT").alias("op"),
+            (F.col("vec_id") + F.lit(rep * 1_000_000)).alias("id"),
+            F.lit(tenant).alias("tenant"),
+            F.lit("ns0").alias("namespace"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.pmod(
+                    F.xxhash64(F.col("vec_id") + F.lit(rep * 1_000_000), j),
+                    F.lit(1000),
+                ).cast("double") / F.lit(1000.0),
+            ).cast("array<float>").alias("vector"),
+            F.array(F.lit(0)).alias("tags"),
+            (F.col("vec_id") + F.lit(rep * 1_000_000)).alias("epoch"),
+        )
+
+    coll.ingest(batch(0, "base"))
+    coll.compact()
+    coll.build_indexes(nlist=8, m=8, nbits=8)
+    # trip the growth odometer via ordinary folds (5× the built rows)
+    for rep in (1, 2, 3, 4):
+        coll.ingest(batch(rep, "grow"))
+        coll.refresh_indexes()
+    maint = IndexMaintainer(coll, alpha=4.0)
+    # hold the rebuild at its pre-swap point: an hours-long wall in
+    # miniature, fully deterministic
+    gate = threading.Event()
+    reached = threading.Event()
+
+    def hook(point):
+        if point == "index_built_preswap":
+            reached.set()
+            gate.wait(timeout=600)
+
+    folds_during = 0
+    delta_drained = True
+    CM.FAULT_INJECT_HOOK = hook
+    try:
+        launched = maint.resize_async()
+        held = reached.wait(timeout=600)
+        for rep in (5, 6, 7):
+            # sustained ingest lands while the rebuild wall is up...
+            coll.ingest(batch(rep, "midwall", lo=0, hi=200))
+            st = maint.tick()
+            if st.get("rebuilding") and st.get("folded"):
+                folds_during += 1
+            # ...and each fold drains the delta of the SERVING
+            # generation to zero: the bounded-delta contract
+            m_ = coll._meta()
+            delta_n = (
+                coll.current()
+                .filter(
+                    (F.col("epoch") > int(m_.get("index_epoch", -1)))
+                    & F.col("vector").isNotNull()
+                )
+                .count()
+            )
+            delta_drained = delta_drained and delta_n == 0
+    finally:
+        gate.set()
+        ev = maint.join(timeout=600) or {}
+        CM.FAULT_INJECT_HOOK = None
+    meta = coll._meta()
+    # post-swap: the new generation owns the manifest (overlays reset),
+    # the mid-wall rows are re-covered by the NEW generation's delta
+    # (their epochs are past the build bound), and one more tick folds
+    # them — nothing lost, nothing duplicated
+    midwall_visible = (
+        coll.current().filter(F.col("tenant") == "midwall").count()
+    )
+    post_tick = maint.tick()
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    rows = coll.topk_two_phase(qdf, k=5, nprobe=8).collect()
+    pairs = [(r.query_id, r.vec_id) for r in rows]
+    state = {
+        "launched_in_background": bool(launched),
+        "rebuild_wall_held": bool(held),
+        "folds_landed_during_rebuild": folds_during == 3,
+        "delta_drained_by_each_fold": bool(delta_drained),
+        "swap_clean": ev.get("error") is None and ev.get("t_end") is not None,
+        "overlays_reset_by_swap": meta.get("index_fold_overrides") == {},
+        "no_midwall_row_lost": midwall_visible == 3 * 200,
+        "post_swap_fold_covers_midwall": bool(post_tick.get("folded")),
+        "serving_well_formed": len(pairs) == 2 * 5
+        and len(set(pairs)) == len(pairs),
+    }
+    _FOLD_REBUILD_STATES[sf_dir] = state
+    return state
+
+
+@register(
+    "mut_fold_during_rebuild_delta_bounded",
+    oracle="""
+SELECT TRUE AS launched_in_background, TRUE AS rebuild_wall_held,
+       TRUE AS folds_landed_during_rebuild,
+       TRUE AS delta_drained_by_each_fold, TRUE AS swap_clean,
+       TRUE AS overlays_reset_by_swap, TRUE AS no_midwall_row_lost,
+       TRUE AS post_swap_fold_covers_midwall, TRUE AS serving_well_formed
+""",
+    survey_ref="M3,S2,Q5 (folds keep flowing during a background rebuild; delta stays bounded)",
+    tags=["mutation", "index", "lifecycle", "maintenance"],
+)
+def mut_fold_during_rebuild_delta_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERDICT r12 #1 pinned as a driver-checked boolean battery: with
+    the background rebuild held mid-wall, every maintainer tick folds
+    the fresh delta into the still-serving generation (reader-safe
+    overlay dirs — ADVICE r12 medium) and drains it to ZERO rows; the
+    released swap lands clean, resets the overlay map, re-covers the
+    mid-wall rows in the new generation's delta, and serving stays
+    well-formed throughout. See _fold_during_rebuild_state for the
+    scale rationale and cost provenance."""
+    state = _fold_during_rebuild_state(spark, sf_dir)
+    cols = [
+        "launched_in_background", "rebuild_wall_held",
+        "folds_landed_during_rebuild", "delta_drained_by_each_fold",
+        "swap_clean", "overlays_reset_by_swap", "no_midwall_row_lost",
+        "post_swap_fold_covers_midwall", "serving_well_formed",
     ]
     return spark.createDataFrame(
         [tuple(bool(state[c]) for c in cols)],
