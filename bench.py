@@ -50,6 +50,18 @@ FORCE_MEDIAN = {"vec_autotune_build_recall"}
 # Each repeat uses a fresh scratch dir; p95 is reported alongside.
 STORAGE_REPEATS = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_STORAGE_REPEATS", "3")))
 
+# Shared process-lifetime lifecycle fixtures (queries_ext helpers) that
+# must be pre-warmed BEFORE any timing so their one-shot build never
+# bills to whichever entry happens to run first. tools/bench_ab.py
+# iterates this same tuple — add new shared fixtures HERE, once.
+SHARED_LIFECYCLE_FIXTURES = (
+    "_filtered_2p_collection",
+    "_rebuild_under_ingest_collection",
+    "_recert_after_resize_state",
+    "_maintainer_lifecycle_state",
+    "_fold_during_rebuild_state",
+)
+
 
 def _pctl(xs: list[float], q: float) -> float:
     ys = sorted(xs)
@@ -134,13 +146,7 @@ def main() -> None:
     # incomparable (the r12 run-A/run-B discrepancy). The cold cost is
     # documented in each fixture's docstring; the timed entry uniformly
     # measures the warm read.
-    for warm_name in (
-        "_filtered_2p_collection",
-        "_rebuild_under_ingest_collection",
-        "_recert_after_resize_state",
-        "_maintainer_lifecycle_state",
-        "_fold_during_rebuild_state",
-    ):
+    for warm_name in SHARED_LIFECYCLE_FIXTURES:
         try:
             import write_optimized_vector_database_spark.queries_ext as _qx
 

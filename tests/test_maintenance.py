@@ -324,6 +324,66 @@ class TestTagDictGenerationRetention:
         "vector array<float>, tags array<string>, epoch long"
     )
 
+    def test_concurrent_extensions_never_collide_ids(self, spark, tmp_path):
+        """Round 13: the whole extend (read dict → assign ids → write →
+        swap) is one critical section under the manifest writer lock.
+        Before, two concurrent string-tag ingests could assign the SAME
+        next id to different strings (a query for one tag silently
+        matching the other's rows) and the losing extension's novel
+        tags vanished from the live dict while its rows were already
+        encoded against them."""
+        c = VectorCollection(spark, str(tmp_path / "ctd"), metric="ip")
+        c.ingest(
+            spark.createDataFrame(
+                self._sops(range(10), lambda i: ["seed"]), self.SSCHEMA
+            )
+        )
+        errors: list[str] = []
+
+        def extend(tag: str, lo: int):
+            try:
+                c.ingest(
+                    spark.createDataFrame(
+                        self._sops(
+                            range(lo, lo + 10), lambda i: [tag], epoch0=lo * 10
+                        ),
+                        self.SSCHEMA,
+                    )
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+        ts = [
+            threading.Thread(target=extend, args=(f"cc{k}", 100 * (k + 1)))
+            for k in range(4)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors, errors
+        dict_rows = c.tag_dict().collect()
+        ids = [r.tag_id for r in dict_rows]
+        tags = {r.tag for r in dict_rows}
+        # every extension's tag survives, every id is unique
+        assert {"seed", "cc0", "cc1", "cc2", "cc3"} <= tags
+        assert len(ids) == len(set(ids))
+        # and each tag's rows are retrievable through the encoded ids —
+        # cross-assigned ids would return another tag's rows here
+        for k in range(4):
+            lo = 100 * (k + 1)
+            got = {
+                r.id
+                for r in c.current()
+                .join(
+                    c.tag_dict().filter(F.col("tag") == f"cc{k}"),
+                    F.expr("array_contains(tags, tag_id)"),
+                )
+                .select("id")
+                .collect()
+            }
+            assert got == set(range(lo, lo + 10)), (k, sorted(got)[:5])
+
     def test_prebound_dict_survives_extension_gc(self, spark, tmp_path):
         c = VectorCollection(spark, str(tmp_path / "td"), metric="ip")
         c.ingest(

@@ -51,12 +51,20 @@ def _load_queries(path: str) -> dict[str, float]:
     if isinstance(doc.get("parsed"), dict):
         doc = doc["parsed"]
     qs = doc.get("queries", doc)
-    if not isinstance(qs, dict) or not qs:
+    out = (
+        {k: float(v) for k, v in qs.items() if isinstance(v, (int, float))}
+        if isinstance(qs, dict)
+        else {}
+    )
+    # validate AFTER the numeric filter: a structurally-present map of
+    # non-numeric values must abort like any other timing-free input,
+    # never fall through to a false "windows agree"
+    if not out:
         raise SystemExit(
             f"bench_ab: {path} carries no per-query timings "
             "(driver wrapper with parsed=null? use BENCH_FULL.json)"
         )
-    return {k: float(v) for k, v in qs.items() if isinstance(v, (int, float))}
+    return out
 
 
 def main() -> None:
@@ -125,13 +133,7 @@ def main() -> None:
     # fixtures must not bill their one-shot build to the first mover
     import write_optimized_vector_database_spark.queries_ext as _qx
 
-    for warm_name in (
-        "_filtered_2p_collection",
-        "_rebuild_under_ingest_collection",
-        "_recert_after_resize_state",
-        "_maintainer_lifecycle_state",
-        "_fold_during_rebuild_state",
-    ):
+    for warm_name in B.SHARED_LIFECYCLE_FIXTURES:
         try:
             getattr(_qx, warm_name)(spark, B.SF_DIR)
         except Exception as e:  # noqa: BLE001

@@ -247,7 +247,10 @@ def run_growth(spark, gens: int, synthetic_n: int = 0, dim: int = 768,
         n0 = base.count()
 
         def adc_wall() -> float:
-            idx = spark.read.parquet(coll._stable_index_path())
+            # merged view (round 13): folds land in overlay dirs, so a
+            # raw base-dir read would miss every folded row and keep
+            # probing the gen-0 index while index_rows doubles
+            idx = coll.stable_index_df()
             cents, codebooks = coll._index_artifacts()
             t0 = time.time()
             ivfpq_adc_topk(

@@ -338,28 +338,41 @@ class VectorCollection:
         gen_retention_s."""
         from write_optimized_vector_database_spark.operators import tags as TG
 
-        new_dict = TG.extend_tag_dictionary(self.tag_dict(), batch, tags_col="tags")
-        # id reserved under the writer lock (ADVICE r12 medium) so two
-        # concurrent string-tag ingests never write the same dir
-        gen = self._reserve_gen("tag_dict_build_seq", "tag_dict_build_id")
-        sub = f"tag_dict_g{gen}"
-        new_dict.write.mode("overwrite").parquet(f"{self.path}/{sub}")
-        swap_t = time.time()
-
-        def _swap(m: dict) -> None:
-            prev = m.get("tag_dict_path")
-            if prev is None and self.fs.isdir(f"{self.path}/tag_dict"):
-                prev = "tag_dict"  # legacy unversioned dir
-            hist = list(m.get("tag_dict_gen_history", []))
-            if prev:
-                hist.append({"paths": [prev], "superseded_at": swap_t})
-            m.update(
-                tag_dict_build_id=gen,
-                tag_dict_path=sub,
-                tag_dict_gen_history=hist,
+        # The WHOLE extension is ONE critical section under the
+        # manifest writer lock (round 13): the previous shape read the
+        # base dict, extended, and swapped last-writer-wins — two
+        # concurrent string-tag ingests could each assign the same next
+        # tag id to DIFFERENT strings (queries for one tag silently
+        # matching the other's rows), and the losing extension's novel
+        # tags were dropped from the live dict while its rows were
+        # already encoded against them. The dictionary is KB-scale and
+        # string-tag extension is rare, so holding the lock across the
+        # small parquet write is the correct trade; readers never take
+        # this lock (the re-entrant per-path lock makes the nested
+        # _reserve_gen/_meta_mutate calls free).
+        with self._meta_write_lock():
+            new_dict = TG.extend_tag_dictionary(
+                self.tag_dict(), batch, tags_col="tags"
             )
+            gen = self._reserve_gen("tag_dict_build_seq", "tag_dict_build_id")
+            sub = f"tag_dict_g{gen}"
+            new_dict.write.mode("overwrite").parquet(f"{self.path}/{sub}")
+            swap_t = time.time()
 
-        self._meta_mutate(_swap)
+            def _swap(m: dict) -> None:
+                prev = m.get("tag_dict_path")
+                if prev is None and self.fs.isdir(f"{self.path}/tag_dict"):
+                    prev = "tag_dict"  # legacy unversioned dir
+                hist = list(m.get("tag_dict_gen_history", []))
+                if prev:
+                    hist.append({"paths": [prev], "superseded_at": swap_t})
+                m.update(
+                    tag_dict_build_id=gen,
+                    tag_dict_path=sub,
+                    tag_dict_gen_history=hist,
+                )
+
+            self._meta_mutate(_swap)
         self._gc_tag_dict_generations()
         return TG.encode_tags(batch, self.tag_dict(), id_col="id", tags_col="tags")
 
@@ -1978,7 +1991,12 @@ class VectorCollection:
         return {
             "n_touched": n_touched,
             "n_reencoded": int(n_reencoded),
-            "n_lists_rewritten": len(affected),
+            # the WRITE cost actually paid: on a consolidation fold this
+            # includes every re-homed overridden list, not just the
+            # delta-touched ones — the O(delta + affected) accounting
+            # must not hide the once-per-cap consolidation spike
+            "n_lists_rewritten": len(affected_all),
+            "n_lists_touched": len(affected),
             "fold_dir": fold_sub,
             "consolidated": bool(consolidate),
             "needs_rebuild": self.needs_rebuild(),
@@ -3201,11 +3219,19 @@ class VectorCollection:
             # many seconds — operators with readers longer than this
             # must raise SPARK_GRAFT_GEN_RETENTION_S
             "gen_retention_s": self.gen_retention_s,
-            # fold-overlay state (round 13): how many lists currently
-            # serve from overlays instead of the base generation, and
-            # the live overlay dirs (union fan-in = dirs + 1)
-            "fold_overridden_lists": len(
-                meta.get("index_fold_overrides") or {}
+            # fold-overlay state (round 13): lists that resolve through
+            # an overlay dir vs lists a fold emptied (None mask over
+            # the base partition — they serve from nowhere), and the
+            # live overlay dirs (union fan-in = dirs + 1)
+            "fold_overridden_lists": sum(
+                1
+                for v in (meta.get("index_fold_overrides") or {}).values()
+                if v
+            ),
+            "fold_masked_empty_lists": sum(
+                1
+                for v in (meta.get("index_fold_overrides") or {}).values()
+                if v is None
             ),
             "fold_dirs_live": sorted(
                 {

@@ -165,8 +165,7 @@ class IndexMaintainer:
             return {"folded": False, "rebuilding": self.is_rebuilding(),
                     "skipped": "mutator_busy"}
         try:
-            rebuilding = self.is_rebuilding()
-            out: dict = {"folded": False, "rebuilding": rebuilding}
+            out: dict = {"folded": False, "rebuilding": self.is_rebuilding()}
             try:
                 out["fold"] = self.coll.refresh_indexes()
                 out["folded"] = True
@@ -175,7 +174,14 @@ class IndexMaintainer:
                 # reaches back to the index epoch — surface it, and
                 # self-heal with a full rebuild when we own sizing
                 out["fold_error"] = str(e)
-                if self.alpha is not None and not rebuilding:
+                if self.alpha is not None and not self.is_rebuilding():
+                    # the hook's contract is "before ANY resize tick()
+                    # launches" — the forced repair path included
+                    if self.on_before_resize is not None:
+                        try:
+                            self.on_before_resize()
+                        except Exception:  # noqa: BLE001 — telemetry only
+                            pass
                     out["resize_launched"] = self._launch_locked(force=True)
                     out["resize_reason"] = "vacuumed_past_full_rebuild"
                 return out
@@ -183,6 +189,11 @@ class IndexMaintainer:
                 # no stable index yet — maintenance starts after the
                 # first build_indexes()
                 return out
+            # RE-sample after the fold (a fold can take minutes and the
+            # rebuild may have finished mid-fold — deciding the
+            # odometer launch on the pre-fold sample would delay a due
+            # resize by a whole cadence and ship stale telemetry)
+            out["rebuilding"] = rebuilding = self.is_rebuilding()
             if (
                 not rebuilding
                 and self.alpha is not None
