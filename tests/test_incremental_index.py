@@ -984,3 +984,64 @@ def test_queries_serve_while_rebuild_thread_runs(spark, tmp_path):
     assert coll._meta()["index_nlist"] == 32
     rows = coll.topk_two_phase(q, k=5, nprobe=32).collect()
     assert len(rows) == 10
+
+
+def test_fence_in_window_never_evicts_an_untouched_id(spark, coll):
+    """A FENCE record sharing a data id (wal-record.fbs:6 barriers
+    interleave with data) must not count as 'touched': before the
+    round-13 fix the fold evicted the id's posting-list entries yet
+    never re-encoded it (its visible version predates the window), so
+    the row vanished from BOTH generations."""
+    before = _index_rows(spark, coll.path)
+    assert any(r[0] == 7 for r in before)
+    fence = [("FENCE", 7, "t1", "ns0", None, None, 50_000)]
+    coll.ingest(spark.createDataFrame(fence, SCHEMA), dedup=False)
+    stats = coll.refresh_indexes()
+    after = _index_rows(spark, coll.path)
+    # id 7's entries survive the fold untouched
+    assert {r for r in before if r[0] == 7} == {r for r in after if r[0] == 7}
+    assert stats["n_reencoded"] == 0
+    # and the full read path still serves every visible row: with the
+    # candidate budget covering the whole corpus (k×rerank ≥ n, every
+    # list probed), two-phase must equal the exact scan — an id evicted
+    # from the index without re-encoding would be missing here
+    q = spark.createDataFrame(
+        [(0, [float(7 % 7), float(7 % 5)] + [0.7 % 1.0] * 6)],
+        "query_id long, query_vec array<double>",
+    )
+    two_phase = {
+        (r.vec_id, r.rank)
+        for r in coll.topk_two_phase(q, k=50, nprobe=8, rerank_factor=4).collect()
+    }
+    exact = {(r.vec_id, r.rank) for r in coll.topk(q, k=50).collect()}
+    assert two_phase == exact
+
+
+def test_specialized_fold_window_matches_generic_current_filter(spark, coll):
+    """The round-13 specialized fold/delta window (latest-by-id over
+    in-window ops only) must produce exactly the rows the generic
+    current().filter(window) view produced."""
+    delta = (
+        _ops(range(0, 6), op="UPSERT", epoch0=20_000)
+        + _ops(range(300, 305), epoch0=21_000)
+        + _ops(range(10, 13), op="DELETE", epoch0=22_000)
+    )
+    coll.ingest(spark.createDataFrame(delta, SCHEMA))
+    idx_epoch = coll._index_epoch()
+    generic = {
+        (r.id, r.epoch)
+        for r in coll.current()
+        .filter((F.col("epoch") > idx_epoch) & F.col("vector").isNotNull())
+        .select("id", "epoch")
+        .collect()
+    }
+    from write_optimized_vector_database_spark.operators import compaction as C
+
+    specialized = {
+        (r.id, r.epoch)
+        for r in C.visible(coll.changelog().filter(F.col("epoch") > idx_epoch))
+        .filter(F.col("vector").isNotNull())
+        .select("id", "epoch")
+        .collect()
+    }
+    assert generic == specialized

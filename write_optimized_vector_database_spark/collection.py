@@ -556,8 +556,19 @@ class VectorCollection:
         snapshot = self.spark.read.parquet(self._current_dir())
         tail = tail.filter(F.col("epoch") > snap_epoch)
         tail_latest = C.latest_by_id(tail)
+        # the anti-join needs only the tail's id SET (fences excluded,
+        # same as latest_by_id's up-front drop — a FENCE can share a
+        # data id and must not mask a snapshot row), which a distinct
+        # over the raw tail yields identically — referencing tail_latest
+        # here made Catalyst compute the latest-by-id window (sort +
+        # exchange over full rows) TWICE per instantiation of this view;
+        # the distinct shuffles only partially-aggregated ids instead
         survivors = snapshot.join(
-            F.broadcast(tail_latest.select("id")), "id", "left_anti"
+            F.broadcast(
+                tail.filter(F.col("op") != "FENCE").select("id").distinct()
+            ),
+            "id",
+            "left_anti",
         )
         return survivors.unionByName(
             tail_latest.filter(F.col("op") != "DELETE"),
@@ -593,8 +604,15 @@ class VectorCollection:
                 (F.col("epoch") > snap_epoch) & (F.col("epoch") <= as_of_epoch)
             )
             tail_latest = C.latest_by_id(tail)
+            # same distinct-ids anti-join as current() (fences excluded):
+            # the id set is identical and the window no longer runs
+            # twice per view
             survivors = snapshot.join(
-                F.broadcast(tail_latest.select("id")), "id", "left_anti"
+                F.broadcast(
+                    tail.filter(F.col("op") != "FENCE").select("id").distinct()
+                ),
+                "id",
+                "left_anti",
             )
             return survivors.unionByName(
                 tail_latest.filter(F.col("op") != "DELETE"),
@@ -1784,7 +1802,14 @@ class VectorCollection:
         fold_hi = int(fold_hi)
         in_window = (F.col("epoch") > idx_epoch) & (F.col("epoch") <= fold_hi)
         tail = self.changelog().filter(in_window)
-        touched = tail.select("id").distinct().persist()
+        # fences excluded (round 13 correctness fix): a FENCE may share a
+        # data id (wal-record.fbs:6 barriers interleave with data); with
+        # it counted as "touched", the fold would evict that id's index
+        # entries below yet never re-encode it (its visible version is
+        # outside the window) — silently missing from BOTH generations
+        touched = (
+            tail.filter(F.col("op") != "FENCE").select("id").distinct().persist()
+        )
         n_touched = touched.count()
         if n_touched == 0:
             touched.unpersist()
@@ -1793,8 +1818,23 @@ class VectorCollection:
         cents = spark.read.parquet(self._stable_centroids_path(fold_meta))
         codebooks = spark.read.parquet(self._codebooks_path(fold_meta))
         # visible versions of touched ids (deleted ids simply absent);
-        # versions newer than fold_hi stay in the delta generation
-        delta_vis = self.current().filter(in_window & F.col("vector").isNotNull())
+        # versions newer than fold_hi stay in the delta generation.
+        # Specialized window view (round 13, same argument as the
+        # topk_two_phase delta branch): when idx_epoch ≥ snap_epoch the
+        # snapshot cannot contribute a row with epoch > idx_epoch, so
+        # the generic current() plan's full snapshot scan + tail
+        # anti-join per fold is pure waste — latest-by-id over ONLY the
+        # in-window ops is row-identical (for a fixed changelog, the
+        # latest visible version in (idx, fold_hi] is the latest among
+        # the in-window ops of its id; under a concurrent append past
+        # fold_hi both shapes leave the id's newer version to the delta
+        # branch and the rerank resolves candidates on current()).
+        if idx_epoch >= self._snapshot_epoch():
+            delta_vis = C.visible(tail).filter(F.col("vector").isNotNull())
+        else:
+            delta_vis = self.current().filter(
+                in_window & F.col("vector").isNotNull()
+            )
         if fold_meta.get("index_residual", False):
             if fold_meta.get("index_opq", False):
                 from write_optimized_vector_database_spark.operators.pq import (
@@ -2387,9 +2427,44 @@ class VectorCollection:
                 full_current, tenant, namespace, tags_any, sample_p,
                 tag_dict=q_tag_dict,
             )
-        delta_vis = full_current.filter(
-            (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
-        )
+        # Specialized delta view (round 13, guide §1.2 "remove passes"):
+        # when the index is at least as fresh as the snapshot (the
+        # steady serving state — build/refresh runs after compact),
+        # snapshot rows all carry epoch ≤ snap_epoch ≤ idx_epoch and can
+        # NEVER satisfy the delta filter, yet the generic current() plan
+        # still scanned the full snapshot and anti-joined the tail ids
+        # per query just to drop every row — at 100 TB, a full-table
+        # read per search call. Latest-by-id over the post-index tail is
+        # row-identical: for any id whose latest visible epoch >
+        # idx_epoch, the op set with epoch > idx_epoch contains that
+        # latest op (same epoch/op-desc tie-break on the retained rows);
+        # ids whose latest ≤ idx_epoch are excluded by the filter either
+        # way, and snapshot-side rows are excluded by the epoch bound.
+        snap_epoch = self._snapshot_epoch()
+        if idx_epoch >= snap_epoch:
+            if self._has_changelog_files():
+                post_tail = self.changelog().filter(
+                    F.col("epoch") > idx_epoch
+                )
+                delta_base = C.visible(post_tail)
+                cols = [
+                    c for c in cur_view.columns if c in delta_base.columns
+                ]
+                delta_base = delta_base.select(*cols)
+                if filtered:
+                    delta_base = apply_query_filters(
+                        delta_base, tenant, namespace, tags_any, sample_p,
+                        tag_dict=q_tag_dict,
+                    )
+                delta_vis = delta_base.filter(F.col("vector").isNotNull())
+            else:
+                # no tail at all: the delta generation is empty by
+                # construction — constant-fold the branch away
+                delta_vis = full_current.filter(F.lit(False))
+        else:
+            delta_vis = full_current.filter(
+                (F.col("epoch") > idx_epoch) & F.col("vector").isNotNull()
+            )
         delta_cand = exact_topk(
             delta_vis, queries, k=budget, metric=self.metric,
             vec_id_col="id", vec_col="vector",
@@ -2399,10 +2474,17 @@ class VectorCollection:
         cand = cand.dropDuplicates(["query_id", "id"])
 
         # rerank on CURRENT vectors — stale ids (deleted/superseded after
-        # the index build) vanish here because they are not in current()
+        # the index build) vanish here because they are not in current().
+        # The candidate set is bounded (≤ max_candidates per batch,
+        # config.h:129), so BROADCAST it into the fetch join: left to the
+        # planner this was a SortMergeJoin that shuffled the ENTIRE
+        # visible view by id to meet a ≤10k-row shortlist (guide §3.1 —
+        # post-aggregation size estimates are wrong, hint explicitly).
+        # At 100 TB that shuffle is the whole table; at bench scale it
+        # was an extra exchange + two sorts per search call.
         full = full_current.select("id", F.col("vector").alias("__vec"))
         rescored = (
-            cand.join(full, "id")
+            full.join(F.broadcast(cand), "id")
             .join(F.broadcast(queries), "query_id")
             .select(
                 "query_id",

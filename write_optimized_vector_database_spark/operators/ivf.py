@@ -136,7 +136,7 @@ def assign_centroids(
     types.h:62). Centroids are collected to the driver (≤ nlist×dim
     doubles) and shipped to executors as a Spark BROADCAST — once per
     executor, not re-pickled into every task closure."""
-    rows = centroids.orderBy("centroid_id").collect()
+    rows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
     c = np.asarray([r.centroid for r in rows], dtype=np.float64)
     bc = vectors.sparkSession.sparkContext.broadcast(c)
     from pyspark.sql import types as T

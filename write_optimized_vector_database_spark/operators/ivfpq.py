@@ -122,7 +122,7 @@ def train_ivfpq_codebooks(
     from write_optimized_vector_database_spark.functions.nputil import collect_vectors_np
 
     sample = collect_vectors_np(train, vec_col)
-    crows = centroids.orderBy("centroid_id").collect()
+    crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
     cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
     c_sq = (cents * cents).sum(-1)
     assign = (c_sq[None, :] - 2.0 * (sample @ cents.T)).argmin(1)
@@ -177,7 +177,7 @@ def ivfpq_encode(
     cb, m, _k = _codebooks_np(codebooks)
     d_sub = cb.shape[2]
     cb_sq = (cb * cb).sum(-1)  # (m, k)
-    crows = centroids.orderBy("centroid_id").collect()
+    crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
     cent_ids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
     cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
     c_sq = (cents * cents).sum(-1)
@@ -282,7 +282,7 @@ def ivfpq_adc_topk(
     """
     cb, m, _ = _codebooks_np(codebooks)
     d_sub = cb.shape[2]
-    crows = centroids.orderBy("centroid_id").collect()
+    crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
     cent_vecs = {r.centroid_id: np.asarray(r.centroid, dtype=np.float64) for r in crows}
     qrows = queries.select("query_id", "query_vec").collect()
     qids = [r.query_id for r in qrows]
@@ -340,6 +340,44 @@ def ivfpq_adc_topk(
         )
     )
 
+    # Map-side partial top-k FUSED into the scoring pass (round 13): the
+    # old shape yielded EVERY (query, candidate) score — |probed lists| ×
+    # |queries probing them| rows — through Arrow→JVM→Arrow into a
+    # separate mapInPandas pruner (topk_per_group's map-side partial).
+    # Pruning here, on the NumPy arrays the scores were just computed in,
+    # moves ≤ queries × k rows per partition across the boundary instead
+    # (measured ~576k rows → ~320 at the bench serving shape) and drops a
+    # whole Python evaluation from the plan. Selection is identical: the
+    # k best per query by (score DESC, vec_id ASC) — with `dedup` the
+    # per-(query, vec) max is collapsed FIRST, exactly as the downstream
+    # cross-partition groupBy-max expects (a spill copy must never
+    # shadow a distinct candidate out of the kept k).
+    prune_cap = max(int(k) * 64, 50_000)
+
+    def _prune_np(q, v, s, dedup):
+        if dedup:
+            order = np.lexsort((v, q))
+            qg, vg, sg = q[order], v[order], s[order]
+            new = np.empty(len(qg), dtype=bool)
+            new[0] = True
+            new[1:] = (qg[1:] != qg[:-1]) | (vg[1:] != vg[:-1])
+            gid = np.cumsum(new) - 1
+            smax = np.full(gid[-1] + 1, -np.inf)
+            np.maximum.at(smax, gid, sg)
+            q, v, s = qg[new], vg[new], smax
+        # (query asc, score desc, vec_id asc); (q, v) pairs are unique
+        # here (spill copies collapsed above; spill=1 scores each pair
+        # once), so the kept SET matches any stable implementation
+        order = np.lexsort((v, -s, q))
+        q, v, s = q[order], v[order], s[order]
+        new = np.empty(len(q), dtype=bool)
+        new[0] = True
+        new[1:] = q[1:] != q[:-1]
+        idx = np.arange(len(q))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        keep = (idx - start) < k
+        return q[keep], v[keep], s[keep]
+
     def fn(batches):
         import pyarrow as pa
 
@@ -347,6 +385,19 @@ def ivfpq_adc_topk(
             lut, offset = lut_bc.value
         else:
             lut_qc = lut_bc.value
+        acc_q, acc_v, acc_s, acc_n = [], [], [], 0
+
+        def _squash():
+            nonlocal acc_q, acc_v, acc_s, acc_n
+            q, v, s = _prune_np(
+                np.concatenate(acc_q),
+                np.concatenate(acc_v),
+                np.concatenate(acc_s),
+                dedup_candidates,
+            )
+            acc_q, acc_v, acc_s, acc_n = [q], [v], [s], len(q)
+            return q, v, s
+
         for batch in batches:
             if not batch.num_rows:
                 continue
@@ -354,8 +405,9 @@ def ivfpq_adc_topk(
             cids_np = batch.column(
                 batch.schema.get_field_index("centroid_id")
             ).to_numpy(zero_copy_only=False)
-            ids = batch.column(batch.schema.get_field_index(vec_id_col))
-            out_q, out_i, out_s = [], [], []
+            ids_np = batch.column(
+                batch.schema.get_field_index(vec_id_col)
+            ).to_numpy(zero_copy_only=False)
             for cid in np.unique(cids_np):
                 qi = by_cid.get(int(cid))
                 if not qi:
@@ -368,18 +420,22 @@ def ivfpq_adc_topk(
                     )[qi, None]
                 else:
                     scores = lut_qc[cid][qi][:, s_idx, codes].sum(-1)
-                out_q.append(np.repeat(qids_np[qi], len(rows_idx)))
-                out_i.append(np.tile(rows_idx, len(qi)))
-                out_s.append(scores.reshape(-1))
-            if out_q:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(out_q)),
-                        ids.take(pa.array(np.concatenate(out_i))),
-                        pa.array(np.concatenate(out_s), pa.float64()),
-                    ],
-                    names=["query_id", "vec_id", "score"],
-                )
+                acc_q.append(np.repeat(qids_np[qi], len(rows_idx)))
+                acc_v.append(np.tile(ids_np[rows_idx], len(qi)))
+                acc_s.append(scores.reshape(-1))
+                acc_n += len(rows_idx) * len(qi)
+                if acc_n > prune_cap:
+                    _squash()
+        if acc_n:
+            q, v, s = _squash()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(q),
+                    pa.array(v),
+                    pa.array(s, pa.float64()),
+                ],
+                names=["query_id", "vec_id", "score"],
+            )
 
     from pyspark.sql import types as T
 
@@ -398,8 +454,12 @@ def ivfpq_adc_topk(
         scored = scored.groupBy("query_id", "vec_id").agg(
             F.max("score").alias("score")
         )
+    # prune_partitions=False: the scoring pass above already emitted only
+    # the per-partition top-k (fused prune) — a second map-side pruner
+    # would be a pure extra Python stage over ≤ queries × k rows
     return topk_per_group(
-        scored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k
+        scored, group_cols=["query_id"], score_col="score", id_col="vec_id", k=k,
+        prune_partitions=False,
     ).select("query_id", "vec_id", "score", "rank")
 
 
@@ -434,8 +494,10 @@ def ivfpq_two_phase_topk(
     full = vectors.select(
         F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
+    # candidate set is rerank-budget-bounded: broadcast it so the full
+    # vector table is fetched, never shuffled, to meet it (guide §3.1)
     rescored = (
-        cand.join(full, "vec_id")
+        full.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
@@ -522,7 +584,7 @@ def ivfpq_two_phase_exact_fold(
     )
     full = vectors.select(F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
     rescored = (
-        cand.join(full, "vec_id")
+        full.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select("query_id", "vec_id", dot_product("query_vec", "__vec").alias("score"))
     )

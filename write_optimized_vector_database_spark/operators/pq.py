@@ -367,7 +367,7 @@ def pq_two_phase_exact_fold(
     rq = rerank_queries if rerank_queries is not None else queries
     full = rv.select(F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec"))
     rescored = (
-        cand.join(full, "vec_id")
+        full.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(rq), "query_id")
         .select("query_id", "vec_id", dot_product("query_vec", "__vec").alias("score"))
     )
@@ -616,8 +616,10 @@ def opq_two_phase_topk(
     full = vectors.select(
         F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
+    # budget-bounded candidate set: broadcast it so the vector table is
+    # fetched, never shuffled, to meet it (guide §3.1)
     rescored = (
-        cand.join(full, "vec_id")
+        full.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
@@ -631,7 +633,7 @@ def opq_two_phase_topk(
 
 
 def _codebooks_np(codebooks: DataFrame) -> tuple[np.ndarray, int, int]:
-    rows = codebooks.orderBy("subspace", "code").collect()
+    rows = sorted(codebooks.collect(), key=lambda r: (r.subspace, r.code))
     m = max(r.subspace for r in rows) + 1
     k = max(r.code for r in rows) + 1
     d_sub = len(rows[0].cvec)
@@ -791,8 +793,10 @@ def two_phase_topk(
     full = vectors.select(
         F.col(vec_id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     )
+    # budget-bounded candidate set: broadcast it so the vector table is
+    # fetched, never shuffled, to meet it (guide §3.1)
     rescored = (
-        cand.join(full, "vec_id")
+        full.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",

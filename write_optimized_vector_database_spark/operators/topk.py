@@ -57,7 +57,41 @@ def score_column(metric: str, qcol: str, vcol: str):
 
 def _partial_topk(k: int, group_cols: list[str], score_col: str, id_col: str):
     """mapInPandas partial: per Arrow-batch stream of one partition, keep
-    only the k best rows per group. Runs map-side, before any shuffle."""
+    only the k best rows per group. Runs map-side, before any shuffle.
+
+    The prune is a NumPy lexsort + per-group rank mask (round 13): the
+    previous pandas sort_values + groupby().head() spent most of the
+    pass in pandas block management — the kept SET is identical (top-k
+    per group under the same (group asc, score desc, id asc) total
+    order; (score, id) is unique per group so ties cannot differ)."""
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n == 0:
+            return pdf
+        keys = [pdf[id_col].to_numpy()]
+        s = pdf[score_col].to_numpy()
+        # descending score: negate when numeric-safe; string groups
+        # never reach here (score is always a float column)
+        keys.append(-s)
+        codes = None
+        for g in group_cols:
+            col = pdf[g]
+            arr, _ = pd.factorize(col, sort=True)
+            codes = arr if codes is None else codes * (arr.max() + 1) + arr
+            keys.append(arr)
+        order = np.lexsort(tuple(keys))
+        gsorted = codes[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = gsorted[1:] != gsorted[:-1]
+        idx = np.arange(n)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        keep = order[(idx - start) < k]
+        keep.sort()  # preserve input order of kept rows (stable output)
+        return pdf.iloc[keep]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.DataFrame | None = None
@@ -65,17 +99,9 @@ def _partial_topk(k: int, group_cols: list[str], score_col: str, id_col: str):
             acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
             # Re-prune periodically so the accumulator stays O(groups × k).
             if len(acc) > 50_000:
-                acc = _prune(acc)
+                acc = _prune(acc).reset_index(drop=True)
         if acc is not None and len(acc):
             yield _prune(acc)
-
-    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            [*group_cols, score_col, id_col],
-            ascending=[True] * len(group_cols) + [False, True],
-            kind="mergesort",
-        )
-        return pdf.groupby(group_cols, sort=False).head(k)
 
     return fn
 

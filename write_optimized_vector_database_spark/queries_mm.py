@@ -16,9 +16,27 @@ from write_optimized_vector_database_spark.queries import register
 from write_optimized_vector_database_spark.sources.tables import load_table
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small decision-column input across every core before an
+    expensive per-row Python codec pass.
+
+    The fixture tables are single parquet files with ONE row group, so
+    the scan opens at parallelism 1 and an expensive `mapInPandas`
+    directly over it runs the whole codec pass on one core of 32
+    (measured: mm_lossless_hier_roundtrip 7.2 s single-task). This is
+    the guide's "input skew: one huge unsplittable file — repartition
+    immediately after the read" case (§2.5): a round-robin exchange of
+    the tiny id/len columns costs milliseconds and unlocks the full
+    cluster for the decode. At 100 TB the same holds whenever the blob
+    manifest arrives as fewer splits than cores; rows are independent
+    and every mm_ query orders its output, so placement never changes
+    results."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", MM.blob_column("text").alias("blob"))
+    return _spread(docs.select("doc_id", MM.blob_column("text").alias("blob")))
 
 
 @register(
@@ -195,9 +213,11 @@ def mm_png_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.coalesce(F.octet_length("text"), F.lit(0)).alias("nbytes"),
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.coalesce(F.octet_length("text"), F.lit(0)).alias("nbytes"),
+        )
     )
 
     def fn(batches):
@@ -275,7 +295,7 @@ def mm_mixed_codec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def fn(batches):
         for pdf in batches:
@@ -346,7 +366,7 @@ def mm_png_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id")
@@ -432,7 +452,7 @@ def mm_graceful_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def fn(batches):
         for pdf in batches:
@@ -514,7 +534,7 @@ def mm_jpeg_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id")
@@ -616,7 +636,7 @@ def mm_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id")
@@ -725,7 +745,7 @@ def mm_jpeg_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from write_optimized_vector_database_spark.operators.topk import exact_topk
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 64)
         .select("doc_id")
@@ -816,7 +836,7 @@ def mm_gif_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id")
@@ -908,7 +928,7 @@ def mm_lossless_hier_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def fn(batches):
         for pdf in batches:
@@ -1005,7 +1025,7 @@ def mm_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def fn(batches):
         for pdf in batches:
@@ -1085,7 +1105,7 @@ def mm_arith_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
@@ -1221,7 +1241,7 @@ def mm_mp4_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
         .select("doc_id")
@@ -1328,7 +1348,7 @@ def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 400)
         .select("doc_id")
@@ -1432,7 +1452,7 @@ def mm_mp3_frame_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
         .select("doc_id")
@@ -1510,7 +1530,7 @@ def mm_gif_animation_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame channel sums through the gif_frame_sample operator (an
     Arrow-batched iterator UDF fanning out N rows per blob). Blobs and
     frames never leave the executors."""
-    docs = (
+    docs = _spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 240)
         .select("doc_id")
