@@ -1683,7 +1683,39 @@ class VectorCollection:
     def _evict_index_artifacts(self) -> None:
         with self._artifact_cache_lock:
             hit = self._artifact_cache.pop("idx", None)
+            self._artifact_cache.pop("idx_np", None)
         self._unpersist_entry(hit)
+
+    def _index_artifacts_np(self, meta: dict | None = None) -> tuple[list, tuple]:
+        """Driver-side ndarray forms of the build artifacts — (centroid
+        rows sorted by centroid_id, `_codebooks_np(codebooks)` tuple) —
+        cached per index_build_id alongside the persisted frames
+        (round 13). These are per-BUILD constants, yet the ADC operator
+        re-collected them from the executor-cached frames on every
+        search call (~0.9 s per call at the bench serving shape). Same
+        snapshot/eviction discipline as _index_artifacts: the key and
+        the paths come from ONE manifest read, and every build/evict
+        drops the entry."""
+        if meta is None:
+            meta = self._meta()
+        build_id = meta.get("index_build_id", meta.get("index_epoch", -1))
+        with self._artifact_cache_lock:
+            hit = self._artifact_cache.get("idx_np")
+            if hit is not None and hit[0] == build_id:
+                return hit[1], hit[2]
+        from write_optimized_vector_database_spark.operators.pq import (
+            _codebooks_np,
+        )
+
+        cents, codebooks = self._index_artifacts(meta)
+        crows = sorted(cents.collect(), key=lambda r: r.centroid_id)
+        cbt = _codebooks_np(codebooks)
+        with self._artifact_cache_lock:
+            cur = self._artifact_cache.get("idx_np")
+            if cur is not None and cur[0] == build_id:
+                return cur[1], cur[2]
+            self._artifact_cache["idx_np"] = (build_id, crows, cbt)
+        return crows, cbt
 
     def _index_artifacts(
         self, meta: dict | None = None
@@ -2260,6 +2292,9 @@ class VectorCollection:
         # per query — the same discipline as the manifest snapshot above
         cur_view = self.current()
         q_tag_dict = self._tag_dict_for(tags_any, meta)
+        # probe-support prune set, threaded to the ADC call so the cached
+        # driver-side centroid rows can honor the same filter
+        probe_support: set[int] | None = None
         if filtered:
             if filter_strategy not in ("auto", "post", "pre"):
                 raise ValueError(f"unknown filter_strategy {filter_strategy!r}")
@@ -2359,8 +2394,9 @@ class VectorCollection:
                     tenant, namespace, tags_any, meta=meta
                 )
                 if support is not None:
+                    probe_support = {int(c) for c in support}
                     cents = cents.filter(
-                        F.col("centroid_id").isin([int(c) for c in support])
+                        F.col("centroid_id").isin(list(probe_support))
                     )
             else:
                 # permissive filter: over-fetch so ~budget survivors
@@ -2398,10 +2434,21 @@ class VectorCollection:
                 adc_queries = rotate_vectors(
                     queries, self._load_rotation(meta), "query_vec"
                 )
+            # per-build ndarray artifact cache (round 13): the operator
+            # would otherwise re-collect centroids+codebooks from the
+            # executor-cached frames on EVERY call; the support prune is
+            # applied to the cached rows driver-side — same rows the
+            # filtered frame collect would return
+            crows, cbt = self._index_artifacts_np(meta)
+            if probe_support is not None:
+                crows = [
+                    r for r in crows if int(r.centroid_id) in probe_support
+                ]
             stable_cand = ivfpq_adc_topk(
                 index, adc_queries, cents, codebooks, k=budget, nprobe=nprobe,
                 metric=adc_metric, vec_id_col="id",
                 dedup_candidates=meta.get("index_spill", 1) > 1,
+                _cb_np=cbt, _crows=crows,
             ).select("query_id", F.col("vec_id").alias("id"))
         else:
             probes = probe_centroids(queries, cents, nprobe)

@@ -264,8 +264,19 @@ def ivfpq_adc_topk(
     metric: str = "ip",
     vec_id_col: str = "vec_id",
     dedup_candidates: bool = False,
+    _cb_np: tuple | None = None,
+    _crows: list | None = None,
 ) -> DataFrame:
     """Phase-1 candidates from codes only, restricted to probed lists.
+
+    `_cb_np` / `_crows` (round 13): optional pre-collected artifact
+    forms — `_codebooks_np(codebooks)` and the centroid rows sorted by
+    centroid_id. The artifacts are per-BUILD constants, but this
+    operator collected them from the (already executor-cached) frames
+    on EVERY search call — ~0.9 s of driver pulls per call at the bench
+    serving shape. VectorCollection passes its build_id-keyed cache
+    (`_index_artifacts_np`); direct operator callers pay the collect as
+    before. Identical values either way.
 
     `dedup_candidates=True` collapses duplicate (query, vec) scores to
     their max before ranking — required when the index was built with
@@ -280,9 +291,13 @@ def ivfpq_adc_topk(
     (q, probed list); at most 100·nprobe LUTs of m×2^nbits cells, built
     driver-side with NumPy.
     """
-    cb, m, _ = _codebooks_np(codebooks)
+    cb, m, _ = _cb_np if _cb_np is not None else _codebooks_np(codebooks)
     d_sub = cb.shape[2]
-    crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
+    crows = (
+        _crows
+        if _crows is not None
+        else sorted(centroids.collect(), key=lambda r: r.centroid_id)
+    )
     cent_vecs = {r.centroid_id: np.asarray(r.centroid, dtype=np.float64) for r in crows}
     qrows = queries.select("query_id", "query_vec").collect()
     qids = [r.query_id for r in qrows]
