@@ -36,7 +36,7 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return _spread(docs.select("doc_id", MM.blob_column("text").alias("blob")))
+    return docs.select("doc_id", MM.blob_column("text").alias("blob"))
 
 
 @register(
@@ -366,7 +366,7 @@ def mm_png_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = _spread(
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id")
@@ -745,7 +745,7 @@ def mm_jpeg_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from write_optimized_vector_database_spark.operators.topk import exact_topk
 
-    docs = _spread(
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 64)
         .select("doc_id")
@@ -836,7 +836,7 @@ def mm_gif_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = _spread(
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id")
@@ -1241,7 +1241,7 @@ def mm_mp4_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = _spread(
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
         .select("doc_id")
@@ -1348,7 +1348,7 @@ def mm_universal_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = _spread(
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 400)
         .select("doc_id")
@@ -1452,7 +1452,7 @@ def mm_mp3_frame_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = _spread(
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
         .select("doc_id")
@@ -1530,7 +1530,7 @@ def mm_gif_animation_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame channel sums through the gif_frame_sample operator (an
     Arrow-batched iterator UDF fanning out N rows per blob). Blobs and
     frames never leave the executors."""
-    docs = _spread(
+    docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 240)
         .select("doc_id")
