@@ -957,6 +957,7 @@ class VectorCollection:
         target_rerank_factor: int = 4,
         _cur: DataFrame | None = None,
         _centroids: DataFrame | None = None,
+        _centroids_np: tuple | None = None,
         _collect_corr: bool = True,
         _build_hi: int | None = None,
         _start_config: dict | None = None,
@@ -1110,26 +1111,35 @@ class VectorCollection:
             # input); query time rotates only the ≤100-row query batch
             cur_idx = rotate_vectors(cur, r_mat, "vector")
         else:
+            r_mat = None
             cur_idx = cur
         # _centroids: pre-trained ORIGINAL-space centroids from the
         # auto-escalation loop — consecutive non-OPQ rungs share one
         # Lloyd run (identical nlist/seed/sample ⇒ identical output).
         # Never valid under OPQ (rotated space).
         if _centroids is not None and not use_opq:
-            cents = _centroids
+            cents, cents_np = _centroids, _centroids_np
         else:
-            cents = train_centroids_kmeans(
+            cents, cents_np = train_centroids_kmeans(
                 cur_idx, nlist=nlist, vec_col="vector", id_col="id",
-                sample_fraction=sample_fraction, seed=seed,
+                sample_fraction=sample_fraction, seed=seed, return_np=True,
             )
         _stage("centroids")
+        cb_np = None
         if residual:
-            codebooks = train_ivfpq_codebooks(
+            # thread the just-trained driver-side forms through training
+            # and encode (round 14, guide §5): the old shape re-collected
+            # the local centroid/codebook frames it had just created —
+            # one Python-worker evaluation of the local relation per
+            # collect, 2-3 per build
+            codebooks, cb_np = train_ivfpq_codebooks(
                 cur_idx, cents, dim=dim, m=m, nbits=nbits, vec_col="vector",
                 id_col="id", sample_fraction=sample_fraction,
+                _cents_np=cents_np, return_np=True,
             )
             encoded = ivfpq_encode(
-                cur_idx, cents, codebooks, vec_col="vector", id_col="id", spill=spill
+                cur_idx, cents, codebooks, vec_col="vector", id_col="id", spill=spill,
+                _cb_np=cb_np, _cents_np=cents_np,
             )
         else:
             codebooks = train_pq_codebooks_kmeans(
@@ -1143,9 +1153,19 @@ class VectorCollection:
         # (tasks × nlist small files); with it each task owns whole lists
         # (AQE splits skewed lists). At 100 TB this is the difference
         # between nlist×10k files and a file count proportional to data.
+        # rows-per-list odometer baseline (VERDICT r09 #1): count the
+        # index entries (with spill > 1 a row counts once per posting
+        # list — the unit ADC cost actually scales with). Observed ON
+        # the write itself (round 14, guide §1.2/§6: don't re-read what
+        # you just wrote — the old read-back footer count() was one more
+        # job per build/rung).
+        from pyspark.sql import Observation
+
+        n_obs = Observation()
         (
             self._with_bloom(
                 encoded.select("id", "centroid_id", "codes")
+                .observe(n_obs, F.count(F.lit(1)).alias("n"))
                 .repartition("centroid_id")
                 .write
             )
@@ -1153,6 +1173,7 @@ class VectorCollection:
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/{stable_sub}")
         )
+        n_entries = int(n_obs.get["n"])
         _stage("encode+write")
         # IVF-PQ centroids get their OWN path: when use_opq=True they live
         # in OPQ-ROTATED space, and sharing {path}/index_centroids with
@@ -1162,13 +1183,6 @@ class VectorCollection:
         cents.write.mode("overwrite").parquet(f"{self.path}/{cents_sub}")
         codebooks.write.mode("overwrite").parquet(f"{self.path}/{books_sub}")
         _stage("artifact-write")
-        # rows-per-list odometer baseline (VERDICT r09 #1): count the
-        # just-written index entries (with spill > 1 a row counts once
-        # per posting list — the unit ADC cost actually scales with).
-        # Parquet count() answers from footer row counts, no data read.
-        n_entries = (
-            self.spark.read.parquet(f"{self.path}/{stable_sub}").count()
-        )
         # filter↔geometry correlation stats for the planner (VERDICT r08
         # #1): per-filter-value centroid histograms, collected while the
         # build snapshot is still persisted (one narrow join + two small
@@ -1275,8 +1289,25 @@ class VectorCollection:
                 m["calibrated_stale"] = True
 
         m_ = m  # build knob; the transform shadows `m` with the manifest
-        self._meta_mutate(_swap)
+        meta_after = self._meta_mutate(_swap)
         self._evict_index_artifacts()
+        if residual and cb_np is not None and cents_np is not None:
+            # seed the ndarray artifact cache from the arrays this build
+            # just trained (round 14): the first search/probe against
+            # the new generation otherwise re-derives exactly these
+            # values via 2 parquet reads + persists + 2 collects —
+            # ~0.5-0.9 s per generation swap, paid per autotune rung
+            from pyspark.sql import Row
+
+            cent_ids, cents_mat = cents_np
+            crows = [
+                Row(centroid_id=int(i), centroid=[float(x) for x in c])
+                for i, c in zip(cent_ids, cents_mat)
+            ]
+            self._seed_index_artifacts_np(
+                meta_after, crows, cb_np,
+                rot=r_mat if use_opq else None,
+            )
         self._gc_index_generations()
 
     def _build_indexes_auto(
@@ -1412,13 +1443,15 @@ class VectorCollection:
         )
         # ground truth materialized ONCE (≤ n_sample_queries × k rows):
         # as a lazy plan it would re-run the exact scan inside every
-        # rung's recall_at_k
-        exact_rows = self.topk(queries, k=k).collect()
-        exact = self.spark.createDataFrame(exact_rows, self.topk(queries, k=k).schema)
+        # rung's recall_at_k. ONE plan object: constructing the exact
+        # topk plan twice (collect + schema) was pure py4j chatter.
+        exact_plan = self.topk(queries, k=k)
+        exact_rows = exact_plan.collect()
+        exact = self.spark.createDataFrame(exact_rows, exact_plan.schema)
         _stage("exact-gt")
-        cents0 = train_centroids_kmeans(
+        cents0, cents0_np = train_centroids_kmeans(
             cur, nlist=nlist, vec_col="vector", id_col="id",
-            sample_fraction=sample_fraction, seed=seed,
+            sample_fraction=sample_fraction, seed=seed, return_np=True,
         )
         _stage("centroids0")
         history: list[dict] = []
@@ -1429,6 +1462,7 @@ class VectorCollection:
             self.build_indexes(
                 nlist=nlist, nbits=nbits, sample_fraction=sample_fraction,
                 seed=seed, residual=True, **rung, _cur=cur, _centroids=cents0,
+                _centroids_np=cents0_np,
                 # correlation stats describe the FINAL index's geometry;
                 # collecting them per discarded rung would only add wall
                 _collect_corr=False,
@@ -1502,10 +1536,17 @@ class VectorCollection:
         return {**chosen, "target_met": bool(target_met)}
 
     def _save_rotation(self, r_mat, subdir: str = "index_rotation") -> None:
+        # ONE parallelize slice, not createDataFrame(...).coalesce(1):
+        # a Python local relation defaults to defaultParallelism slices,
+        # and coalesce(1) funnels ALL of them through a single Python
+        # worker task sequentially — measured 4-5 s PER CALL for this
+        # 64-row write (round 14; repartition(1) or 1 slice: ~0.3 s).
+        # _load_rotation orders by `i`, so file layout is irrelevant.
         rows = [(int(i), [float(x) for x in r_mat[i]]) for i in range(len(r_mat))]
-        self.spark.createDataFrame(rows, "i int, row array<double>").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{self.path}/{subdir}")
+        rdd = self.spark.sparkContext.parallelize(rows, 1)
+        self.spark.createDataFrame(rdd, "i int, row array<double>").write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/{subdir}")
 
     def _load_rotation(self, meta: dict | None = None):
         import numpy as np
@@ -1686,23 +1727,55 @@ class VectorCollection:
             self._artifact_cache.pop("idx_np", None)
         self._unpersist_entry(hit)
 
+    def _np_cache_key(self, meta: dict) -> tuple:
+        """Cache key for the driver-side artifact forms: build_id PLUS
+        the artifact paths from the SAME manifest snapshot (ADVICE r13
+        low: a legacy manifest lacking build_id/epoch must never serve
+        another generation's centroids just because both keys fell back
+        to -1 — the generation-versioned paths disambiguate)."""
+        return (
+            meta.get("index_build_id", meta.get("index_epoch", -1)),
+            meta.get("index_centroids_path"),
+            meta.get("index_codebooks_path"),
+            meta.get("index_rotation_path"),
+        )
+
+    def _seed_index_artifacts_np(
+        self, meta: dict, crows: list, cbt: tuple, rot=None
+    ) -> None:
+        """Populate the ndarray artifact cache from the driver-side
+        forms a build just trained (round 14, guide §5: the driver does
+        no data work twice) — the first search after a build/rung swap
+        otherwise pays 2 parquet reads + persists + 2 collects to
+        re-derive exactly these values. Same lock + key discipline as
+        the lazy populate in _index_artifacts_np."""
+        with self._artifact_cache_lock:
+            self._artifact_cache["idx_np"] = {
+                "key": self._np_cache_key(meta),
+                "crows": crows,
+                "cbt": cbt,
+                "rot": rot,
+            }
+
     def _index_artifacts_np(self, meta: dict | None = None) -> tuple[list, tuple]:
         """Driver-side ndarray forms of the build artifacts — (centroid
         rows sorted by centroid_id, `_codebooks_np(codebooks)` tuple) —
-        cached per index_build_id alongside the persisted frames
-        (round 13). These are per-BUILD constants, yet the ADC operator
-        re-collected them from the executor-cached frames on every
-        search call (~0.9 s per call at the bench serving shape). Same
-        snapshot/eviction discipline as _index_artifacts: the key and
-        the paths come from ONE manifest read, and every build/evict
-        drops the entry."""
+        cached per build (round 13). These are per-BUILD constants, yet
+        the ADC operator re-collected them from the executor-cached
+        frames on every search call (~0.9 s per call at the bench
+        serving shape). Same snapshot/eviction discipline as
+        _index_artifacts: the key and the paths come from ONE manifest
+        read, and every build/evict drops the entry. Builds seed the
+        entry directly from the arrays they trained
+        (_seed_index_artifacts_np), so the lazy populate below only
+        runs for collections opened cold."""
         if meta is None:
             meta = self._meta()
-        build_id = meta.get("index_build_id", meta.get("index_epoch", -1))
+        key = self._np_cache_key(meta)
         with self._artifact_cache_lock:
             hit = self._artifact_cache.get("idx_np")
-            if hit is not None and hit[0] == build_id:
-                return hit[1], hit[2]
+            if hit is not None and hit["key"] == key:
+                return hit["crows"], hit["cbt"]
         from write_optimized_vector_database_spark.operators.pq import (
             _codebooks_np,
         )
@@ -1712,10 +1785,37 @@ class VectorCollection:
         cbt = _codebooks_np(codebooks)
         with self._artifact_cache_lock:
             cur = self._artifact_cache.get("idx_np")
-            if cur is not None and cur[0] == build_id:
-                return cur[1], cur[2]
-            self._artifact_cache["idx_np"] = (build_id, crows, cbt)
+            if cur is not None and cur["key"] == key:
+                return cur["crows"], cur["cbt"]
+            self._artifact_cache["idx_np"] = {
+                "key": key,
+                "crows": crows,
+                "cbt": cbt,
+                "rot": None,
+            }
         return crows, cbt
+
+    def _rotation_np(self, meta: dict | None = None):
+        """The OPQ rotation matrix as a per-build driver-side constant
+        (round 14): topk_two_phase re-collected the 64-row rotation
+        parquet on EVERY OPQ search call and refresh fold. Cached in the
+        same entry/key as the other ndarray artifacts; builds seed it
+        with the matrix they trained."""
+        if meta is None:
+            meta = self._meta()
+        key = self._np_cache_key(meta)
+        with self._artifact_cache_lock:
+            hit = self._artifact_cache.get("idx_np")
+            if hit is not None and hit["key"] == key and hit["rot"] is not None:
+                return hit["rot"]
+        rot = self._load_rotation(meta)
+        with self._artifact_cache_lock:
+            cur = self._artifact_cache.get("idx_np")
+            if cur is not None and cur["key"] == key:
+                if cur["rot"] is None:
+                    cur["rot"] = rot
+                return cur["rot"]
+        return rot
 
     def _index_artifacts(
         self, meta: dict | None = None
@@ -1874,11 +1974,21 @@ class VectorCollection:
                 )
 
                 delta_vis = rotate_vectors(
-                    delta_vis, self._load_rotation(fold_meta), "vector"
+                    delta_vis, self._rotation_np(fold_meta), "vector"
                 )
+            # per-build ndarray artifacts from the cache (round 14): the
+            # fold's encode otherwise re-collects centroids + codebooks
+            # from parquet on every refresh — these are the same
+            # per-build constants the serving path already caches
+            crows_f, cbt_f = self._index_artifacts_np(fold_meta)
             new_rows = ivfpq_encode(
                 delta_vis, cents, codebooks, vec_col="vector", id_col="id",
                 spill=fold_meta.get("index_spill", 1),
+                _cb_np=cbt_f,
+                _cents_np=(
+                    [int(r.centroid_id) for r in crows_f],
+                    [r.centroid for r in crows_f],
+                ),
             )
         else:
             assigned = assign_centroids(delta_vis, cents, vec_col="vector")
@@ -2432,7 +2542,7 @@ class VectorCollection:
                 )
 
                 adc_queries = rotate_vectors(
-                    queries, self._load_rotation(meta), "query_vec"
+                    queries, self._rotation_np(meta), "query_vec"
                 )
             # per-build ndarray artifact cache (round 13): the operator
             # would otherwise re-collect centroids+codebooks from the

@@ -62,7 +62,8 @@ def train_centroids_kmeans(
     seed: int = 42,
     max_iter: int = 20,
     max_train_rows: int | None = None,
-) -> DataFrame:
+    return_np: bool = False,
+):
     """Coarse centroids trained driver-side on a deterministic hash-sample.
 
     At 100 TB you never KMeans the full table: the training set is ALWAYS
@@ -92,7 +93,23 @@ def train_centroids_kmeans(
     centers = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(centers_np)
     ]
-    return spark.createDataFrame(centers, "centroid_id int, centroid array<double>")
+    # ONE parallelize slice: this ≤nlist-row local relation is written,
+    # broadcast and collected — never scanned in parallel — and the
+    # default defaultParallelism slices cost one Python-worker task each
+    # on every evaluation (round 14, same pathology as _save_rotation)
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(centers, 1),
+        "centroid_id int, centroid array<double>",
+    )
+    if return_np:
+        # (cent_ids, matrix) in centroid_id order — the `_cents_np` form
+        # encode/ADC callers accept, so a build that just trained these
+        # centroids never re-collects the frame it created (guide §5)
+        return df, (
+            np.arange(len(centers_np), dtype=np.int64),
+            np.asarray(centers_np, dtype=np.float64),
+        )
+    return df
 
 
 def _assign_udf(centroids_bc, vec_col: str):

@@ -95,7 +95,9 @@ def train_ivfpq_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_fraction: float | None = None,
-) -> DataFrame:
+    _cents_np: tuple | None = None,
+    return_np: bool = False,
+):
     """Residual codebooks: sample → assign → subtract centroid →
     per-subspace k-means, ALL on the bounded training sample.
 
@@ -109,7 +111,8 @@ def train_ivfpq_codebooks(
         deterministic_sample,
     )
     from write_optimized_vector_database_spark.operators.pq import (
-        _kmeans_np,
+        _cb_tuple_from_centers,
+        kmeans_subspaces,
         subspace_dims,
     )
 
@@ -122,27 +125,38 @@ def train_ivfpq_codebooks(
     from write_optimized_vector_database_spark.functions.nputil import collect_vectors_np
 
     sample = collect_vectors_np(train, vec_col)
-    crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
-    cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
+    if _cents_np is not None:
+        # caller (build_indexes) already holds the centroid matrix it
+        # just trained — skip re-collecting the frame it createDataFrame'd
+        _, cents = _cents_np
+    else:
+        crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
+        cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
     c_sq = (cents * cents).sum(-1)
     assign = (c_sq[None, :] - 2.0 * (sample @ cents.T)).argmin(1)
     res = sample - cents[assign]
     seed = 42
+    # k-means++ + 25 iters — same quality fix as train_pq_codebooks_kmeans
+    # (residual codebooks benefit even more: residual mass concentrates
+    # near zero, so uniform seeding wastes codewords on the tails).
+    # Per-subspace runs fan out over the training pool (round 14;
+    # bit-identical — see functions/kmeans_pool.py).
+    centers_all = kmeans_subspaces(res, m, d_sub, k, seed, max_iter=25, init_pp=True)
     rows = []
-    for s in range(m):
-        sub = np.ascontiguousarray(res[:, s * d_sub : (s + 1) * d_sub])
-        # k-means++ + 25 iters — same quality fix as train_pq_codebooks_kmeans
-        # (residual codebooks benefit even more: residual mass concentrates
-        # near zero, so uniform seeding wastes codewords on the tails).
-        centers = _kmeans_np(
-            sub, k, np.random.RandomState(seed + s), max_iter=25, init_pp=True
-        )
+    for s, centers in enumerate(centers_all):
         rows.extend(
             (s, int(c), [float(x) for x in centers[c]]) for c in range(len(centers))
         )
-    return vectors.sparkSession.createDataFrame(
-        rows, "subspace int, code int, cvec array<double>"
+    # ONE parallelize slice — this m·2^nbits-row local relation is only
+    # ever written/broadcast/collected (see train_centroids_kmeans)
+    spark = vectors.sparkSession
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "subspace int, code int, cvec array<double>",
     )
+    if return_np:
+        return df, _cb_tuple_from_centers(centers_all)
+    return df
 
 
 def ivfpq_encode(
@@ -152,6 +166,8 @@ def ivfpq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     spill: int = 1,
+    _cb_np: tuple | None = None,
+    _cents_np: tuple | None = None,
 ) -> DataFrame:
     """(vec_id, centroid_id, codes) — the int-only index rows.
 
@@ -169,17 +185,28 @@ def ivfpq_encode(
     nlist=32 on the sf0.1 fixture with spill=2. Each copy stores the
     residual against ITS OWN list's centroid, so ADC stays consistent;
     query-side callers must dedup (query, vec) candidates
-    (dedup_candidates=True in ivfpq_adc_topk / ivfpq_two_phase_topk)."""
+    (dedup_candidates=True in ivfpq_adc_topk / ivfpq_two_phase_topk).
+
+    `_cb_np` / `_cents_np` (round 14): optional pre-collected artifact
+    forms — the `_codebooks_np` tuple and (cent_ids, centroid matrix)
+    sorted by centroid_id. Builds/folds that already hold these
+    driver-side (just trained, or from the per-build artifact cache)
+    skip two collect jobs per encode call; values identical either way."""
     from pyspark.sql import types as T
 
     if spill < 1:
         raise ValueError(f"spill must be >= 1, got {spill}")
-    cb, m, _k = _codebooks_np(codebooks)
+    cb, m, _k = _cb_np if _cb_np is not None else _codebooks_np(codebooks)
     d_sub = cb.shape[2]
     cb_sq = (cb * cb).sum(-1)  # (m, k)
-    crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
-    cent_ids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
-    cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
+    if _cents_np is not None:
+        cent_ids, cents = _cents_np
+        cent_ids = np.asarray(cent_ids, dtype=np.int64)
+        cents = np.asarray(cents, dtype=np.float64)
+    else:
+        crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
+        cent_ids = np.asarray([r.centroid_id for r in crows], dtype=np.int64)
+        cents = np.asarray([r.centroid for r in crows], dtype=np.float64)
     c_sq = (cents * cents).sum(-1)
     spill = min(spill, len(cent_ids))
     # ship the LUTs once per executor via broadcast, not pickled into

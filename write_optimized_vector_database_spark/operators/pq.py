@@ -104,7 +104,8 @@ def train_pq_codebooks_kmeans(
     sample_fraction: float | None = None,
     seed: int = 42,
     max_train_rows: int | None = None,
-) -> DataFrame:
+    return_np: bool = False,
+):
     """Per-subspace KMeans codebooks → (subspace, code, cvec).
 
     Trains on a deterministic hash-sample collected to the driver (PQ
@@ -123,87 +124,60 @@ def train_pq_codebooks_kmeans(
     from write_optimized_vector_database_spark.functions.nputil import collect_vectors_np
 
     sample = collect_vectors_np(train, vec_col)
-    # Subspaces are independent; per-subspace seeds keep the codebooks
-    # deterministic and order-independent. (A thread pool here LOSES:
-    # BLAS already multithreads the matmuls, and nesting oversubscribes.)
+    # Subspaces are independent (per-subspace seeds), so the m k-means
+    # runs fan out over the training process pool (round 14, guide §1.2:
+    # the driver NumPy was the serialized hot spot of every build once
+    # Spark-side passes were sample-bounded). Each worker runs the SAME
+    # per-subspace computation with the SAME RandomState(seed+s) —
+    # bit-identical to the sequential loop (verified: np.array_equal on
+    # every subspace). A THREAD pool loses to the GIL (argmin/bincount
+    # hold it; measured 1.4x at best); the spawn pool measured 5-9x warm
+    # at the build_indexes_ivfpq shape.
+    centers_all = kmeans_subspaces(
+        sample, m, d_sub, k, seed, max_iter=25, init_pp=True
+    )
     rows = []
-    for s in range(m):
-        sub = np.ascontiguousarray(sample[:, s * d_sub : (s + 1) * d_sub])
-        # k-means++ seeding + 25 Lloyd iterations: at codebook sizes
-        # (k=2^nbits clusters over a ≤64k sample) uniform seeding leaves
-        # many codewords stranded in dense regions — measured recall at
-        # the reference's serving knobs (nprobe=12, rerank=4,
-        # config.h:84-94) improved 0.75 → ≥0.90 from this change alone.
-        centers = _kmeans_np(
-            sub, k, np.random.RandomState(seed + s), max_iter=25, init_pp=True
-        )
+    for s, centers in enumerate(centers_all):
         rows.extend(
             (s, int(c), [float(x) for x in centers[c]]) for c in range(len(centers))
         )
-    return vectors.sparkSession.createDataFrame(
-        rows, "subspace int, code int, cvec array<double>"
+    # ONE parallelize slice — only ever written/broadcast/collected
+    spark = vectors.sparkSession
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "subspace int, code int, cvec array<double>",
     )
+    if return_np:
+        return df, _cb_tuple_from_centers(centers_all)
+    return df
 
 
-def _kmeans_pp_init(x32: np.ndarray, k: int, rng) -> np.ndarray:
-    """k-means++ D² seeding: each next center drawn ∝ squared distance
-    to the nearest already-chosen center. O(n·k) — trivial at the
-    bounded training-sample sizes; markedly better coarse-quantizer
-    recall than uniform seeding when cluster sizes are skewed."""
-    n = len(x32)
-    centers = np.empty((k, x32.shape[1]), dtype=np.float32)
-    centers[0] = x32[rng.randint(n)]
-    d2 = ((x32 - centers[0]) ** 2).sum(-1)
-    for j in range(1, k):
-        tot = d2.sum()
-        if tot <= 0:
-            centers[j:] = x32[rng.choice(n, size=k - j)]
-            break
-        # clamp: cumsum is sequential but tot is pairwise-summed, so
-        # rand()*tot can exceed cumsum[-1] and searchsorted return n
-        centers[j] = x32[min(np.searchsorted(np.cumsum(d2), rng.rand() * tot), n - 1)]
-        d2 = np.minimum(d2, ((x32 - centers[j]) ** 2).sum(-1))
-    return centers
+# k-means kernels live in functions/kmeans_pool.py (round 14: the
+# per-subspace runs fan out over a spawn process pool — see that module
+# for the bit-identity argument). Re-exported here because ivf.py,
+# ivfpq.py and the property tests import them from this module.
+from write_optimized_vector_database_spark.functions.kmeans_pool import (  # noqa: E402,F401
+    _kmeans_np,
+    _kmeans_pp_init,
+    _pq_refine_subspace,
+    kmeans_subspaces,
+)
 
 
-def _kmeans_np(
-    x: np.ndarray, k: int, rng, max_iter: int = 15, init_pp: bool = False
-) -> np.ndarray:
-    """Small in-driver Lloyd's k-means (codebooks are tiny; a distributed
-    fit per subspace would spin m Spark jobs for kilobytes of data).
-
-    Assignment uses the matmul expansion ‖x−c‖² = ‖c‖² − 2x·cᵀ (+‖x‖²,
-    constant per row, dropped) — BLAS-speed and O(n·k) memory, vs the
-    n×k×d broadcast temporary that melts the driver at the 64k-row
-    training cap. Means via bincount; empty clusters keep their center."""
-    k = min(k, len(x))
-    x32 = np.ascontiguousarray(x, dtype=np.float32)
-    if init_pp:
-        centers = _kmeans_pp_init(x32, k, rng)
-    else:
-        centers = x32[rng.choice(len(x), size=k, replace=False)].copy()
-    n = len(x32)
-    assign = np.empty(n, dtype=np.int64)
-    prev_assign = None
-    blk = 16384  # keep the n×k score block inside L2/L3, not RAM
-    for _ in range(max_iter):
-        cnorm = (centers.astype(np.float64) ** 2).sum(-1).astype(np.float32)[None, :]
-        for i in range(0, n, blk):
-            d = cnorm - 2.0 * (x32[i : i + blk] @ centers.T)
-            assign[i : i + blk] = d.argmin(1)
-        # Lloyd fixed point: unchanged assignments ⇒ unchanged means ⇒
-        # every further iteration is a no-op. Breaking here is
-        # RESULT-IDENTICAL to running out max_iter (not an approximation),
-        # and typically halves training cost at codebook sizes.
-        if prev_assign is not None and np.array_equal(assign, prev_assign):
-            break
-        prev_assign = assign.copy()
-        counts = np.bincount(assign, minlength=k).astype(np.float64)
-        nz = counts > 0
-        for j in range(x.shape[1]):
-            sums = np.bincount(assign, weights=x[:, j], minlength=k)
-            centers[nz, j] = (sums[nz] / counts[nz]).astype(np.float32)
-    return centers.astype(np.float64)
+def _cb_tuple_from_centers(centers_all: list) -> tuple[np.ndarray, int, int]:
+    """(cb, m, k) exactly as `_codebooks_np` would return for the
+    codebooks DataFrame built from `centers_all` — same float64 values
+    (the frame rows are float(x) of these same doubles), same zero-fill
+    for any empty tail — so callers holding the driver-side centers can
+    skip re-collecting the frame they just created (guide §5: the
+    driver does no data work twice)."""
+    m = len(centers_all)
+    k = max(len(c) for c in centers_all)
+    d_sub = centers_all[0].shape[1]
+    cb = np.zeros((m, k, d_sub))
+    for s, c in enumerate(centers_all):
+        cb[s, : len(c)] = c
+    return cb, m, k
 
 
 def codebooks_from_stride(
@@ -386,33 +360,33 @@ def _pq_fit_np(
     x: np.ndarray, m: int, k: int, centers: list[np.ndarray] | None, rng
 ) -> tuple[np.ndarray, list[np.ndarray], np.ndarray]:
     """Per-subspace Lloyd step (warm-startable). Returns (codes (n,m),
-    centers per subspace, reconstruction (n,dim))."""
+    centers per subspace, reconstruction (n,dim)).
+
+    Cold-start inits consume the SHARED `rng` in subspace order, so they
+    stay a sequential loop (draw order is part of the numerics); the
+    rng-free warm refine — the per-iteration bulk across OPQ's 8
+    alternations — fans the m subspaces over the training pool
+    (functions/kmeans_pool.py), bit-identical to the sequential loop."""
+    from write_optimized_vector_database_spark.functions.kmeans_pool import (
+        _map_pool,
+        _refine_task,
+    )
+
     n, dim = x.shape
     d_sub = dim // m
-    new_centers: list[np.ndarray] = []
     codes = np.empty((n, m), dtype=np.int32)
     recon = np.empty_like(x)
-    for s in range(m):
-        sub = x[:, s * d_sub : (s + 1) * d_sub]
-        c = centers[s] if centers is not None else _kmeans_np(sub, k, rng)
-        prev = None
-        for _ in range(3):  # refine assignments against current data
-            d = (c * c).sum(-1)[None, :] - 2.0 * (sub @ c.T)
-            assign = d.argmin(1)
-            # fixed point: unchanged assignments ⇒ unchanged means
-            if prev is not None and np.array_equal(assign, prev):
-                break
-            prev = assign
-            # means via bincount (same trick as _kmeans_np) — the naive
-            # per-center masked mean is k Python-level passes per refine
-            # step and dominated the whole OPQ training wall time
-            counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
-            nz = counts > 0
-            for j in range(sub.shape[1]):
-                sums = np.bincount(assign, weights=sub[:, j], minlength=len(c))
-                c[nz, j] = sums[nz] / counts[nz]
-        d = (c * c).sum(-1)[None, :] - 2.0 * (sub @ c.T)
-        assign = d.argmin(1)
+    subs = [x[:, s * d_sub : (s + 1) * d_sub] for s in range(m)]
+    if centers is None:
+        # sequential: each _kmeans_np consumes the shared rng
+        centers = [_kmeans_np(sub, k, rng) for sub in subs]
+    results = _map_pool(
+        _refine_task,
+        [(subs[s], centers[s]) for s in range(m)],
+        cells=n * min(k, n) * d_sub * m,
+    )
+    new_centers: list[np.ndarray] = []
+    for s, (assign, c) in enumerate(results):
         codes[:, s] = assign
         recon[:, s * d_sub : (s + 1) * d_sub] = c[assign]
         new_centers.append(c)
@@ -468,8 +442,10 @@ def train_opq(
     rows = []
     for s, c in enumerate(centers):
         rows.extend((s, int(j), [float(v) for v in c[j]]) for j in range(len(c)))
-    cb = vectors.sparkSession.createDataFrame(
-        rows, "subspace int, code int, cvec array<double>"
+    spark = vectors.sparkSession
+    cb = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "subspace int, code int, cvec array<double>",
     )
     return r_mat, cb
 
